@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real-TPU perf is covered by bench.py; correctness tests run on the CPU
+backend so CI needs no TPU and multi-chip sharding can be validated with
+``--xla_force_host_platform_device_count=8``.
+"""
+
+import os
+
+# Force-set: the environment may pin JAX_PLATFORMS to a hardware plugin via
+# sitecustomize, so setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
