@@ -1,0 +1,176 @@
+"""The application frame loop — the main.cpp analog, headless.
+
+Replaces the SDL window + ImGui GUI with a CLI: scene selection
+(main.cpp:1157-1182), render settings (forward/deferred, G-buffer
+visualization, main.cpp:1186-1226), the Settings toggles (normal map / tone
+mapping / TBN / exposure, main.cpp:1302-1316), free-look camera driven by a
+scripted orbit or explicit pose (mouse/WASD analog, main.cpp:1237-1262), and
+PNG frames instead of a swapchain present.
+
+Usage:
+    python -m bibim_tpu.host.app --scene shaderball --size 1280 720 \
+        --out /tmp/frame.png [--frames N] [--orbit] [--material 1] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.assets.image import save_png
+from bibim_tpu.assets.materials import create_pbr_material_set
+from bibim_tpu.host.readback import DoubleBufferedReadback
+from bibim_tpu.pipeline import (
+    FrameParams,
+    GBufferViz,
+    RenderSettings,
+    ViewBlock,
+    material_textures_from_set,
+    render_frame,
+)
+from bibim_tpu.pipeline.framegraph import make_overlay_resources
+from bibim_tpu.scene import FreeLookCamera
+from bibim_tpu.scene.gizmoscene import GIZMO_CAMERA_DISTANCE, GIZMO_FOV_DEGREES, GizmoScene
+from bibim_tpu.scene.shaderball import ShaderBallScene
+from bibim_tpu.scene.triangle import TriangleScene
+from bibim_tpu.utils.log import log_info
+from bibim_tpu.utils.timing import Stopwatch
+
+VIZ_NAMES = {
+    "position": GBufferViz.POSITION,
+    "normal": GBufferViz.NORMAL,
+    "albedo": GBufferViz.ALBEDO,
+    "mrha": GBufferViz.MRHA,
+    "matindex": GBufferViz.MATERIAL_INDEX,
+    "scene": GBufferViz.RENDERED_SCENE,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="bibim_tpu renderer")
+    p.add_argument("--scene", choices=["triangle", "shaderball", "gizmo"],
+                   default="shaderball")
+    p.add_argument("--size", nargs=2, type=int, default=[1280, 720],
+                   metavar=("W", "H"))
+    p.add_argument("--out", default="/tmp/bibim_frame.png")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--orbit", action="store_true",
+                   help="orbit the camera over the frames")
+    p.add_argument("--spin", action="store_true", help="spin shader balls 30°/s")
+    p.add_argument("--instances", type=int, default=1)
+    p.add_argument("--material", type=int, default=None)
+    p.add_argument("--camera", nargs=5, type=float, default=None,
+                   metavar=("X", "Y", "Z", "YAW", "PITCH"))
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--forward", action="store_true",
+                   help="forward lighting path instead of deferred")
+    p.add_argument("--viz", choices=sorted(VIZ_NAMES), default="scene")
+    p.add_argument("--normal-map", action="store_true")
+    p.add_argument("--no-tonemap", action="store_true")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--tbn", action="store_true")
+    p.add_argument("--no-gizmo", action="store_true")
+    p.add_argument("--no-lights", action="store_true")
+    p.add_argument("--no-srgb", action="store_true")
+    p.add_argument("--bin-cap", type=int, default=None)
+    return p
+
+
+def make_scene(args):
+    if args.scene == "triangle":
+        return TriangleScene()
+    if args.scene == "gizmo":
+        return GizmoScene()
+    return ShaderBallScene(num_instances=args.instances, spin=args.spin)
+
+
+def default_camera(args) -> FreeLookCamera:
+    cam = FreeLookCamera()
+    if args.camera is not None:
+        cam.pos = np.asarray(args.camera[:3], np.float32)
+        cam.yaw, cam.pitch = args.camera[3], args.camera[4]
+    elif args.scene == "gizmo":
+        cam.pos = np.asarray([0, 0, -GIZMO_CAMERA_DISTANCE], np.float32)
+    return cam
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    width, height = args.size
+
+    scene = make_scene(args)
+    cam = default_camera(args)
+    fov = GIZMO_FOV_DEGREES if (args.scene == "gizmo" and args.camera is None) else args.fov
+
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        deferred=not args.forward,
+        shading="flat" if args.scene == "gizmo" else "pbr",
+        gbuffer_viz=VIZ_NAMES[args.viz],
+        show_lights=not args.no_lights,
+        show_gizmo=not args.no_gizmo,
+        show_tbn=args.tbn,
+        srgb_output=not args.no_srgb,
+        **({"bin_cap": args.bin_cap} if args.bin_cap else {}),
+    )
+
+    material_set = create_pbr_material_set()
+    mat_index = args.material if args.material is not None else scene.selected_material
+    mats = material_textures_from_set(material_set, mat_index)
+    overlay = make_overlay_resources()
+
+    proj = m3.perspective(fov, width / height, 0.1, 1000.0)
+    frame_params = FrameParams(
+        enable_tone_mapping=jnp.int32(0 if args.no_tonemap else 1),
+        exposure=jnp.float32(args.exposure),
+    )
+
+    readback = DoubleBufferedReadback(depth=2)
+    clock = Stopwatch()
+    written = 0
+
+    def write(img: np.ndarray | None):
+        nonlocal written
+        if img is None:
+            return
+        path = (
+            args.out
+            if args.frames == 1
+            else args.out.replace(".png", f"_{written:04d}.png")
+        )
+        save_png(path, img)
+        written += 1
+
+    for frame in range(args.frames):
+        dt = clock.tick()
+        if args.orbit and args.frames > 1:
+            cam.yaw = 360.0 * frame / args.frames
+            look = cam.get_look()
+            center = np.asarray([0.0, 0.0, 2.0], np.float32)
+            cam.pos = center - look * 6.0
+        scene.update_scene(dt)
+
+        view_block = ViewBlock(
+            view=jnp.asarray(cam.get_view_matrix()),
+            proj=proj,
+            view_pos=jnp.asarray(cam.pos),
+            enable_normal_map=jnp.int32(1 if args.normal_map else 0),
+        )
+        out = render_frame(
+            scene.scene_data(), view_block, frame_params, mats, overlay, settings
+        )
+        write(readback.submit(out["image"]))
+
+    for img in readback.flush():
+        write(img)
+    log_info("wrote {} frame(s) to {}", written, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

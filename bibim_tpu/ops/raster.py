@@ -1,0 +1,355 @@
+"""Tile-binned visibility-buffer rasterizer.
+
+Replaces the Vulkan fixed-function rasterizer + depth test with TPU-shaped
+dense math. Conventions pinned to the reference pipeline state
+(createPipeline, render.cpp:1044-1178):
+
+- clockwise front faces in the y-down framebuffer, back-face culling
+  (render.cpp:1098, CullMode BACK everywhere in main.cpp)
+- **reversed-Z**: depth cleared to 0 (main.cpp recordCommand clear values),
+  test GREATER_OR_EQUAL (render.cpp:1121) — so the *maximum* z/w wins and
+  later draws win equal-depth ties (GPU submission order)
+- Vulkan viewport mapping: pixel centers at +0.5, NDC y already flipped by
+  the projection matrix
+
+Output is a *visibility buffer* — per pixel: triangle id, perspective-correct
+barycentrics, depth — instead of Vulkan's immediate MRT writes. G-buffer
+materialization then becomes pure gathers at pixel rate (deferred texturing),
+which is the TPU-friendly formulation: the irregular scatter of rasterization
+is confined to this one op, and everything downstream is dense.
+
+Algorithm (plain-XLA path): triangle setup → bbox binning into screen tiles
+(fixed per-tile candidate capacity) → per-tile candidate loop with masked
+edge-function coverage and a running (depth, id, bary) merge. The same
+setup/binning feeds the Pallas kernel (ops/raster_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class TriangleSetup(NamedTuple):
+    """Per-triangle rasterization constants (all (T, ...) arrays).
+
+    Homogeneous (clipless) formulation — Olano & Greer style 2D-homogeneous
+    edge functions. Per pixel p = (px, py, 1):
+
+      E_e(p) = A_e·px + B_e·py + C_e        (e = 0,1,2)
+      inside/front ⇔ all E_e ≥ 0
+      perspective-correct bary  β_e = E_e / ΣE
+      depth  z_ndc = (Σ E_e z_e) / (Σ E_e w_e)   [z_e, w_e = clip coords]
+
+    No vertex w-divide, so triangles crossing w=0 (near-plane "external"
+    triangles) rasterize their visible part correctly with no polygon
+    clipping — which keeps the visibility buffer's corner-id indirection
+    intact for attribute interpolation.
+    """
+
+    edge_a: jnp.ndarray  # (T,3)
+    edge_b: jnp.ndarray  # (T,3)
+    edge_c: jnp.ndarray  # (T,3)
+    z_coef: jnp.ndarray  # (T,3) (az,bz,cz): zn(p) = az·px+bz·py+cz
+    w_coef: jnp.ndarray  # (T,3) (aw,bw,cw): wn(p) = aw·px+bw·py+cw
+    bbox: jnp.ndarray  # (T,4) int32 [x0,y0,x1,y1] inclusive pixel bounds
+    valid: jnp.ndarray  # (T,) bool
+
+
+class VisibilityBuffer(NamedTuple):
+    tri_id: jnp.ndarray  # (H,W) int32, -1 = no coverage
+    bary: jnp.ndarray  # (H,W,2) perspective-correct (b0, b1)
+    depth: jnp.ndarray  # (H,W) reversed-Z depth (0 = far/clear)
+
+
+def triangle_setup(
+    clip: jnp.ndarray, tris: jnp.ndarray, width: int, height: int,
+    band_y0=None, band_height: int | None = None,
+) -> TriangleSetup:
+    """Homogeneous triangle setup: culling, edge/depth coefficients, bbox.
+
+    Facing/validity: with viewport-scaled homogeneous coords M = [v0 v1 v2],
+    det(M) = 2·area_screen · w0·w1·w2, so det > 0 ⇔ front-facing (clockwise
+    in the y-down framebuffer, render.cpp:1098) for every w-sign pattern an
+    external triangle can have. Back faces and degenerates are culled by
+    det ≤ 0 (CullMode BACK everywhere in main.cpp).
+    """
+    v = clip[tris]  # (T,3,4)
+    w = v[..., 3]
+    # Viewport-scaled homogeneous coords: X/W = screen x in pixels.
+    xh = (v[..., 0] * 0.5 + w * 0.5) * width  # (T,3)
+    yh = (v[..., 1] * 0.5 + w * 0.5) * height
+    x0, x1, x2 = xh[:, 0], xh[:, 1], xh[:, 2]
+    y0, y1, y2 = yh[:, 0], yh[:, 1], yh[:, 2]
+    w0, w1, w2 = w[:, 0], w[:, 1], w[:, 2]
+
+    # Edge e opposite corner e: E_e vanishes on the other two corners and is
+    # positive on corner e for front-facing triangles (adjugate rows of M).
+    edge_a = jnp.stack(
+        [y1 * w2 - y2 * w1, y2 * w0 - y0 * w2, y0 * w1 - y1 * w0], axis=-1
+    )
+    edge_b = jnp.stack(
+        [x2 * w1 - x1 * w2, x0 * w2 - x2 * w0, x1 * w0 - x0 * w1], axis=-1
+    )
+    edge_c = jnp.stack(
+        [x1 * y2 - x2 * y1, x2 * y0 - x0 * y2, x0 * y1 - x1 * y0], axis=-1
+    )
+
+    det = edge_c[:, 0] * w0 + edge_c[:, 1] * w1 + edge_c[:, 2] * w2
+    valid = det > 0.0
+
+    # Scale-normalize all coefficients per triangle (common factor cancels in
+    # coverage, bary, and depth) to keep f32 headroom.
+    max_abs = jnp.maximum(
+        jnp.max(jnp.abs(edge_a), axis=-1),
+        jnp.maximum(jnp.max(jnp.abs(edge_b), axis=-1), jnp.max(jnp.abs(edge_c), axis=-1)),
+    )
+    scale = 1.0 / jnp.maximum(max_abs, 1e-30)
+    edge_a = edge_a * scale[:, None]
+    edge_b = edge_b * scale[:, None]
+    edge_c = edge_c * scale[:, None]
+
+    zc = v[..., 2]  # clip z per corner
+    z_coef = jnp.stack(
+        [
+            jnp.sum(edge_a * zc, axis=-1),
+            jnp.sum(edge_b * zc, axis=-1),
+            jnp.sum(edge_c * zc, axis=-1),
+        ],
+        axis=-1,
+    )
+    w_coef = jnp.stack(
+        [
+            jnp.sum(edge_a * w, axis=-1),
+            jnp.sum(edge_b * w, axis=-1),
+            jnp.sum(edge_c * w, axis=-1),
+        ],
+        axis=-1,
+    )
+
+    # Bounding box: projected bbox when fully in front of the camera;
+    # conservative full screen for external triangles (visible region of a
+    # near-plane-crossing triangle is unbounded in screen space).
+    w_ok = jnp.all(w > 1e-6, axis=-1)
+    inv_w = 1.0 / jnp.where(w == 0, 1.0, w)
+    xs = xh * inv_w
+    ys = yh * inv_w
+    bx0 = jnp.where(w_ok, jnp.floor(jnp.min(xs, axis=-1)), 0.0)
+    bx1 = jnp.where(w_ok, jnp.ceil(jnp.max(xs, axis=-1)), float(width - 1))
+    by0 = jnp.where(w_ok, jnp.floor(jnp.min(ys, axis=-1)), 0.0)
+    by1 = jnp.where(w_ok, jnp.ceil(jnp.max(ys, axis=-1)), float(height - 1))
+    # Band rendering (multi-chip tile sharding): bbox in band-local rows.
+    if band_y0 is not None:
+        by0 = by0 - band_y0
+        by1 = by1 - band_y0
+        height = band_height if band_height is not None else height
+    on_screen = (bx1 >= 0.0) & (bx0 < width) & (by1 >= 0.0) & (by0 < height)
+    valid = valid & on_screen
+    bbox = jnp.stack(
+        [
+            jnp.clip(bx0, 0, width - 1).astype(jnp.int32),
+            jnp.clip(by0, 0, height - 1).astype(jnp.int32),
+            jnp.clip(bx1, 0, width - 1).astype(jnp.int32),
+            jnp.clip(by1, 0, height - 1).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+
+    return TriangleSetup(
+        edge_a=edge_a,
+        edge_b=edge_b,
+        edge_c=edge_c,
+        z_coef=z_coef,
+        w_coef=w_coef,
+        bbox=bbox,
+        valid=valid,
+    )
+
+
+def bin_triangles(
+    setup: TriangleSetup,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+):
+    """Bin triangle ids into screen tiles by bbox overlap.
+
+    Returns (ids (NT,cap) int32 with -1 padding, counts (NT,) int32,
+    tiles_y, tiles_x). Capacity overflow drops the *latest* triangles in a
+    tile (counts reports the true number for diagnostics).
+    """
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    tx0 = setup.bbox[:, 0] // tile_w
+    ty0 = setup.bbox[:, 1] // tile_h
+    tx1 = setup.bbox[:, 2] // tile_w
+    ty1 = setup.bbox[:, 3] // tile_h
+
+    col_ids = jnp.arange(tiles_x, dtype=jnp.int32)
+    row_ids = jnp.arange(tiles_y, dtype=jnp.int32)
+    mask_x = (col_ids[None, :] >= tx0[:, None]) & (col_ids[None, :] <= tx1[:, None])
+    mask_y = (row_ids[None, :] >= ty0[:, None]) & (row_ids[None, :] <= ty1[:, None])
+    mask = mask_y[:, :, None] & mask_x[:, None, :] & setup.valid[:, None, None]
+    mask = mask.reshape(mask.shape[0], -1).T  # (NT, T)
+
+    counts = mask.sum(axis=-1, dtype=jnp.int32)
+    ids = jax.vmap(
+        functools.partial(jnp.nonzero, size=cap, fill_value=-1)
+    )(mask)[0].astype(jnp.int32)
+    return ids, counts, tiles_y, tiles_x
+
+
+def rasterize(
+    clip: jnp.ndarray,
+    tris: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_h: int = 64,
+    tile_w: int = 128,
+    cap: int = 512,
+    init: VisibilityBuffer | None = None,
+    viewport_height: int | None = None,
+    y_origin=0,
+) -> VisibilityBuffer:
+    """Rasterize triangles to a visibility buffer (plain-XLA path).
+
+    ``init`` continues rasterization over an existing buffer — the analog of
+    a later subpass drawing with depth test against the same depth attachment
+    (light spheres / gizmo overlays, main.cpp:128-171).
+
+    Band rendering (multi-chip pixel sharding): pass the full-frame
+    ``viewport_height`` plus a (possibly traced) ``y_origin``; ``height`` is
+    then the band height this call rasterizes.
+    """
+    vp_height = viewport_height if viewport_height is not None else height
+    setup = triangle_setup(
+        clip, tris, width, vp_height,
+        band_y0=(y_origin if viewport_height is not None else None),
+        band_height=height,
+    )
+    ids, _counts, tiles_y, tiles_x = bin_triangles(
+        setup, width, height, tile_h, tile_w, cap
+    )
+    nt = tiles_y * tiles_x
+
+    # Per-tile pixel-center coordinates (global frame coordinates).
+    tile_row = jnp.arange(nt, dtype=jnp.int32) // tiles_x
+    tile_col = jnp.arange(nt, dtype=jnp.int32) % tiles_x
+    px = (
+        tile_col[:, None].astype(jnp.float32) * tile_w
+        + jnp.arange(tile_w, dtype=jnp.float32)[None, :]
+        + 0.5
+    )  # (NT, tw)
+    py = (
+        tile_row[:, None].astype(jnp.float32) * tile_h
+        + jnp.arange(tile_h, dtype=jnp.float32)[None, :]
+        + 0.5
+        + jnp.asarray(y_origin, jnp.float32)
+    )  # (NT, th)
+
+    # Zeros derived from the pixel-coordinate arrays so the carry picks up
+    # any mesh-axis "varying" type from a traced y_origin (shard_map bands).
+    zero_v = px[:, None, :] * 0.0 + py[:, :, None] * 0.0  # (NT, th, tw)
+
+    if init is None:
+        best_z = zero_v
+        best_id = zero_v.astype(jnp.int32) - 1
+        best_b0 = zero_v
+        best_b1 = zero_v
+    else:
+        pad_h, pad_w = tiles_y * tile_h, tiles_x * tile_w
+
+        def to_tiles(img, fill):
+            img = jnp.pad(
+                img,
+                ((0, pad_h - height), (0, pad_w - width)),
+                constant_values=fill,
+            )
+            return (
+                img.reshape(tiles_y, tile_h, tiles_x, tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(nt, tile_h, tile_w)
+            )
+
+        best_z = to_tiles(init.depth, 1.0) + zero_v  # pad depth 1 → never overdrawn
+        best_id = to_tiles(init.tri_id, -1) + zero_v.astype(jnp.int32)
+        best_b0 = to_tiles(init.bary[..., 0], 0.0) + zero_v
+        best_b1 = to_tiles(init.bary[..., 1], 0.0) + zero_v
+
+    def body(k, carry):
+        best_z, best_id, best_b0, best_b1 = carry
+        tid = lax.dynamic_index_in_dim(ids, k, axis=1, keepdims=False)  # (NT,)
+        live = tid >= 0
+        t = jnp.where(live, tid, 0)
+
+        ea = setup.edge_a[t]  # (NT,3)
+        eb = setup.edge_b[t]
+        ec = setup.edge_c[t]
+        zc = setup.z_coef[t]  # (NT,3)
+        wc = setup.w_coef[t]  # (NT,3)
+
+        def plane(a, b, c):
+            """a·px + b·py + c at every tile pixel → (NT, th, tw)."""
+            return (
+                a[:, None, None] * px[:, None, :]
+                + b[:, None, None] * py[:, :, None]
+                + c[:, None, None]
+            )
+
+        e0 = plane(ea[:, 0], eb[:, 0], ec[:, 0])
+        e1 = plane(ea[:, 1], eb[:, 1], ec[:, 1])
+        e2 = plane(ea[:, 2], eb[:, 2], ec[:, 2])
+        covered = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+
+        zn = plane(zc[:, 0], zc[:, 1], zc[:, 2])
+        wn = plane(wc[:, 0], wc[:, 1], wc[:, 2])
+
+        # Division-free reversed-Z GREATER_OR_EQUAL test + [0,1] depth clip
+        # (near/far clipping per pixel) + wn>0 (in front of the camera).
+        accept = (
+            covered
+            & live[:, None, None]
+            & (wn > 0.0)
+            & (zn >= 0.0)
+            & (zn <= wn)
+            & (zn >= best_z * wn)
+        )
+
+        z = zn / jnp.where(wn == 0.0, 1.0, wn)
+
+        # Perspective-correct barycentrics: β_e = E_e / ΣE.
+        esum = e0 + e1 + e2
+        esum = jnp.where(esum == 0.0, 1.0, esum)
+        b0 = e0 / esum
+        b1 = e1 / esum
+
+        return (
+            jnp.where(accept, z, best_z),
+            jnp.where(accept, t[:, None, None], best_id),
+            jnp.where(accept, b0, best_b0),
+            jnp.where(accept, b1, best_b1),
+        )
+
+    best_z, best_id, best_b0, best_b1 = lax.fori_loop(
+        0, ids.shape[1], body, (best_z, best_id, best_b0, best_b1)
+    )
+
+    def from_tiles(tiled):
+        img = (
+            tiled.reshape(tiles_y, tiles_x, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * tile_h, tiles_x * tile_w)
+        )
+        return img[:height, :width]
+
+    return VisibilityBuffer(
+        tri_id=from_tiles(best_id),
+        bary=jnp.stack([from_tiles(best_b0), from_tiles(best_b1)], axis=-1),
+        depth=from_tiles(best_z),
+    )

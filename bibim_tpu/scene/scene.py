@@ -1,0 +1,104 @@
+"""Scene data model: pytrees feeding the jitted frame function.
+
+Parity: SceneBase + CommonSceneResources (scene.h:64-133) and the per-draw
+vertex/instance buffer layout (render.h:96-136). A scene is
+
+- a tuple of :class:`DrawBatch` pytrees (vertex SoA + instance matrices),
+- a :class:`Lights` SoA,
+- static metadata (render pass type, material selection) that shapes the
+  compiled frame function.
+
+Vulkan buffer objects collapse into device arrays: ``createVertexBuffer`` /
+``createInstanceBuffer`` / ``updateInstanceBufferMemory`` (scene.h:87-132)
+become `jnp.asarray` + functional updates of the scene pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.assets.mesh import Mesh
+from bibim_tpu.scene.lights import Lights, make_lights
+
+
+class RenderPassType(IntEnum):
+    FORWARD = 0
+    DEFERRED = 1  # default (scene.h:77)
+
+
+class DrawBatch(NamedTuple):
+    """One draw call: shared mesh + I instances (render.h:96-136).
+
+    Vertex attributes are SoA; instances carry ModelMat + InvModelMat like
+    InstanceBlock (render.h:96-99). ``colors`` holds per-vertex flat colors
+    (GizmoVertex, render.h:122-129); all-ones when unused.
+    """
+
+    positions: jnp.ndarray  # (V,3)
+    uvs: jnp.ndarray  # (V,2)
+    normals: jnp.ndarray  # (V,3)
+    tangents: jnp.ndarray  # (V,3)
+    colors: jnp.ndarray  # (V,3)
+    indices: jnp.ndarray  # (F,3) int32
+    model: jnp.ndarray  # (I,4,4)
+    inv_model: jnp.ndarray  # (I,4,4)
+
+
+def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
+    """Build a DrawBatch from a Mesh with I instance matrices ((I,4,4) or
+    a single (4,4), default identity)."""
+    if model is None:
+        model = np.eye(4, dtype=np.float32)[None]
+    model = np.asarray(model, np.float32)
+    if model.ndim == 2:
+        model = model[None]
+    inv_model = np.asarray(m3.inverse(model), np.float32)
+    colors = mesh.colors if mesh.colors is not None else np.ones_like(mesh.positions)
+    return DrawBatch(
+        positions=jnp.asarray(mesh.positions),
+        uvs=jnp.asarray(mesh.uvs),
+        normals=jnp.asarray(mesh.normals),
+        tangents=jnp.asarray(mesh.tangents),
+        colors=jnp.asarray(colors),
+        indices=jnp.asarray(mesh.indices),
+        model=jnp.asarray(model),
+        inv_model=jnp.asarray(inv_model),
+    )
+
+
+class SceneData(NamedTuple):
+    """The traced per-frame scene state."""
+
+    batches: tuple[DrawBatch, ...]
+    lights: Lights
+
+
+@dataclass
+class SceneBase:
+    """Host-side scene controller (SceneBase, scene.h:75-84).
+
+    ``update_gui`` mutates host settings, ``update_scene`` recomputes traced
+    state (instance matrices — the updateInstanceBufferMemory analog), and
+    ``scene_data`` packages the pytree for the frame function.
+    """
+
+    scene_render_pass_type: RenderPassType = RenderPassType.DEFERRED
+
+    def update_gui(self, dt: float) -> None:  # pragma: no cover - interactive
+        pass
+
+    def update_scene(self, dt: float) -> None:
+        pass
+
+    def scene_data(self) -> SceneData:
+        raise NotImplementedError
+
+    @property
+    def selected_material(self) -> int:
+        return 0

@@ -1,0 +1,100 @@
+"""ShaderBallScene (reference scene.cpp:12-211).
+
+- 3 lights: warm directional + 2 point lights (scene.cpp:18-36).
+- 100×-scaled ground plane at y=-10 (scene.cpp:49-51).
+- ShaderBall.fbx de-indexed, N instances; per-frame model matrix
+  ``translate(2i,-1,2) · rotY(angle) · rotX(-90) · scale(0.01)`` with inverse
+  (scene.cpp:172-191); initial angle -90 (scene.h:207).
+- GUI state: selected material (default 1, scene.h:213) + selected instance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.assets.fbx import load_fbx_mesh
+from bibim_tpu.assets.meshgen import generate_plane_mesh
+from bibim_tpu.scene.lights import LightType, make_lights
+from bibim_tpu.scene.scene import DrawBatch, SceneBase, SceneData, batch_from_mesh
+from bibim_tpu.utils.config import get_resource_root
+
+
+def shaderball_lights():
+    d2r = np.pi / 180.0
+    return make_lights(
+        [
+            dict(
+                type=LightType.DIRECTIONAL,
+                dir=(-1, -1, 0),
+                color=(0.2347, 0.2131, 0.2079),
+                intensity=10.0,
+            ),
+            dict(type=LightType.POINT, pos=(0, 2, 0), color=(1, 0.8, 0.8), intensity=50),
+            dict(
+                type=LightType.POINT,
+                pos=(4, 2, 0),
+                dir=(0, -1, 0),
+                color=(0.8, 1, 0.8),
+                intensity=50,
+                inner_cutoff=30 * d2r,
+                outer_cutoff=25 * d2r,
+            ),
+        ]
+    )
+
+
+def shaderball_instance_matrices(num_instances: int, angle_degrees):
+    """Per-instance model matrices (scene.cpp:178-189), batched.
+
+    Row i: translate(2i, -1, 2) · rotY(angle) · rotX(-90) · scale(0.01).
+    Works under jit with a traced angle.
+    """
+    i = jnp.arange(num_instances, dtype=jnp.float32)
+    trans = m3.translate(
+        jnp.stack([2.0 * i, jnp.full_like(i, -1.0), jnp.full_like(i, 2.0)], axis=-1)
+    )
+    rot = m3.compose(m3.rotate_y(angle_degrees), m3.rotate_x(-90.0), m3.scale(0.01))
+    model = m3.matmul(trans, rot)
+    return model, m3.inverse(model)
+
+
+@dataclass
+class ShaderBallScene(SceneBase):
+    num_instances: int = 1
+    selected_material_index: int = 1  # scene.h:213 GUI.SelectedMaterial = 1
+    angle: float = -90.0  # scene.h:207
+    spin: bool = False  # scene.cpp:175 has the 30°/s spin commented out
+    _plane: DrawBatch | None = field(default=None, repr=False)
+    _ball: DrawBatch | None = field(default=None, repr=False)
+    _lights: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        plane_model = np.asarray(
+            m3.compose(m3.translate([0.0, -10.0, 0.0]), m3.scale(100.0))
+        )
+        self._plane = batch_from_mesh(generate_plane_mesh(), plane_model)
+        ball_mesh = load_fbx_mesh(get_resource_root().common("ShaderBall.fbx"))
+        self._ball = batch_from_mesh(ball_mesh)
+        self._lights = shaderball_lights()
+        self.update_scene(0.0)
+
+    def update_scene(self, dt: float) -> None:
+        if self.spin:
+            self.angle += 30.0 * dt
+            if self.angle > 360.0:
+                self.angle -= 360.0
+        model, inv_model = shaderball_instance_matrices(self.num_instances, self.angle)
+        self._ball = self._ball._replace(model=model, inv_model=inv_model)
+
+    def scene_data(self) -> SceneData:
+        # Draw order matters for equal-depth ties: ball first, then plane
+        # (drawScene, scene.cpp:193-211).
+        return SceneData(batches=(self._ball, self._plane), lights=self._lights)
+
+    @property
+    def selected_material(self) -> int:
+        return self.selected_material_index

@@ -1,0 +1,169 @@
+"""End-to-end frame-function tests: scenes render, invariants hold,
+sharded rendering matches single-device."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.pipeline import (
+    FrameParams,
+    GBufferViz,
+    RenderSettings,
+    ViewBlock,
+    render_frame,
+)
+from bibim_tpu.scene import FreeLookCamera, TriangleScene
+from bibim_tpu.scene.lights import make_lights
+from bibim_tpu.scene.scene import SceneData, batch_from_mesh
+from bibim_tpu.assets.meshgen import generate_uv_sphere_mesh
+from bibim_tpu.pipeline.framegraph import MaterialTextures
+from bibim_tpu.utils.config import get_resource_root
+
+W, H = 128, 64
+SMALL = dict(tile_h=16, tile_w=32, bin_cap=256)
+
+
+def _flat_materials():
+    def tex(r, g, b):
+        t = np.zeros((4, 4, 4), np.uint8)
+        t[..., 0], t[..., 1], t[..., 2], t[..., 3] = r, g, b, 255
+        return jnp.asarray(t)
+
+    return MaterialTextures(
+        albedo=tex(200, 120, 80),
+        metallic=tex(0, 0, 0),
+        roughness=tex(128, 128, 128),
+        ao=tex(255, 255, 255),
+        normal=tex(128, 128, 255),
+        height=tex(0, 0, 0),
+    )
+
+
+def _view(cam=None):
+    cam = cam or FreeLookCamera()
+    return ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+
+
+def _fp(tonemap=1, exposure=1.0):
+    return FrameParams(enable_tone_mapping=jnp.int32(tonemap),
+                       exposure=jnp.float32(exposure))
+
+
+def _sphere_scene():
+    mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+    model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+    lights = make_lights([dict(type=2, dir=(0, -1, 1), color=(1, 1, 1), intensity=3.0)])
+    return SceneData(batches=(batch_from_mesh(mesh, model),), lights=lights)
+
+
+class TestRenderFrame:
+    def test_triangle_scene_renders(self):
+        scene = TriangleScene()
+        out = render_frame(scene.scene_data(), _view(), _fp(0), _flat_materials(),
+                           None, RenderSettings(width=W, height=H, **SMALL))
+        img = np.asarray(out["image"])
+        assert img.shape == (H, W, 3) and img.dtype == np.uint8
+        assert (np.asarray(out["tri_id"]) >= 0).any()
+
+    def test_background_is_black(self):
+        scene = _sphere_scene()
+        out = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
+                           RenderSettings(width=W, height=H, **SMALL))
+        miss = np.asarray(out["tri_id"]) < 0
+        assert (np.asarray(out["image"])[miss] == 0).all()
+
+    def test_tonemap_toggle_no_recompile_semantics(self):
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, **SMALL)
+        out_on = render_frame(scene, _view(), _fp(1, 2.0), _flat_materials(), None, s)
+        out_off = render_frame(scene, _view(), _fp(0), _flat_materials(), None, s)
+        hdr = np.asarray(out_off["ldr"])
+        mapped = np.asarray(out_on["ldr"])
+        hit = np.asarray(out_on["tri_id"]) >= 0
+        np.testing.assert_allclose(
+            mapped[hit], 1.0 - np.exp(-hdr[hit] * 2.0), atol=2e-3
+        )
+
+    def test_gbuffer_viz_outputs_raw_planes(self):
+        scene = _sphere_scene()
+        out = render_frame(
+            scene, _view(), _fp(0), _flat_materials(), None,
+            RenderSettings(width=W, height=H, gbuffer_viz=GBufferViz.NORMAL, **SMALL),
+        )
+        hit = np.asarray(out["tri_id"]) >= 0
+        # normals in [-1,1]; raw plane written to hdr
+        assert np.abs(np.asarray(out["hdr"])[hit]).max() <= 1.0 + 1e-3
+
+    def test_forward_matches_deferred_modulo_quantization(self):
+        scene = _sphere_scene()
+        out_d = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
+                             RenderSettings(width=W, height=H, deferred=True,
+                                            quantize_fp16=False, **SMALL))
+        out_f = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
+                             RenderSettings(width=W, height=H, deferred=False,
+                                            quantize_fp16=False, **SMALL))
+        np.testing.assert_allclose(
+            np.asarray(out_d["ldr"]), np.asarray(out_f["ldr"]), atol=1e-5
+        )
+
+
+needs_assets = pytest.mark.skipif(
+    not get_resource_root().common("gizmo.obj").is_file(),
+    reason="reference assets not mounted",
+)
+
+
+@needs_assets
+class TestOverlays:
+    def test_gizmo_and_lights_composite(self):
+        from bibim_tpu.pipeline.framegraph import make_overlay_resources
+
+        scene = _sphere_scene()
+        overlay = make_overlay_resources()
+        base = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
+                            RenderSettings(width=W, height=H, **SMALL))
+        with_ov = render_frame(
+            scene, _view(), _fp(1), _flat_materials(), overlay,
+            RenderSettings(width=W, height=H, gizmo_extent=32, **SMALL),
+        )
+        assert not np.array_equal(np.asarray(base["image"]),
+                                  np.asarray(with_ov["image"]))
+
+    def test_tbn_lines_draw(self):
+        from bibim_tpu.pipeline.framegraph import make_overlay_resources
+
+        scene = _sphere_scene()
+        overlay = make_overlay_resources()
+        s = RenderSettings(width=W, height=H, show_tbn=True, show_lights=False,
+                           show_gizmo=False, **SMALL)
+        out = render_frame(scene, _view(), _fp(1), _flat_materials(), overlay, s)
+        img = np.asarray(out["image"]).astype(int)
+        # pure R/G/B line pixels exist
+        red = (img[..., 0] > 200) & (img[..., 1] < 60) & (img[..., 2] < 60)
+        blue = (img[..., 2] > 200) & (img[..., 0] < 60) & (img[..., 1] < 60)
+        assert red.any() and blue.any()
+
+
+class TestShardedRendering:
+    def test_sharded_matches_single(self):
+        import jax
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+
+        n = min(4, len(jax.devices()))
+        scene = _sphere_scene()
+        settings = RenderSettings(width=W, height=H, tile_h=16, tile_w=32,
+                                  bin_cap=256)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
+                              settings)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                       _flat_materials(), settings)
+        np.testing.assert_array_equal(
+            np.asarray(single["image"]), np.asarray(sharded)
+        )
