@@ -28,14 +28,12 @@ _MAX_CONCURRENT = 64  # MAXIMUM_WAIT_OBJECTS batch width (resource.cpp:241-267)
 def _decode_one(path: Path) -> np.ndarray | None:
     try:
         try:
-            from bibim_tpu.native import decode_image_rgba8  # optional C++ path
+            return load_image_rgba8(path)
+        except Exception:
+            # Fall back to the native C++ decoder if PIL can't handle it.
+            from bibim_tpu.native import decode_image_rgba8
 
-            out = decode_image_rgba8(str(path))
-            if out is not None:
-                return out
-        except ImportError:
-            pass
-        return load_image_rgba8(path)
+            return decode_image_rgba8(str(path))
     except Exception as exc:  # missing/corrupt file tolerated (resource.cpp:161-163)
         log_warning("image load failed for {}: {}", path, exc)
         return None

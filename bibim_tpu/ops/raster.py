@@ -177,31 +177,73 @@ def bin_triangles(
     tile_h: int,
     tile_w: int,
     cap: int,
+    span_cap: int = 16,
+    overflow_cap: int = 64,
 ):
-    """Bin triangle ids into screen tiles by bbox overlap.
+    """Bin triangle ids into screen tiles by bbox overlap (sort-based).
 
-    Returns (ids (NT,cap) int32 with -1 padding, counts (NT,) int32,
-    tiles_y, tiles_x). Capacity overflow drops the *latest* triangles in a
-    tile (counts reports the true number for diagnostics).
+    Scatter-free formulation (TPU scatters are slow and the O(T·NT) overlap
+    mask doesn't scale): each triangle expands to at most ``span_cap``
+    (tile, tri) pairs from its bbox tile span; a stable argsort by tile id
+    yields contiguous per-tile candidate ranges; a padded gather materializes
+    (NT, cap) lists. Triangles spanning more than span_cap tiles (huge or
+    near-plane-external ones — e.g. the 100× ground plane) go to a small
+    ``overflow`` list prepended to every tile, preserving a contiguous valid
+    prefix per tile.
+
+    Returns (ids (NT, cap) int32 with -1 padding, counts (NT,) int32,
+    tiles_y, tiles_x). Capacity overflow drops the latest triangles in a
+    tile; ``counts`` is clamped to cap.
     """
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
+    nt = tiles_x * tiles_y
+
     tx0 = setup.bbox[:, 0] // tile_w
     ty0 = setup.bbox[:, 1] // tile_h
     tx1 = setup.bbox[:, 2] // tile_w
     ty1 = setup.bbox[:, 3] // tile_h
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    area = span_w * span_h
 
-    col_ids = jnp.arange(tiles_x, dtype=jnp.int32)
-    row_ids = jnp.arange(tiles_y, dtype=jnp.int32)
-    mask_x = (col_ids[None, :] >= tx0[:, None]) & (col_ids[None, :] <= tx1[:, None])
-    mask_y = (row_ids[None, :] >= ty0[:, None]) & (row_ids[None, :] <= ty1[:, None])
-    mask = mask_y[:, :, None] & mask_x[:, None, :] & setup.valid[:, None, None]
-    mask = mask.reshape(mask.shape[0], -1).T  # (NT, T)
+    small = setup.valid & (area <= span_cap)
+    big = setup.valid & (area > span_cap)
 
-    counts = mask.sum(axis=-1, dtype=jnp.int32)
-    ids = jax.vmap(
-        functools.partial(jnp.nonzero, size=cap, fill_value=-1)
-    )(mask)[0].astype(jnp.int32)
+    # Expand: pair k of triangle t covers tile (ty0 + k//span_w, tx0 + k%span_w).
+    k = jnp.arange(span_cap, dtype=jnp.int32)
+    dx = k[None, :] % span_w[:, None]
+    dy = k[None, :] // span_w[:, None]
+    tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    live = small[:, None] & (k[None, :] < area[:, None])
+    tile = jnp.where(live, tile, nt)  # sentinel sorts last
+
+    flat_tile = tile.reshape(-1)
+    order = jnp.argsort(flat_tile, stable=True)  # keeps tri order within tile
+    sorted_tile = flat_tile[order]
+    sorted_tri = (order // span_cap).astype(jnp.int32)
+
+    boundaries = jnp.searchsorted(sorted_tile, jnp.arange(nt + 1, dtype=jnp.int32))
+    starts = boundaries[:-1]  # (NT,)
+    counts_small = (boundaries[1:] - starts).astype(jnp.int32)
+
+    # Overflow triangles: cheap single nonzero over T (not NT×T).
+    big_ids, = jnp.nonzero(big, size=overflow_cap, fill_value=-1)
+    big_ids = big_ids.astype(jnp.int32)
+    n_big = jnp.sum(big, dtype=jnp.int32)
+
+    # Padded per-tile lists: [big 0..n_big) | small 0..counts_small) | -1 ...].
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    small_pos = pos[None, :] - n_big  # (NT,cap) position within small range
+    in_small = (small_pos >= 0) & (small_pos < counts_small[:, None])
+    total = sorted_tri.shape[0]
+    gather_idx = jnp.clip(starts[:, None] + small_pos, 0, total - 1)
+    ids = jnp.where(
+        pos[None, :] < n_big,
+        big_ids[jnp.minimum(pos, overflow_cap - 1)][None, :],
+        jnp.where(in_small, sorted_tri[gather_idx], -1),
+    )
+    counts = jnp.minimum(n_big + counts_small, cap)
     return ids, counts, tiles_y, tiles_x
 
 
