@@ -32,6 +32,52 @@ def generate_quad_mesh() -> Mesh:
     return make_mesh(positions, indices, uvs, normals, tangents, name="quad")
 
 
+def generate_cube_mesh(size: float = 1.0) -> Mesh:
+    """Axis-aligned cube of edge length ``size`` with per-face UVs.
+
+    Not in the reference (its meshes are plane/quad/sphere + imports); added
+    for benchmark config 2 (textured cube, BASELINE.md). Faces wind clockwise
+    in the y-down framebuffer when viewed from outside, matching the pipeline
+    cull convention.
+    """
+    h = 0.5 * size
+    faces = []
+    # (normal, u-axis, v-axis) per face; vertices ordered so screen-space
+    # winding is CW (front) viewed from outside.
+    axes = [
+        ((0, 0, -1), (1, 0, 0), (0, 1, 0)),  # front (-Z, toward default camera)
+        ((0, 0, 1), (-1, 0, 0), (0, 1, 0)),  # back
+        ((-1, 0, 0), (0, 0, -1), (0, 1, 0)),  # left
+        ((1, 0, 0), (0, 0, 1), (0, 1, 0)),  # right
+        ((0, 1, 0), (1, 0, 0), (0, 0, 1)),  # top
+        ((0, -1, 0), (1, 0, 0), (0, 0, -1)),  # bottom
+    ]
+    for n, u, v in axes:
+        n = np.asarray(n, np.float32)
+        u_ax = np.asarray(u, np.float32)
+        v_ax = np.asarray(v, np.float32)
+        center = n * h
+        corners = [
+            center - u_ax * h - v_ax * h,
+            center - u_ax * h + v_ax * h,
+            center + u_ax * h + v_ax * h,
+            center + u_ax * h - v_ax * h,
+        ]
+        uvs = [(0, 1), (0, 0), (1, 0), (1, 1)]
+        faces.append(
+            make_mesh(
+                corners,
+                [(0, 1, 2), (2, 3, 0)],
+                uvs=uvs,
+                normals=[n] * 4,
+                tangents=[u_ax] * 4,
+            )
+        )
+    from bibim_tpu.assets.mesh import concat_meshes
+
+    return concat_meshes(faces, name="cube")
+
+
 def generate_uv_sphere_mesh(
     radius: float, horizontal_division: int, vertical_division: int
 ) -> Mesh:

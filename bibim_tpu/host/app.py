@@ -52,8 +52,10 @@ VIZ_NAMES = {
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="bibim_tpu renderer")
-    p.add_argument("--scene", choices=["triangle", "shaderball", "gizmo"],
+    p.add_argument("--scene", choices=["triangle", "shaderball", "gizmo", "cube"],
                    default="shaderball")
+    p.add_argument("--no-mips", action="store_true",
+                   help="level-0 sampling only (reference parity) for cube scene")
     p.add_argument("--size", nargs=2, type=int, default=[1280, 720],
                    metavar=("W", "H"))
     p.add_argument("--out", default="/tmp/bibim_frame.png")
@@ -85,6 +87,10 @@ def make_scene(args):
         return TriangleScene()
     if args.scene == "gizmo":
         return GizmoScene()
+    if args.scene == "cube":
+        from bibim_tpu.scene.cube import CubeScene
+
+        return CubeScene(spin=args.spin)
     return ShaderBallScene(num_instances=args.instances, spin=args.spin)
 
 
@@ -116,12 +122,20 @@ def main(argv=None) -> int:
         show_gizmo=not args.no_gizmo,
         show_tbn=args.tbn,
         srgb_output=not args.no_srgb,
+        batch_material_ids=getattr(scene, "material_ids", None),
         **({"bin_cap": args.bin_cap} if args.bin_cap else {}),
     )
 
-    material_set = create_pbr_material_set()
-    mat_index = args.material if args.material is not None else scene.selected_material
-    mats = material_textures_from_set(material_set, mat_index)
+    if args.scene == "cube":
+        from bibim_tpu.scene.cube import cube_scene_materials
+
+        mats = cube_scene_materials(with_mips=not args.no_mips)
+    else:
+        material_set = create_pbr_material_set()
+        mat_index = (
+            args.material if args.material is not None else scene.selected_material
+        )
+        mats = material_textures_from_set(material_set, mat_index)
     overlay = make_overlay_resources()
 
     proj = m3.perspective(fov, width / height, 0.1, 1000.0)

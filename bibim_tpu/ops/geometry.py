@@ -31,6 +31,7 @@ class TriangleSoup(NamedTuple):
     uv: jnp.ndarray  # (N,2)
     color: jnp.ndarray  # (N,3) per-vertex flat color
     tris: jnp.ndarray  # (T,3) int32 corner ids into the N-arrays
+    mat_id: jnp.ndarray  # (N,) int32 material index (per-draw binding analog)
 
     @property
     def num_triangles(self) -> int:
@@ -80,19 +81,29 @@ def transform_batch(batch: DrawBatch, view_proj: jnp.ndarray):
     )
 
 
-def assemble_scene(batches: Sequence[DrawBatch], view: jnp.ndarray, proj: jnp.ndarray) -> TriangleSoup:
+def assemble_scene(
+    batches: Sequence[DrawBatch],
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    material_ids: Sequence[int] | None = None,
+) -> TriangleSoup:
     """Transform and concatenate all draw batches into one triangle soup.
 
     Draw order is preserved (later batches win equal-depth ties, matching
-    GPU submission order with GREATER_OR_EQUAL depth).
+    GPU submission order with GREATER_OR_EQUAL depth). ``material_ids``
+    assigns each batch a material index — the per-draw material descriptor
+    binding analog (scene.cpp:198-200); default all 0.
     """
     view_proj = m3.matmul(proj, view)
     parts = [transform_batch(b, view_proj) for b in batches]
     base = 0
     tris_all = []
-    for (clip, _w, _n, _t, _uv, _c, tris), b in zip(parts, batches):
+    mat_all = []
+    for bi, ((clip, _w, _n, _t, _uv, _c, tris), b) in enumerate(zip(parts, batches)):
         tris_all.append(tris + base)
         base += clip.shape[0]
+        mid = 0 if material_ids is None else int(material_ids[bi])
+        mat_all.append(jnp.full((clip.shape[0],), mid, jnp.int32))
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
     return TriangleSoup(
         clip=cat(0),
@@ -102,4 +113,5 @@ def assemble_scene(batches: Sequence[DrawBatch], view: jnp.ndarray, proj: jnp.nd
         uv=cat(4),
         color=cat(5),
         tris=jnp.concatenate(tris_all, axis=0),
+        mat_id=jnp.concatenate(mat_all, axis=0),
     )

@@ -66,6 +66,7 @@ def _pack_coefs(setup: TriangleSetup, ids: jnp.ndarray) -> jnp.ndarray:
 def _raster_kernel(
     counts_ref,  # scalar prefetch: (NT,) int32
     coef_ref,  # (1, cap, 16) f32 VMEM block for this tile
+    init_zkey_ref,  # (1, th, tw) int32 initial depth bits (or None)
     cand_out,  # (1, th, tw) int32
     zkey_out,  # (1, th, tw) int32 packed depth bits (low 3 bits zero)
     *,
@@ -125,7 +126,10 @@ def _raster_kernel(
         return jnp.where(accept, kz, best_key), cand
 
     n_chunks = lax.div(count + (CHUNK - 1), CHUNK)
-    init_key = jnp.zeros((tile_h, tile_w), jnp.int32)  # depth 0.0 bits
+    if init_zkey_ref is None:
+        init_key = jnp.zeros((tile_h, tile_w), jnp.int32)  # depth 0.0 bits
+    else:
+        init_key = init_zkey_ref[0] & _LOW3
     init_cand = jnp.full((tile_h, tile_w), -1, jnp.int32)
     best_key, best_cand = lax.fori_loop(
         0, n_chunks, body, (init_key, init_cand), unroll=False
@@ -143,8 +147,15 @@ def rasterize_pallas(
     tile_w: int = 128,
     cap: int = 1024,
     y_origin: int = 0,
+    init: VisibilityBuffer | None = None,
+    interpret: bool = False,
 ) -> VisibilityBuffer:
-    """Rasterize to a VisibilityBuffer using the Pallas tile kernel."""
+    """Rasterize to a VisibilityBuffer using the Pallas tile kernel.
+
+    ``init`` continues over an existing buffer (depth-tested overlay passes);
+    only ``init.depth`` and ``init.tri_id`` participate — new coverage
+    replaces (tri_id, bary); surviving pixels keep the init values.
+    """
     assert tile_h % 8 == 0 and tile_w % 128 == 0, "VPU-aligned tiles required"
     cap = ((cap + CHUNK - 1) // CHUNK) * CHUNK
 
@@ -156,7 +167,19 @@ def rasterize_pallas(
     nt = tiles_y * tiles_x
     coefs = _pack_coefs(setup, ids)
 
-    kernel = functools.partial(
+    pad_h, pad_w = tiles_y * tile_h, tiles_x * tile_w
+
+    def to_tiles(img, fill):
+        img = jnp.pad(
+            img, ((0, pad_h - height), (0, pad_w - width)), constant_values=fill
+        )
+        return (
+            img.reshape(tiles_y, tile_h, tiles_x, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(nt, tile_h, tile_w)
+        )
+
+    base = functools.partial(
         _raster_kernel,
         tile_h=tile_h,
         tile_w=tile_w,
@@ -164,19 +187,32 @@ def rasterize_pallas(
         cap=cap,
         y_origin_static=int(y_origin),
     )
+    tile_spec = pl.BlockSpec(
+        (1, tile_h, tile_w), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, cap, 16), lambda i, counts: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [counts, coefs]
+    if init is not None:
+        in_specs.append(tile_spec)
+        inputs.append(
+            to_tiles(lax.bitcast_convert_type(init.depth, jnp.int32), 0x7F7FFFFF)
+        )
+
+        def kernel(counts_ref, coef_ref, init_ref, cand_out, zkey_out):
+            return base(counts_ref, coef_ref, init_ref, cand_out, zkey_out)
+    else:
+
+        def kernel(counts_ref, coef_ref, cand_out, zkey_out):
+            return base(counts_ref, coef_ref, None, cand_out, zkey_out)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, cap, 16), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[tile_spec, tile_spec],
     )
     cand, zkey = pl.pallas_call(
         kernel,
@@ -188,7 +224,8 @@ def rasterize_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(counts, coefs)
+        interpret=interpret,
+    )(*inputs)
 
     # Recover global tri ids: cand indexes this tile's candidate list.
     tile_of = (
@@ -199,7 +236,7 @@ def rasterize_pallas(
     tri_id = jnp.where(
         cand >= 0, ids[tile_of, jnp.maximum(cand, 0)], -1
     )
-    depth = pltpu.bitcast(jnp.maximum(zkey, 0), jnp.float32)
+    depth = lax.bitcast_convert_type(jnp.maximum(zkey, 0), jnp.float32)
 
     def untile(x):
         img = (

@@ -135,7 +135,9 @@ def quad_uv_lod(uv: jnp.ndarray, tex_h: int, tex_w: int) -> jnp.ndarray:
     dy = (uvq[:, 1] - uvq[:, 0])[:, None, :, :, :]  # (h/2,1,w/2,2,2)
     dx = jnp.broadcast_to(dx, (h // 2, 2, w // 2, 2, 2)).reshape(h - h % 2, w - w % 2, 2)
     dy = jnp.broadcast_to(dy, (h // 2, 2, w // 2, 2, 2)).reshape(h - h % 2, w - w % 2, 2)
-    scale = jnp.asarray([tex_w, tex_h], jnp.float32)
+    scale = jnp.stack(
+        [jnp.asarray(tex_w, jnp.float32), jnp.asarray(tex_h, jnp.float32)]
+    )
     rho = jnp.maximum(
         jnp.linalg.norm(dx * scale, axis=-1), jnp.linalg.norm(dy * scale, axis=-1)
     )

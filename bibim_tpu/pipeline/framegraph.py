@@ -38,6 +38,7 @@ from bibim_tpu.ops.geometry import assemble_scene
 from bibim_tpu.ops.interpolate import corner_indices, interpolate
 from bibim_tpu.ops.lines import rasterize_lines
 from bibim_tpu.ops.raster import VisibilityBuffer, rasterize
+from bibim_tpu.ops.raster_pallas import rasterize_pallas
 from bibim_tpu.ops.shading import shade_pbr
 from bibim_tpu.ops.texture import sample_bilinear
 from bibim_tpu.ops.tonemap import srgb_encode, to_u8, tone_map
@@ -84,6 +85,20 @@ class MaterialTextures(NamedTuple):
     height: jnp.ndarray
 
 
+class MaterialMips(NamedTuple):
+    """Mip-pyramid variant of MaterialTextures: six MipAtlas entries.
+
+    An additive capability over the reference (its samplers have maxLod=0);
+    enables trilinear minification (BASELINE config 2)."""
+
+    albedo: object
+    metallic: object
+    roughness: object
+    ao: object
+    normal: object
+    height: object
+
+
 class OverlayResources(NamedTuple):
     """Static overlay geometry: light-sphere mesh + gizmo mesh."""
 
@@ -109,9 +124,15 @@ class RenderSettings:
     show_gizmo: bool = True
     show_tbn: bool = False
     srgb_output: bool = True
+    raster: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
     tile_h: int = 64
     tile_w: int = 128
     bin_cap: int = 4096  # per-tile triangle capacity (XLA path; worst tile)
+    pallas_tile_h: int = 16
+    pallas_cap: int = 768
+    # Per-batch material indices into a materials tuple (per-draw material
+    # descriptor binding analog, scene.cpp:198-200); None = all material 0.
+    batch_material_ids: tuple | None = None
     gizmo_extent: int = 100  # gGizmo.ViewportExtent (scene.h:14)
     tbn_length: float = 0.05  # tbn.geom LENGTH
 
@@ -121,14 +142,72 @@ def _q16(x: jnp.ndarray, enable: bool) -> jnp.ndarray:
     return x.astype(jnp.float16).astype(jnp.float32) if enable else x
 
 
-def _sample_r(tex, uv):
-    return sample_bilinear(tex, uv)[..., 0:1]
+def dispatch_rasterize(clip, tris, width, height, settings: RenderSettings,
+                       init=None, cap=None):
+    """Choose the raster backend: Pallas kernel on TPU, XLA loop elsewhere."""
+    backend = settings.raster
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return rasterize_pallas(
+            clip, tris, width, height,
+            settings.pallas_tile_h, settings.tile_w,
+            cap or settings.pallas_cap, init=init,
+        )
+    return rasterize(
+        clip, tris, width, height,
+        settings.tile_h, settings.tile_w, cap or settings.bin_cap, init=init,
+    )
 
 
-def materialize_gbuffer(vis, soup, mats: MaterialTextures, enable_normal_map,
-                        quantize: bool):
+def _sample_material(mats, uv):
+    """Sample one material's six maps at pixel-rate UVs.
+
+    MaterialTextures → level-0 bilinear (exact reference parity: samplers
+    have no mip chain). MaterialMips → trilinear with quad-derivative LOD.
+    Returns (albedo(…,3), normal_tap(…,3), mrah(…,4)).
+    """
+    if isinstance(mats, MaterialMips):
+        from bibim_tpu.ops.texture import quad_uv_lod, sample_trilinear
+
+        def tap(atlas):
+            lod = quad_uv_lod(uv, atlas.heights[0], atlas.widths[0])
+            return sample_trilinear(atlas, uv, lod)
+
+        albedo = tap(mats.albedo)[..., :3]
+        nmap = tap(mats.normal)[..., :3]
+        mrah = jnp.concatenate(
+            [
+                tap(mats.metallic)[..., 0:1],
+                tap(mats.roughness)[..., 0:1],
+                tap(mats.ao)[..., 0:1],
+                tap(mats.height)[..., 0:1],
+            ],
+            axis=-1,
+        )
+        return albedo, nmap, mrah
+
+    albedo = sample_bilinear(mats.albedo, uv)[..., :3]
+    nmap = sample_bilinear(mats.normal, uv)[..., :3]
+    mrah = jnp.concatenate(
+        [
+            sample_bilinear(mats.metallic, uv)[..., 0:1],
+            sample_bilinear(mats.roughness, uv)[..., 0:1],
+            sample_bilinear(mats.ao, uv)[..., 0:1],
+            sample_bilinear(mats.height, uv)[..., 0:1],
+        ],
+        axis=-1,
+    )
+    return albedo, nmap, mrah
+
+
+def materialize_gbuffer(vis, soup, mats, enable_normal_map, quantize: bool):
     """gbuffer.frag port: world pos, (optionally normal-mapped) normal,
-    albedo, MRAH, material-index placeholder."""
+    albedo, MRAH, material-index placeholder.
+
+    ``mats`` is one material (MaterialTextures/MaterialMips) or a tuple of
+    them; with a tuple, each pixel selects by the winning triangle's batch
+    material id — the per-draw material descriptor binding analog."""
     corners = corner_indices(vis, soup.tris)
     valid = (vis.tri_id >= 0)[..., None]
 
@@ -139,20 +218,24 @@ def materialize_gbuffer(vis, soup, mats: MaterialTextures, enable_normal_map,
     t = interpolate(vis, corners, soup.tangent)
     b = jnp.cross(n, t)  # B = cross(N, T) (gbuffer.vert:28)
 
-    nmap = sample_bilinear(mats.normal, uv)[..., :3] * 2.0 - 1.0
+    if isinstance(mats, (MaterialTextures, MaterialMips)):
+        albedo, nmap, mrah = _sample_material(mats, uv)
+    else:
+        mat_px = soup.mat_id[corners[..., 0]][..., None]  # (H,W,1)
+        albedo = nmap = mrah = None
+        for mi, m in enumerate(mats):
+            a_i, n_i, r_i = _sample_material(m, uv)
+            if albedo is None:
+                albedo, nmap, mrah = a_i, n_i, r_i
+            else:
+                sel = mat_px == mi
+                albedo = jnp.where(sel, a_i, albedo)
+                nmap = jnp.where(sel, n_i, nmap)
+                mrah = jnp.where(sel, r_i, mrah)
+
+    nmap = nmap * 2.0 - 1.0
     n_mapped = t * nmap[..., 0:1] + b * nmap[..., 1:2] + n * nmap[..., 2:3]
     normal = jnp.where(jnp.asarray(enable_normal_map) != 0, n_mapped, n)
-
-    albedo = sample_bilinear(mats.albedo, uv)[..., :3]
-    mrah = jnp.concatenate(
-        [
-            _sample_r(mats.metallic, uv),
-            _sample_r(mats.roughness, uv),
-            _sample_r(mats.ao, uv),
-            _sample_r(mats.height, uv),
-        ],
-        axis=-1,
-    )
     matindex = jnp.where(
         valid, jnp.asarray([1.0, 0.0, 0.0]), jnp.zeros(3)
     )  # gbuffer.frag:32 placeholder
@@ -188,10 +271,9 @@ def _composite_light_spheres(ldr, vis, lights: Lights, overlay: OverlayResources
         tri_id=jnp.full_like(vis.tri_id, -1), bary=jnp.zeros_like(vis.bary),
         depth=vis.depth,
     )
-    svis = rasterize(
-        clip, tris, settings.width, settings.height,
-        settings.tile_h, settings.tile_w, cap=min(settings.bin_cap, 256),
-        init=init,
+    svis = dispatch_rasterize(
+        clip, tris, settings.width, settings.height, settings,
+        init=init, cap=min(settings.bin_cap, 256),
     )
     tris_per = overlay.sphere_tris.shape[0]
     light_idx = jnp.clip(svis.tri_id // tris_per, 0, num_l - 1)
@@ -220,9 +302,9 @@ def _composite_gizmo(ldr, view, proj, overlay: OverlayResources,
         axis=-1,
     )
     clip = jnp.einsum("vk,mk->vm", p4, vp, precision=jax.lax.Precision.HIGHEST)
-    gvis = rasterize(
-        clip, overlay.gizmo_tris, ext, ext, tile_h=min(settings.tile_h, ext),
-        tile_w=min(settings.tile_w, 128), cap=min(settings.bin_cap, 1024),
+    gvis = dispatch_rasterize(
+        clip, overlay.gizmo_tris, ext, ext, settings,
+        cap=min(settings.bin_cap, 1024),
     )
     corners = corner_indices(gvis, overlay.gizmo_tris)
     n_view = interpolate(
@@ -320,11 +402,11 @@ def render_frame(
     intermediates ('hdr', 'depth', G-buffer planes) for debugging/tests."""
     width, height = settings.width, settings.height
 
-    soup = assemble_scene(scene.batches, view_block.view, view_block.proj)
-    vis = rasterize(
-        soup.clip, soup.tris, width, height,
-        settings.tile_h, settings.tile_w, settings.bin_cap,
+    soup = assemble_scene(
+        scene.batches, view_block.view, view_block.proj,
+        settings.batch_material_ids,
     )
+    vis = dispatch_rasterize(soup.clip, soup.tris, width, height, settings)
 
     if settings.shading == "flat":
         # Unlit/flat-color Lambert in view space (gizmo.frag model) — used by
@@ -387,6 +469,25 @@ def render_frame(
         "tri_id": vis.tri_id,
         "gbuffer": gb,
     }
+
+
+def material_mips_from_set(material_set, index: int) -> MaterialMips:
+    """Like material_textures_from_set but with full mip pyramids packed
+    into flat atlases (trilinear sampling path)."""
+    from bibim_tpu.assets.materials import PBRMapType
+    from bibim_tpu.ops.texture import build_mip_atlas
+
+    def atlas(t):
+        return build_mip_atlas(material_set.get_pbr_map_or_default(index, t))
+
+    return MaterialMips(
+        albedo=atlas(PBRMapType.ALBEDO),
+        metallic=atlas(PBRMapType.METALLIC),
+        roughness=atlas(PBRMapType.ROUGHNESS),
+        ao=atlas(PBRMapType.AO),
+        normal=atlas(PBRMapType.NORMAL),
+        height=atlas(PBRMapType.HEIGHT),
+    )
 
 
 def material_textures_from_set(material_set, index: int) -> MaterialTextures:

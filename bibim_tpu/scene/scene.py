@@ -58,7 +58,9 @@ def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
     model = np.asarray(model, np.float32)
     if model.ndim == 2:
         model = model[None]
-    inv_model = np.asarray(m3.inverse(model), np.float32)
+    # Host-side inverse (numpy): scene construction must not issue eager
+    # device ops — on remote-attached TPUs each eager dispatch is costly.
+    inv_model = np.linalg.inv(model.astype(np.float64)).astype(np.float32)
     colors = mesh.colors if mesh.colors is not None else np.ones_like(mesh.positions)
     return DrawBatch(
         positions=jnp.asarray(mesh.positions),

@@ -48,18 +48,33 @@ def shaderball_lights():
 
 
 def shaderball_instance_matrices(num_instances: int, angle_degrees):
-    """Per-instance model matrices (scene.cpp:178-189), batched.
+    """Per-instance model matrices (scene.cpp:178-189), batched, host-side.
 
     Row i: translate(2i, -1, 2) · rotY(angle) · rotX(-90) · scale(0.01).
-    Works under jit with a traced angle.
+    Computed in numpy — the reference computes these on the CPU every frame
+    and memcpys into a host-coherent buffer (scene.cpp:172-191); the analog
+    here keeps per-frame scene updates off the device (no eager dispatches).
     """
-    i = jnp.arange(num_instances, dtype=jnp.float32)
-    trans = m3.translate(
-        jnp.stack([2.0 * i, jnp.full_like(i, -1.0), jnp.full_like(i, 2.0)], axis=-1)
+    a = np.radians(float(angle_degrees))
+    ca, sa = np.cos(a), np.sin(a)
+    rot_y = np.array(
+        [[ca, 0, -sa, 0], [0, 1, 0, 0], [sa, 0, ca, 0], [0, 0, 0, 1]], np.float64
     )
-    rot = m3.compose(m3.rotate_y(angle_degrees), m3.rotate_x(-90.0), m3.scale(0.01))
-    model = m3.matmul(trans, rot)
-    return model, m3.inverse(model)
+    rot_x_neg90 = np.array(
+        [[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0], [0, 0, 0, 1]], np.float64
+    )
+    rot = rot_y @ rot_x_neg90 * 0.01
+    rot[3, 3] = 1.0
+    model = np.tile(np.eye(4), (num_instances, 1, 1))
+    model[:, :4, :4] = rot
+    model[:, 0, 3] = 2.0 * np.arange(num_instances)
+    model[:, 1, 3] = -1.0
+    model[:, 2, 3] = 2.0
+    inv = np.linalg.inv(model)
+    return (
+        jnp.asarray(model.astype(np.float32)),
+        jnp.asarray(inv.astype(np.float32)),
+    )
 
 
 @dataclass
@@ -73,9 +88,9 @@ class ShaderBallScene(SceneBase):
     _lights: object = field(default=None, repr=False)
 
     def __post_init__(self):
-        plane_model = np.asarray(
-            m3.compose(m3.translate([0.0, -10.0, 0.0]), m3.scale(100.0))
-        )
+        # translate(0,-10,0) · scale(100) (scene.cpp:49-51), host-side.
+        plane_model = np.diag([100.0, 100.0, 100.0, 1.0]).astype(np.float32)
+        plane_model[1, 3] = -10.0
         self._plane = batch_from_mesh(generate_plane_mesh(), plane_model)
         ball_mesh = load_fbx_mesh(get_resource_root().common("ShaderBall.fbx"))
         self._ball = batch_from_mesh(ball_mesh)
