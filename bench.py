@@ -24,6 +24,10 @@ ITERS = 20
 
 
 def main() -> None:
+    from bibim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bibim_tpu import math3d as m3
     from bibim_tpu.assets.materials import create_pbr_material_set
     from bibim_tpu.pipeline import (
@@ -59,16 +63,24 @@ def main() -> None:
             "image"
         ]
 
+    def sync(img):
+        # On tunnel-attached devices block_until_ready may not actually wait;
+        # a tiny dependent readback forces real completion.
+        return np.asarray(img[:1, :1, :1])
+
     for _ in range(WARMUP):
-        step().block_until_ready()
+        sync(step())
 
-    times = []
-    for _ in range(ITERS):
+    # Amortize the sync round-trip over a batch of frames.
+    samples = []
+    for _ in range(4):
         t0 = time.perf_counter()
-        step().block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
+        for _ in range(ITERS):
+            img = step()
+        sync(img)
+        samples.append((time.perf_counter() - t0) / ITERS * 1e3)
 
-    ms = float(np.median(times))
+    ms = float(np.median(samples))
     print(
         json.dumps(
             {

@@ -93,8 +93,21 @@ def create_pbr_material_set(
 ) -> PBRMaterialSet:
     """Scan ``<common_root>/pbr/*`` directories and load all maps concurrently
     (render.cpp:1249-1300). Directories with no recognized maps are kept (the
-    reference keeps e.g. 'empty' as an all-default material)."""
+    reference keeps e.g. 'empty' as an all-default material). Disk-cached."""
+    from bibim_tpu.assets.asset_cache import cached
+
     root = Path(pbr_root) if pbr_root is not None else get_resource_root().common("pbr")
+    sources = sorted(root.glob("*/*.png")) if root.is_dir() else []
+    return cached(
+        f"pbrset{'m' if with_mips else ''}",
+        sources,
+        lambda: _create_pbr_material_set_uncached(root, with_mips),
+    )
+
+
+def _create_pbr_material_set_uncached(
+    root: Path, with_mips: bool = True
+) -> PBRMaterialSet:
     loader = ImageLoader()
     materials: list[PBRMaterial] = []
     sinks: list[tuple[PBRMaterial, PBRMapType]] = []

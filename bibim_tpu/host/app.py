@@ -105,6 +105,10 @@ def default_camera(args) -> FreeLookCamera:
 
 
 def main(argv=None) -> int:
+    from bibim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = build_parser().parse_args(argv)
     width, height = args.size
 

@@ -130,6 +130,11 @@ class RenderSettings:
     bin_cap: int = 4096  # per-tile triangle capacity (XLA path; worst tile)
     pallas_tile_h: int = 16
     pallas_cap: int = 768
+    # Shading executes in this many row bands under lax.scan so pixel-rate
+    # temporaries stay ~frame_size/bands. One giant fused frame allocates
+    # multi-GB of temps and XLA spills buffers to slow memory (S(1)),
+    # making every gather ~500x slower on tunnel-attached TPUs.
+    shade_bands: int = 8
     # Per-batch material indices into a materials tuple (per-draw material
     # descriptor binding analog, scene.cpp:198-200); None = all material 0.
     batch_material_ids: tuple | None = None
@@ -271,9 +276,10 @@ def _composite_light_spheres(ldr, vis, lights: Lights, overlay: OverlayResources
         tri_id=jnp.full_like(vis.tri_id, -1), bary=jnp.zeros_like(vis.bary),
         depth=vis.depth,
     )
+    # Same cap as the main pass so both passes share one compiled kernel
+    # configuration (compilation through the remote tunnel is expensive).
     svis = dispatch_rasterize(
-        clip, tris, settings.width, settings.height, settings,
-        init=init, cap=min(settings.bin_cap, 256),
+        clip, tris, settings.width, settings.height, settings, init=init
     )
     tris_per = overlay.sphere_tris.shape[0]
     light_idx = jnp.clip(svis.tri_id // tris_per, 0, num_l - 1)
@@ -360,9 +366,9 @@ def _composite_tbn(ldr, soup, vis, view_proj, settings: RenderSettings):
     return ldr
 
 
-def shade_visibility(vis, soup, materials, lights, view_block, frame_params,
-                     settings: RenderSettings):
-    """Subpasses 0-3 for one visibility buffer (full frame or one band):
+def _shade_band(vis, soup, materials, lights, view_block, frame_params,
+                settings: RenderSettings):
+    """Subpasses 0-3 for one visibility-buffer band:
     G-buffer materialize → lighting / buffer-viz → HDR quantize → tonemap."""
     gb, valid = materialize_gbuffer(
         vis, soup, materials, view_block.enable_normal_map,
@@ -387,6 +393,43 @@ def shade_visibility(vis, soup, materials, lights, view_block, frame_params,
     hdr = _q16(hdr, settings.quantize_fp16)
     ldr = tone_map(hdr, frame_params.enable_tone_mapping, frame_params.exposure)
     return hdr, ldr, gb
+
+
+def shade_visibility(vis, soup, materials, lights, view_block, frame_params,
+                     settings: RenderSettings):
+    """Banded shading over the visibility buffer (see shade_bands docs)."""
+    height = vis.tri_id.shape[0]
+    bands = max(1, min(settings.shade_bands, height))
+    if height % bands != 0:
+        bands = 1  # odd sizes: single band (tests/tiny frames)
+
+    if bands == 1:
+        return _shade_band(vis, soup, materials, lights, view_block,
+                           frame_params, settings)
+
+    bh = height // bands
+
+    def to_bands(x):
+        return x.reshape((bands, bh) + x.shape[1:])
+
+    xs = VisibilityBuffer(
+        tri_id=to_bands(vis.tri_id),
+        bary=to_bands(vis.bary),
+        depth=to_bands(vis.depth),
+    )
+
+    def band_fn(_, vis_b):
+        hdr_b, ldr_b, gb_b = _shade_band(
+            vis_b, soup, materials, lights, view_block, frame_params, settings
+        )
+        return None, (hdr_b, ldr_b, gb_b)
+
+    _, (hdr, ldr, gb) = jax.lax.scan(band_fn, None, xs)
+
+    def merge(x):
+        return x.reshape((height,) + x.shape[2:])
+
+    return merge(hdr), merge(ldr), {k: merge(v) for k, v in gb.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from bibim_tpu import math3d as m3
+from bibim_tpu import math3d_np
 
 
 @dataclass
@@ -35,7 +35,7 @@ class FreeLookCamera:
         return (r / np.linalg.norm(r)).astype(np.float32)
 
     def get_view_matrix(self) -> np.ndarray:
-        return np.asarray(m3.look_at(self.pos, self.pos + self.get_look()))
+        return math3d_np.look_at(self.pos, self.pos + self.get_look())
 
     # --- interaction (main.cpp:1237-1262) ---
 
