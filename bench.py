@@ -1,11 +1,12 @@
 """Headline benchmark: 1080p ShaderBall PBR frame on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms/frame", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "ms/frame", "vs_baseline": N, ...}
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is < 4 ms/frame (> 500 shaded Mpix/s) at 1080p, so vs_baseline = 4ms / ours
-(>1 means beating the target).
+(>1 means beating the target). Extra keys record the other BASELINE.md
+configs and the per-stage breakdown of the headline config.
 """
 
 from __future__ import annotations
@@ -23,28 +24,48 @@ WARMUP = 3
 ITERS = 20
 
 
-def main() -> None:
-    from bibim_tpu.utils.cache import enable_compilation_cache
+def _sync(x):
+    """Force real completion: tiny dependent readback (block_until_ready is
+    not trusted on tunnel-attached devices)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[:1]))
 
-    enable_compilation_cache()
 
+def _time(fn, *args, iters=ITERS, warmup=WARMUP):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    samples = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / iters * 1e3)
+    return float(np.median(samples))
+
+
+def bench_shaderball(report: dict) -> float:
+    """Config 3 (headline): ShaderBall + pbr materials, GGX, 1080p."""
     from bibim_tpu import math3d as m3
     from bibim_tpu.assets.materials import create_pbr_material_set
     from bibim_tpu.pipeline import (
         FrameParams,
         RenderSettings,
         ViewBlock,
-        material_textures_from_set,
+        make_overlay_resources,
+        material_quads_from_set,
         render_frame,
     )
-    from bibim_tpu.pipeline.framegraph import make_overlay_resources
     from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
 
     scene = ShaderBallScene()
     cam = FreeLookCamera()
-    settings = RenderSettings(width=WIDTH, height=HEIGHT)
-    mats = material_textures_from_set(
-        create_pbr_material_set(), scene.selected_material
+    settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image")
+    mats = jax.device_put(
+        material_quads_from_set(create_pbr_material_set(),
+                                scene.selected_material)
     )
     overlay = make_overlay_resources()
     view_block = ViewBlock(
@@ -59,28 +80,137 @@ def main() -> None:
     data = scene.scene_data()
 
     def step():
-        return render_frame(data, view_block, frame_params, mats, overlay, settings)[
-            "image"
-        ]
+        return render_frame(data, view_block, frame_params, mats, overlay,
+                            settings)["image"]
 
-    def sync(img):
-        # On tunnel-attached devices block_until_ready may not actually wait;
-        # a tiny dependent readback forces real completion.
-        return np.asarray(img[:1, :1, :1])
+    ms = _time(step)
 
-    for _ in range(WARMUP):
-        sync(step())
+    # Stage breakdown (each stage timed standalone; stages overlap less
+    # under the fused full-frame schedule, so the parts can exceed the
+    # whole — they attribute cost, they don't sum to it).
+    import functools
 
-    # Amortize the sync round-trip over a batch of frames.
-    samples = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            img = step()
-        sync(img)
-        samples.append((time.perf_counter() - t0) / ITERS * 1e3)
+    from bibim_tpu.ops import fused
+    from bibim_tpu.ops import texture_quad as tq
+    from bibim_tpu.ops.geometry import assemble_scene
+    from bibim_tpu.ops.raster import triangle_setup
 
-    ms = float(np.median(samples))
+    @jax.jit
+    def geom(batches, view, proj):
+        soup = assemble_scene(batches, view, proj, None)
+        setup = triangle_setup(soup.clip, soup.tris, WIDTH, HEIGHT)
+        rec = fused.build_record_table(
+            setup, soup.tris, soup.uv, soup.normal, soup.tangent,
+            soup.world, soup.color, soup.mat_id,
+        )
+        return fused.raster_fused_pallas(
+            rec, setup, WIDTH, HEIGHT,
+            tile_h=settings.tile_h, tile_w=settings.tile_w,
+            max_candidates=settings.max_candidates,
+        )
+
+    px, _, _ = geom(data.batches, view_block.view, view_block.proj)
+    report["stages"] = {
+        "raster_resolve": round(
+            _time(lambda: geom(data.batches, view_block.view,
+                               view_block.proj), iters=10), 2),
+        "material_sample": round(
+            _time(jax.jit(functools.partial(
+                tq.sample_material, tile_h=settings.tile_h,
+                tile_w=settings.tile_w)), mats, px.uv[0], px.uv[1],
+                iters=10), 2),
+    }
+    return ms
+
+
+def bench_gizmo(report: dict) -> None:
+    """Config 1: gizmo.obj, flat shading, 512×512."""
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera
+    from bibim_tpu.scene.gizmoscene import (
+        GIZMO_CAMERA_DISTANCE, GIZMO_FOV_DEGREES, GizmoScene,
+    )
+
+    scene = GizmoScene()
+    data = scene.scene_data()
+    cam = FreeLookCamera(
+        pos=np.array([0.0, 0.0, -GIZMO_CAMERA_DISTANCE], np.float32)
+    )
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(GIZMO_FOV_DEGREES, 1.0, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(0),
+                     exposure=jnp.float32(1.0))
+    s = RenderSettings(width=512, height=512, shading="flat",
+                       show_lights=False, show_gizmo=False, outputs="image")
+
+    def step():
+        return render_frame(data, vb, fp, None, None, s)["image"]
+
+    report["configs"]["gizmo_flat_512"] = round(_time(step), 2)
+
+
+def bench_instanced(report: dict, n_instances: int = 64) -> None:
+    """Config 4: 64 ShaderBall instances, 1080p."""
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams,
+        RenderSettings,
+        ViewBlock,
+        material_quads_from_set,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene(num_instances=n_instances)
+    cam = FreeLookCamera(pos=np.array([8.0, 6.0, -14.0], np.float32))
+    data = scene.scene_data()
+    mats = jax.device_put(
+        material_quads_from_set(create_pbr_material_set(),
+                                scene.selected_material)
+    )
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
+                       show_gizmo=False, show_lights=False,
+                       max_candidates=512)
+
+    def step():
+        return render_frame(data, vb, fp, mats, None, s)["image"]
+
+    report["configs"][f"shaderball_x{n_instances}_1080p"] = round(
+        _time(step, iters=5), 2)
+
+
+def main() -> None:
+    from bibim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    report: dict = {"configs": {}}
+
+    ms = bench_shaderball(report)
+    try:
+        bench_gizmo(report)
+    except Exception as e:  # pragma: no cover - aux configs must not kill CI
+        report["configs"]["gizmo_flat_512"] = f"error: {e}"
+    try:
+        bench_instanced(report)
+    except Exception as e:  # pragma: no cover
+        report["configs"]["shaderball_x64_1080p"] = f"error: {e}"
+
     print(
         json.dumps(
             {
@@ -90,6 +220,7 @@ def main() -> None:
                 "vs_baseline": round(TARGET_MS / ms, 3),
                 "mpix_per_s": round(WIDTH * HEIGHT / ms / 1e3, 1),
                 "device": str(jax.devices()[0]),
+                **report,
             }
         )
     )

@@ -141,6 +141,35 @@ def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
     return rec * setup.valid.astype(jnp.float32)[:, None]
 
 
+def shift_record_table_y(rec_table: jnp.ndarray, y0) -> jnp.ndarray:
+    """Rebase a record table to band-local pixel rows (multi-chip bands).
+
+    E(px, py_global) = A·px + B·(py_local + y0) + C, so shifting the
+    constant terms (C += B·y0, likewise for the z/w interpolation planes)
+    lets the unmodified kernel rasterize a horizontal band with local row
+    coordinates. ``y0`` may be a traced scalar (shard_map axis index)."""
+    y0 = jnp.asarray(y0, jnp.float32)
+    c_new = rec_table[:, _C : _C + 3] + rec_table[:, _B : _B + 3] * y0
+    cz_new = rec_table[:, _ZC + 2 : _ZC + 3] + (
+        rec_table[:, _ZC + 1 : _ZC + 2] * y0
+    )
+    cw_new = rec_table[:, _WC + 2 : _WC + 3] + (
+        rec_table[:, _WC + 1 : _WC + 2] * y0
+    )
+    return jnp.concatenate(
+        [
+            rec_table[:, :_C],
+            c_new,
+            rec_table[:, _ZC : _ZC + 2],
+            cz_new,
+            rec_table[:, _WC : _WC + 2],
+            cw_new,
+            rec_table[:, _ID:],
+        ],
+        axis=-1,
+    )
+
+
 def bin_pairs(
     setup: TriangleSetup,
     width: int,
@@ -513,11 +542,15 @@ def raster_fused_xla(
     tile_w: int = 128,
     cap: int = 2048,
     init_zkey: jnp.ndarray | None = None,
+    viewport_height: int | None = None,
+    y_origin=0,
 ):
     """XLA fallback with identical outputs (CPU tests / non-TPU backends).
 
     Uses ops.raster.rasterize for the visibility pass, then gathers whole
-    record rows per pixel (pixel-rate gathers are fine on CPU)."""
+    record rows per pixel (pixel-rate gathers are fine on CPU). For band
+    rendering pass the full-frame ``viewport_height`` + traced ``y_origin``
+    and a shift_record_table_y-rebased ``rec_table``."""
     from bibim_tpu.ops.raster import VisibilityBuffer, rasterize
 
     tiles_x = -(-width // tile_w)
@@ -536,7 +569,8 @@ def raster_fused_xla(
         )
 
     vis = rasterize(clip, tris, width, height, tile_h=tile_h,
-                    tile_w=tile_w, cap=cap, init=init)
+                    tile_w=tile_w, cap=cap, init=init,
+                    viewport_height=viewport_height, y_origin=y_origin)
     hit = vis.tri_id >= 0
     rec_px = rec_table[jnp.maximum(vis.tri_id, 0)]  # (H, W, 128)
     rec_px = rec_px * hit.astype(jnp.float32)[..., None]

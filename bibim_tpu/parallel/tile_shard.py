@@ -1,15 +1,23 @@
 """Framebuffer-band sharding over a device mesh (sort-middle rendering).
 
 Each device: replicated geometry → vertex transform → bins/rasterizes only
-its horizontal band of the frame (rasterize(..., viewport_height, y_origin))
-→ shades its band. ``shard_map`` with the image rows sharded over the mesh
-axis; XLA inserts the (single) gather when the host reads the image. Bands
-are independent so there are no halo exchanges (SURVEY.md §5 "distributed
-communication backend").
+its horizontal band of the frame → samples/shades its band → composites
+overlays that intersect the band. ``shard_map`` with image rows sharded
+over the mesh axis; bands are independent, so there are no halo exchanges —
+the only cross-chip data movement is the final row gather when the host
+reads the image (SURVEY.md §5 "distributed communication backend").
 
-Overlay passes (light spheres / gizmo / TBN) are currently composited on the
-full gathered frame by the caller when needed; the heavy work (raster +
-G-buffer + GGX) is what shards.
+Band-local rasterization reuses the *unmodified* fused kernel: the
+per-triangle record table is rebased to band-local row coordinates by
+folding the band origin into the edge/z/w constant terms
+(ops.fused.shift_record_table_y), so the kernel, binning, and resolve are
+byte-identical to the single-chip path. Non-divisible frame heights are
+padded to a whole number of bands (cropped after the gather).
+
+Overlay parity: light spheres continue the band's depth buffer exactly like
+the single-chip pass; the corner gizmo is rendered once (replicated) and
+each band composites its dynamic row slice. TBN line overlays are a
+host-side debug feature and are not sharded.
 """
 
 from __future__ import annotations
@@ -19,20 +27,50 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
+from bibim_tpu import math3d as m3
+from bibim_tpu.ops import fused
 from bibim_tpu.ops.geometry import assemble_scene
-from bibim_tpu.ops.raster import rasterize
-from bibim_tpu.ops.tonemap import srgb_encode, to_u8
+from bibim_tpu.ops.raster import triangle_setup
+from bibim_tpu.ops.shading_planar import apply_normal_map, shade_pbr_planar
+from bibim_tpu.ops.tonemap import srgb_encode, to_u8, tone_map
 from bibim_tpu.pipeline.framegraph import (
     FrameParams,
-    MaterialTextures,
+    OverlayResources,
     RenderSettings,
     ViewBlock,
-    shade_visibility,
+    _render_gizmo,
+    _sample_materials,
+    _scene_record_table,
+    _q16,
 )
 from bibim_tpu.scene.scene import SceneData
+
+
+def _band_raster(rec_band, setup, clip, tris, width, band_h, settings,
+                 y0, cap=None, init_zkey=None, skip_empty=False):
+    """Raster a band: Pallas path uses the y-rebased records directly; the
+    XLA fallback additionally needs the full-frame viewport for its own
+    setup pass."""
+    if settings.raster == "pallas" or (
+        settings.raster == "auto" and jax.default_backend() == "tpu"
+    ):
+        return fused.raster_fused_pallas(
+            rec_band, setup, width, band_h,
+            tile_h=settings.tile_h, tile_w=settings.tile_w,
+            max_candidates=cap or settings.max_candidates,
+            overflow_cap=settings.overflow_cap,
+            span_cap=settings.span_cap,
+            init_zkey=init_zkey, skip_empty=skip_empty,
+        )
+    return fused.raster_fused_xla(
+        rec_band, setup, clip, tris, width, band_h,
+        tile_h=settings.tile_h, tile_w=settings.tile_w,
+        cap=settings.xla_cap, init_zkey=init_zkey,
+        viewport_height=settings.height, y_origin=y0,
+    )
 
 
 def render_frame_sharded(
@@ -40,47 +78,165 @@ def render_frame_sharded(
     scene: SceneData,
     view_block: ViewBlock,
     frame_params: FrameParams,
-    materials: MaterialTextures,
+    materials,
     settings: RenderSettings,
+    overlay: OverlayResources | None = None,
 ):
-    """Render one frame with the framebuffer sharded over ``mesh``.
+    """Render one frame with the framebuffer bands sharded over ``mesh``.
 
     Returns an (H, W, 3) uint8 image whose rows are sharded over the mesh
-    axis (device_get assembles it on the host).
-    """
+    axis (device_get assembles it on the host)."""
     (axis_name,) = mesh.axis_names
     n = mesh.devices.size
-    if settings.height % n != 0:
-        raise ValueError(f"height {settings.height} not divisible by {n} devices")
-    band_h = settings.height // n
+    th = settings.tile_h
+    band_h = -(-settings.height // n)
+    band_h = -(-band_h // th) * th  # whole tiles per band
+    h_pad = band_h * n
+    width = settings.width
+
+    # Replicated gizmo patch: rendered once at ext², padded to the full
+    # (padded) frame so each band can take its dynamic row slice. Channel 3
+    # carries the coverage mask.
+    gz = None
+    if settings.show_gizmo and overlay is not None:
+        ext = settings.gizmo_extent
+        hit_img, rgb = _render_gizmo(view_block.view, view_block.proj,
+                                     overlay, settings)
+        patch = jnp.stack(
+            [rgb[0], rgb[1], rgb[2], hit_img.astype(jnp.float32)], axis=-1
+        )  # (ext, ext, 4)
+        gz = jnp.zeros((h_pad, width, 4), jnp.float32)
+        gz = gz.at[0:ext, width - ext :].set(patch)
+
+    band_settings = settings
+
+    in_specs = [P(), P(), P(), P()]
+    args = [scene, view_block, frame_params, materials]
+    if gz is not None:
+        in_specs.append(P())
+        args.append(gz)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),  # everything replicated
-        out_specs=P(axis_name, None, None),  # image rows sharded
+        in_specs=tuple(in_specs),
+        out_specs=P(axis_name, None, None),
     )
-    def band_fn(scene, view_block, frame_params, materials):
+    def band_fn(scene, view_block, frame_params, materials, *rest):
         k = lax.axis_index(axis_name)
         y0 = (k * band_h).astype(jnp.float32)
 
-        soup = assemble_scene(scene.batches, view_block.view, view_block.proj)
-        vis = rasterize(
-            soup.clip,
-            soup.tris,
-            settings.width,
-            band_h,
-            settings.tile_h,
-            settings.tile_w,
-            settings.bin_cap,
-            viewport_height=settings.height,
-            y_origin=y0,
+        soup = assemble_scene(scene.batches, view_block.view,
+                              view_block.proj, settings.batch_material_ids)
+        setup = triangle_setup(
+            soup.clip, soup.tris, width, settings.height,
+            band_y0=y0, band_height=band_h,
         )
-        _hdr, ldr, _gb = shade_visibility(
-            vis, soup, materials, scene.lights, view_block, frame_params, settings
+        rec = fused.shift_record_table_y(
+            _scene_record_table(soup, setup), y0
         )
-        out = srgb_encode(ldr) if settings.srgb_output else jnp.clip(ldr, 0.0, 1.0)
-        return to_u8(out)
+        px, zkey, _diag = _band_raster(
+            rec, setup, soup.clip, soup.tris, width, band_h,
+            band_settings, y0,
+        )
+        valid = px.tri_id >= 0
 
-    fn = jax.jit(band_fn)
-    return fn(scene, view_block, frame_params, materials)
+        slots = _sample_materials(materials, px, _band_view(band_settings,
+                                                            band_h))
+        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+        normal = apply_normal_map(px.normal, px.tangent, nmap,
+                                  view_block.enable_normal_map)
+        quant = settings.quantize_fp16 and settings.deferred
+
+        def masked(ch):
+            return jnp.where(valid, ch, 0.0)
+
+        g_pos = _q16(tuple(masked(c) for c in px.world), quant)
+        g_nrm = _q16(tuple(masked(c) for c in normal), quant)
+        g_alb = _q16(tuple(masked(c) for c in albedo), quant)
+        g_m = _q16(masked(slots["metallic"]), quant)
+        g_r = _q16(masked(slots["roughness"]), quant)
+        g_ao = _q16(masked(slots["ao"]), quant)
+
+        hdr3 = shade_pbr_planar(g_pos, g_nrm, g_alb, g_m, g_r, g_ao,
+                                scene.lights, view_block.view_pos)
+        hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+        hdr3 = _q16(hdr3, settings.quantize_fp16)
+        ldr3 = tuple(
+            tone_map(c, frame_params.enable_tone_mapping,
+                     frame_params.exposure)
+            for c in hdr3
+        )
+
+        if settings.show_lights and overlay is not None \
+                and scene.lights.num_lights > 0:
+            ldr3 = _band_light_spheres(
+                ldr3, zkey, scene.lights, overlay, view_block, band_settings,
+                band_h, y0,
+            )
+
+        tiles_x = band_settings.tiles_x
+        imgs = [
+            fused.untile(c, width, band_h, tiles_x, th, settings.tile_w)
+            for c in ldr3
+        ]
+        if rest:
+            gz_band = lax.dynamic_slice(
+                rest[0], (k * band_h, 0, 0), (band_h, width, 4)
+            )
+            gz_hit = gz_band[..., 3:4] > 0.5
+            stacked = jnp.stack(imgs, axis=-1)
+            stacked = jnp.where(gz_hit, gz_band[..., :3], stacked)
+            imgs = [stacked[..., c] for c in range(3)]
+
+        if settings.srgb_output:
+            imgs = [srgb_encode(c) for c in imgs]
+        else:
+            imgs = [jnp.clip(c, 0.0, 1.0) for c in imgs]
+        return to_u8(jnp.stack(imgs, axis=-1))
+
+    out = jax.jit(band_fn)(*args)
+    return out[: settings.height]
+
+
+def _band_view(settings: RenderSettings, band_h: int) -> RenderSettings:
+    """Settings with the band's height (for helpers that derive tiles_y)."""
+    import dataclasses
+
+    return dataclasses.replace(settings, height=band_h)
+
+
+def _band_light_spheres(ldr3, zkey, lights, overlay, view_block,
+                        settings: RenderSettings, band_h: int, y0):
+    """Band-local light-sphere pass (light.vert/frag): same construction as
+    the single-chip overlay, rebased to band rows."""
+    view_proj = m3.matmul(view_block.proj, view_block.view)
+    num_l = lights.num_lights
+    vs = overlay.sphere_positions
+    nv = vs.shape[0]
+    world = (vs[None, :, :] + lights.pos[:, None, :]).reshape(-1, 3)
+    p4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
+    clip = jnp.einsum("vk,mk->vm", p4, view_proj,
+                      precision=jax.lax.Precision.HIGHEST)
+    offs = (jnp.arange(num_l, dtype=jnp.int32) * nv)[:, None, None]
+    tris = (overlay.sphere_tris[None] + offs).reshape(-1, 3)
+    colors = jnp.broadcast_to(
+        lights.color[:, None, :], (num_l, nv, 3)
+    ).reshape(-1, 3)
+
+    setup = triangle_setup(clip, tris, settings.width, settings.height,
+                           band_y0=y0, band_height=band_h)
+    zeros2 = jnp.zeros((world.shape[0], 2), jnp.float32)
+    zeros3 = jnp.zeros_like(world)
+    rec = fused.shift_record_table_y(
+        fused.build_record_table(setup, tris, zeros2, zeros3, zeros3,
+                                 world, colors),
+        y0,
+    )
+    px, _, _ = _band_raster(
+        rec, setup, clip, tris, settings.width, band_h, settings, y0,
+        cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
+    )
+    hit = px.tri_id >= 0
+    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3))

@@ -1,25 +1,35 @@
 """The frame graph: one jit-compiled function from scene pytree to image.
 
-Vulkan's five-subpass deferred render pass (main.cpp:415-675) — GBufferWrite →
-Lighting → ForwardLighting → HDR → Overlay — collapses into one traced
+Vulkan's five-subpass deferred render pass (main.cpp:415-675) — GBufferWrite
+→ Lighting → ForwardLighting → HDR → Overlay — collapses into one traced
 function; XLA's dependency scheduling replaces subpass dependencies and
-barriers. Stage mapping:
+barriers. Stage mapping (round-2 fused architecture):
 
-1. vertex transforms (gbuffer.vert)          → ops.geometry.assemble_scene
-2. rasterizer + depth test                   → ops.raster.rasterize
-3. G-buffer materialization (gbuffer.frag)   → gathers + texture sampling,
-   with optional RGBA16F quantization emulating the reference's attachments
-   (render.h:93-94)
-4. GGX lighting (brdf.frag) / buffer-viz     → ops.shading.shade_pbr
-5. tone mapping (hdr_tone_mapping.frag)      → ops.tonemap
-6. overlays (subpass 4, main.cpp:128-172):   TBN lines, light spheres,
-   corner gizmo — extra raster/composite passes on the LDR image
-7. sRGB encode (SRGB swapchain store)        → u8 framebuffer
+1. vertex transforms (gbuffer.vert)       → ops.geometry.assemble_scene
+2. raster + depth + attribute interp      → ops.fused (one Pallas kernel:
+   (fixed-function raster + vertex→frag     per-tile DMA'd candidate
+   interpolation)                           records, one-hot MXU resolve)
+3. material sampling (gbuffer.frag taps)  → ops.texture_quad (one gather
+                                            per pixel per size-group;
+                                            MXU one-hot for small maps)
+4. G-buffer materialization + GGX         → planar fp16 quantization (the
+   lighting (brdf.frag) / buffer-viz        RGBA16F attachment emulation)
+                                            + ops.shading_planar
+5. tone mapping (hdr_tone_mapping.frag)   → ops.tonemap (planar)
+6. overlays (subpass 4, main.cpp:128-172) → TBN lines, light spheres
+   (fused raster continuing the depth       buffer), corner gizmo
+7. sRGB encode (SRGB swapchain store)     → u8 framebuffer
 
-Everything per-frame-dynamic (camera, lights, toggles, instance matrices) is
-traced; everything structural (image size, light count, scene shapes,
-visualization mode) is static and recompiles on change, exactly like
-rebuilding Vulkan pipelines on resize (onWindowResize, main.cpp:1042-1070).
+Every pixel-rate quantity lives as a *planar* (NT, NPX) array (one array
+per channel, NPX = tile_h·tile_w): on TPU, (H, W, C) layouts put C in the
+128-lane minor dim and waste 125/128 lanes (measured 4-20× slowdowns in
+round 1). Images are untiled to (H, W) only for overlay composition and
+final output.
+
+Everything per-frame-dynamic (camera, lights, toggles, instance matrices)
+is traced; everything structural (image size, scene shapes, visualization
+mode) is static and recompiles on change, exactly like rebuilding Vulkan
+pipelines on resize (onWindowResize, main.cpp:1042-1070).
 """
 
 from __future__ import annotations
@@ -34,16 +44,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from bibim_tpu import math3d as m3
+from bibim_tpu.ops import fused
+from bibim_tpu.ops import texture_quad as tq
 from bibim_tpu.ops.geometry import assemble_scene
-from bibim_tpu.ops.interpolate import corner_indices, interpolate
 from bibim_tpu.ops.lines import rasterize_lines
-from bibim_tpu.ops.raster import VisibilityBuffer, rasterize
-from bibim_tpu.ops.raster_pallas import rasterize_pallas
-from bibim_tpu.ops.shading import shade_pbr
-from bibim_tpu.ops.texture import sample_bilinear
+from bibim_tpu.ops.raster import triangle_setup
+from bibim_tpu.ops.shading_planar import (
+    apply_normal_map,
+    normalize3,
+    shade_flat_planar,
+    shade_pbr_planar,
+)
 from bibim_tpu.ops.tonemap import srgb_encode, to_u8, tone_map
 from bibim_tpu.scene.lights import Lights
-from bibim_tpu.scene.scene import DrawBatch, SceneData
+from bibim_tpu.scene.scene import SceneData
 
 
 class GBufferViz(IntEnum):
@@ -74,8 +88,9 @@ class FrameParams(NamedTuple):
 
 
 class MaterialTextures(NamedTuple):
-    """One material's six maps (PerMaterial descriptor set,
-    standard_sets.glsl SET_MATERIAL). (H,W,4) uint8 each; sizes static."""
+    """One material's six level-0 maps (PerMaterial descriptor set,
+    standard_sets.glsl SET_MATERIAL). (H,W,4) uint8 each; legacy image-space
+    sampling path — prefer MaterialQuads (material_quads_from_set) on TPU."""
 
     albedo: jnp.ndarray
     metallic: jnp.ndarray
@@ -117,7 +132,7 @@ class RenderSettings:
     width: int = 1280
     height: int = 720
     deferred: bool = True  # RenderPassType (scene.h:64)
-    shading: str = "pbr"  # "pbr" (brdf.frag) or "flat" (gizmo.frag-style Lambert)
+    shading: str = "pbr"  # "pbr" (brdf.frag) or "flat" (gizmo.frag Lambert)
     gbuffer_viz: GBufferViz = GBufferViz.RENDERED_SCENE
     quantize_fp16: bool = True  # emulate RGBA16F G-buffer/HDR attachments
     show_lights: bool = True
@@ -125,175 +140,196 @@ class RenderSettings:
     show_tbn: bool = False
     srgb_output: bool = True
     raster: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
-    tile_h: int = 64
-    tile_w: int = 128
-    bin_cap: int = 4096  # per-tile triangle capacity (XLA path; worst tile)
-    pallas_tile_h: int = 16
-    pallas_cap: int = 768
-    # Shading executes in this many row bands under lax.scan so pixel-rate
-    # temporaries stay ~frame_size/bands. One giant fused frame allocates
-    # multi-GB of temps and XLA spills buffers to slow memory (S(1)),
-    # making every gather ~500x slower on tunnel-attached TPUs.
-    shade_bands: int = 8
+    tile_h: int = 8  # Pallas screen-tile rows (multiple of 8)
+    tile_w: int = 128  # must be 128 (VPU lane width)
+    max_candidates: int = 320  # per-tile candidate capacity (main pass)
+    overlay_candidates: int = 64  # per-tile capacity for overlay passes
+    overflow_cap: int = 64  # shared big-triangle list capacity
+    span_cap: int = 16  # max tiles a binned triangle may span
+    xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
     # Per-batch material indices into a materials tuple (per-draw material
     # descriptor binding analog, scene.cpp:198-200); None = all material 0.
     batch_material_ids: tuple | None = None
     gizmo_extent: int = 100  # gGizmo.ViewportExtent (scene.h:14)
     tbn_length: float = 0.05  # tbn.geom LENGTH
+    outputs: str = "full"  # "full" (debug dict) | "image" (final u8 only)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
 
 
-def _q16(x: jnp.ndarray, enable: bool) -> jnp.ndarray:
-    """RGBA16F attachment round-trip (render.h:93-94)."""
-    return x.astype(jnp.float16).astype(jnp.float32) if enable else x
+def _use_pallas(settings: RenderSettings) -> bool:
+    if settings.raster == "auto":
+        return jax.default_backend() == "tpu"
+    return settings.raster == "pallas"
 
 
-def dispatch_rasterize(clip, tris, width, height, settings: RenderSettings,
-                       init=None, cap=None):
-    """Choose the raster backend: Pallas kernel on TPU, XLA loop elsewhere."""
-    backend = settings.raster
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        return rasterize_pallas(
-            clip, tris, width, height,
-            settings.pallas_tile_h, settings.tile_w,
-            cap or settings.pallas_cap, init=init,
+def _q16(x, enable: bool):
+    """RGBA16F attachment round-trip (render.h:93-94), planar-friendly."""
+    if not enable:
+        return x
+    if isinstance(x, tuple):
+        return tuple(_q16(c, enable) for c in x)
+    return x.astype(jnp.float16).astype(jnp.float32)
+
+
+def _raster(rec_table, setup, clip, tris, width, height,
+            settings: RenderSettings, cap=None, init_zkey=None,
+            skip_empty=False):
+    if _use_pallas(settings):
+        return fused.raster_fused_pallas(
+            rec_table, setup, width, height,
+            tile_h=settings.tile_h, tile_w=settings.tile_w,
+            max_candidates=cap or settings.max_candidates,
+            overflow_cap=settings.overflow_cap,
+            span_cap=settings.span_cap,
+            init_zkey=init_zkey, skip_empty=skip_empty,
         )
-    return rasterize(
-        clip, tris, width, height,
-        settings.tile_h, settings.tile_w, cap or settings.bin_cap, init=init,
+    return fused.raster_fused_xla(
+        rec_table, setup, clip, tris, width, height,
+        tile_h=settings.tile_h, tile_w=settings.tile_w,
+        cap=settings.xla_cap, init_zkey=init_zkey,
     )
 
 
-def _sample_material(mats, uv):
-    """Sample one material's six maps at pixel-rate UVs.
+def _sample_one_material(mats, px: fused.FusedPixels,
+                         settings: RenderSettings) -> dict:
+    """Sample one material binding at the fused pixels' uv → slot planes.
 
-    MaterialTextures → level-0 bilinear (exact reference parity: samplers
-    have no mip chain). MaterialMips → trilinear with quad-derivative LOD.
-    Returns (albedo(…,3), normal_tap(…,3), mrah(…,4)).
+    MaterialQuads (tuple of QuadTable): planar fast path. MaterialTextures /
+    MaterialMips: legacy image-space sampling (bilinear / trilinear) kept
+    for the additive mip path (BASELINE config 2) and oracle parity tests.
     """
-    if isinstance(mats, MaterialMips):
-        from bibim_tpu.ops.texture import quad_uv_lod, sample_trilinear
+    u, v = px.uv
+    if isinstance(mats, tuple) and mats and isinstance(mats[0], tq.QuadTable):
+        return tq.sample_material(
+            mats, u, v, settings.tile_h, settings.tile_w,
+            use_pallas=_use_pallas(settings),
+        )
 
+    # Legacy paths work on an (H, W, 2) uv image.
+    from bibim_tpu.ops.texture import (
+        quad_uv_lod, sample_bilinear, sample_trilinear,
+    )
+
+    w, h = settings.width, settings.height
+    ui = _untile(u, settings)
+    vi = _untile(v, settings)
+    uv = jnp.stack([ui, vi], axis=-1)
+
+    if isinstance(mats, MaterialMips):
         def tap(atlas):
             lod = quad_uv_lod(uv, atlas.heights[0], atlas.widths[0])
             return sample_trilinear(atlas, uv, lod)
-
-        albedo = tap(mats.albedo)[..., :3]
-        nmap = tap(mats.normal)[..., :3]
-        mrah = jnp.concatenate(
-            [
-                tap(mats.metallic)[..., 0:1],
-                tap(mats.roughness)[..., 0:1],
-                tap(mats.ao)[..., 0:1],
-                tap(mats.height)[..., 0:1],
-            ],
-            axis=-1,
-        )
-        return albedo, nmap, mrah
-
-    albedo = sample_bilinear(mats.albedo, uv)[..., :3]
-    nmap = sample_bilinear(mats.normal, uv)[..., :3]
-    mrah = jnp.concatenate(
-        [
-            sample_bilinear(mats.metallic, uv)[..., 0:1],
-            sample_bilinear(mats.roughness, uv)[..., 0:1],
-            sample_bilinear(mats.ao, uv)[..., 0:1],
-            sample_bilinear(mats.height, uv)[..., 0:1],
-        ],
-        axis=-1,
-    )
-    return albedo, nmap, mrah
-
-
-def materialize_gbuffer(vis, soup, mats, enable_normal_map, quantize: bool):
-    """gbuffer.frag port: world pos, (optionally normal-mapped) normal,
-    albedo, MRAH, material-index placeholder.
-
-    ``mats`` is one material (MaterialTextures/MaterialMips) or a tuple of
-    them; with a tuple, each pixel selects by the winning triangle's batch
-    material id — the per-draw material descriptor binding analog."""
-    corners = corner_indices(vis, soup.tris)
-    valid = (vis.tri_id >= 0)[..., None]
-
-    pos_world = interpolate(vis, corners, soup.world)
-    uv = interpolate(vis, corners, soup.uv)
-
-    n = interpolate(vis, corners, soup.normal)
-    t = interpolate(vis, corners, soup.tangent)
-    b = jnp.cross(n, t)  # B = cross(N, T) (gbuffer.vert:28)
-
-    if isinstance(mats, (MaterialTextures, MaterialMips)):
-        albedo, nmap, mrah = _sample_material(mats, uv)
     else:
-        mat_px = soup.mat_id[corners[..., 0]][..., None]  # (H,W,1)
-        albedo = nmap = mrah = None
-        for mi, m in enumerate(mats):
-            a_i, n_i, r_i = _sample_material(m, uv)
-            if albedo is None:
-                albedo, nmap, mrah = a_i, n_i, r_i
-            else:
-                sel = mat_px == mi
-                albedo = jnp.where(sel, a_i, albedo)
-                nmap = jnp.where(sel, n_i, nmap)
-                mrah = jnp.where(sel, r_i, mrah)
+        def tap(tex):
+            return sample_bilinear(tex, uv)
 
-    nmap = nmap * 2.0 - 1.0
-    n_mapped = t * nmap[..., 0:1] + b * nmap[..., 1:2] + n * nmap[..., 2:3]
-    normal = jnp.where(jnp.asarray(enable_normal_map) != 0, n_mapped, n)
-    matindex = jnp.where(
-        valid, jnp.asarray([1.0, 0.0, 0.0]), jnp.zeros(3)
-    )  # gbuffer.frag:32 placeholder
-
-    # Clear color is 0 (recordCommand clear values, main.cpp:82-86).
-    gb = {
-        "position": _q16(jnp.where(valid, pos_world, 0.0), quantize),
-        "normal": _q16(jnp.where(valid, normal, 0.0), quantize),
-        "albedo": _q16(jnp.where(valid, albedo, 0.0), quantize),
-        "mrah": _q16(jnp.where(valid, mrah, 0.0), quantize),
-        "matindex": _q16(matindex, quantize),
+    alb = tap(mats.albedo)
+    nrm = tap(mats.normal)
+    scalars = {
+        "metallic": tap(mats.metallic)[..., 0],
+        "roughness": tap(mats.roughness)[..., 0],
+        "ao": tap(mats.ao)[..., 0],
+        "height": tap(mats.height)[..., 0],
     }
-    return gb, valid
+    out = {
+        "alb_r": alb[..., 0], "alb_g": alb[..., 1], "alb_b": alb[..., 2],
+        "nrm_x": nrm[..., 0], "nrm_y": nrm[..., 1], "nrm_z": nrm[..., 2],
+        **scalars,
+    }
+    return {k: _tile(img, settings) for k, img in out.items()}
 
 
-def _composite_light_spheres(ldr, vis, lights: Lights, overlay: OverlayResources,
-                             view_proj, settings: RenderSettings):
+def _sample_materials(materials, px: fused.FusedPixels,
+                      settings: RenderSettings) -> dict:
+    """Material routing: single binding, or per-pixel select over a tuple of
+    bindings by the winning triangle's batch material id (the per-draw
+    material descriptor binding analog, scene.cpp:198-200)."""
+    multi = (
+        isinstance(materials, (tuple, list))
+        and materials
+        and not isinstance(materials[0], tq.QuadTable)
+        and not isinstance(materials, (MaterialTextures, MaterialMips))
+    )
+    if not multi:
+        return _sample_one_material(materials, px, settings)
+
+    out = None
+    for mi, mat in enumerate(materials):
+        s = _sample_one_material(mat, px, settings)
+        if out is None:
+            out = s
+        else:
+            sel = px.mat_id == mi
+            out = {k: jnp.where(sel, s[k], out[k]) for k in out}
+    return out
+
+
+def _untile(plane, settings: RenderSettings):
+    return fused.untile(plane, settings.width, settings.height,
+                        settings.tiles_x, settings.tile_h, settings.tile_w)
+
+
+def _tile(img, settings: RenderSettings, fill=0.0):
+    return fused.tile_plane(img, settings.tiles_x, settings.tiles_y,
+                            settings.tile_h, settings.tile_w, fill)
+
+
+def _scene_record_table(soup, setup):
+    return fused.build_record_table(
+        setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
+        soup.color, soup.mat_id,
+    )
+
+
+def _composite_light_spheres(ldr3, zkey, lights: Lights,
+                             overlay: OverlayResources, view_proj,
+                             settings: RenderSettings):
     """Light-source spheres (light.vert/frag + main.cpp:138-148): instanced
-    sphere at each light position, flat light color, depth-tested against the
-    scene, drawn after tone mapping."""
+    sphere at each light position, flat light color, depth-tested against
+    the scene depth (continued via init_zkey), drawn after tone mapping."""
     num_l = lights.num_lights
     vs = overlay.sphere_positions  # (V,3)
-    # modelMat = translate(light.pos) (light.vert:11-12)
-    world = vs[None, :, :] + lights.pos[:, None, :]  # (L,V,3)
-    p4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
-    clip = jnp.einsum("lvk,mk->lvm", p4, view_proj,
-                      precision=jax.lax.Precision.HIGHEST).reshape(-1, 4)
     nv = vs.shape[0]
+    # modelMat = translate(light.pos) (light.vert:11-12)
+    world = (vs[None, :, :] + lights.pos[:, None, :]).reshape(-1, 3)
+    p4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
+    clip = jnp.einsum("vk,mk->vm", p4, view_proj,
+                      precision=jax.lax.Precision.HIGHEST)
     offs = (jnp.arange(num_l, dtype=jnp.int32) * nv)[:, None, None]
     tris = (overlay.sphere_tris[None] + offs).reshape(-1, 3)
+    colors = jnp.broadcast_to(
+        lights.color[:, None, :], (num_l, nv, 3)
+    ).reshape(-1, 3)
 
-    init = VisibilityBuffer(
-        tri_id=jnp.full_like(vis.tri_id, -1), bary=jnp.zeros_like(vis.bary),
-        depth=vis.depth,
+    setup = triangle_setup(clip, tris, settings.width, settings.height)
+    zeros2 = jnp.zeros((world.shape[0], 2), jnp.float32)
+    zeros3 = jnp.zeros_like(world)
+    rec = fused.build_record_table(
+        setup, tris, zeros2, zeros3, zeros3, world, colors,
     )
-    # Same cap as the main pass so both passes share one compiled kernel
-    # configuration (compilation through the remote tunnel is expensive).
-    svis = dispatch_rasterize(
-        clip, tris, settings.width, settings.height, settings, init=init
+    px, _, _ = _raster(
+        rec, setup, clip, tris, settings.width, settings.height, settings,
+        cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
     )
-    tris_per = overlay.sphere_tris.shape[0]
-    light_idx = jnp.clip(svis.tri_id // tris_per, 0, num_l - 1)
-    color = lights.color[light_idx]  # (H,W,3)
-    hit = (svis.tri_id >= 0)[..., None]
-    return jnp.where(hit, color, ldr), svis.depth
+    hit = px.tri_id >= 0
+    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3))
 
 
-def _composite_gizmo(ldr, view, proj, overlay: OverlayResources,
-                     settings: RenderSettings):
-    """Orientation gizmo (gizmo.vert/frag): 100×100 top-right viewport with
-    its own cleared depth (main.cpp:150-171), Lambert-lit in view space."""
+def _render_gizmo(view, proj, overlay: OverlayResources,
+                  settings: RenderSettings):
+    """Render the orientation gizmo into its own ``gizmo_extent``² viewport
+    with cleared depth (main.cpp:150-171), Lambert-lit in view space
+    (gizmo.vert/frag). Returns (hit (ext,ext) bool image, rgb (ext,ext)
+    image planes)."""
     ext = settings.gizmo_extent
-    # gizmo.vert:12-27 — keep main view rotation; camera 27 units back; 30° fov.
+    # gizmo.vert:12-27 — keep main view rotation; camera 27 back; 30° fov.
     rot = view[:3, :3]
     look = view[2, :3]
     view_pos = look * -27.0
@@ -304,46 +340,68 @@ def _composite_gizmo(ldr, view, proj, overlay: OverlayResources,
     vp = m3.matmul(gz_proj, gz_view)
 
     p4 = jnp.concatenate(
-        [overlay.gizmo_positions, jnp.ones_like(overlay.gizmo_positions[..., :1])],
-        axis=-1,
+        [overlay.gizmo_positions,
+         jnp.ones_like(overlay.gizmo_positions[..., :1])], axis=-1,
     )
-    clip = jnp.einsum("vk,mk->vm", p4, vp, precision=jax.lax.Precision.HIGHEST)
-    gvis = dispatch_rasterize(
-        clip, overlay.gizmo_tris, ext, ext, settings,
-        cap=min(settings.bin_cap, 1024),
+    clip = jnp.einsum("vk,mk->vm", p4, vp,
+                      precision=jax.lax.Precision.HIGHEST)
+    gz_settings = RenderSettings(
+        width=ext, height=ext, raster=settings.raster,
+        tile_h=settings.tile_h, tile_w=settings.tile_w,
+        max_candidates=settings.overlay_candidates,
+        overflow_cap=settings.overflow_cap, span_cap=settings.span_cap,
+        xla_cap=min(settings.xla_cap, 512),
     )
-    corners = corner_indices(gvis, overlay.gizmo_tris)
-    n_view = interpolate(
-        gvis, corners,
-        jnp.einsum("vk,mk->vm", overlay.gizmo_normals, rot,
-                   precision=jax.lax.Precision.HIGHEST),
+    setup = triangle_setup(clip, overlay.gizmo_tris, ext, ext)
+    zeros2 = jnp.zeros((clip.shape[0], 2), jnp.float32)
+    rec = fused.build_record_table(
+        setup, overlay.gizmo_tris, zeros2, overlay.gizmo_normals,
+        jnp.zeros_like(overlay.gizmo_normals),
+        overlay.gizmo_positions, overlay.gizmo_colors,
     )
-    col = interpolate(gvis, corners, overlay.gizmo_colors)
-    # gizmo.frag: L = -normalize(vec3(0,0,1)); diff = max(dot(L,N),0)
-    n_unit = n_view / jnp.maximum(jnp.linalg.norm(n_view, axis=-1, keepdims=True), 1e-20)
-    diff = jnp.maximum(-n_unit[..., 2:3], 0.0)
-    gz_rgb = col * diff
-    hit = (gvis.tri_id >= 0)[..., None]
+    px, _, _ = _raster(rec, setup, clip, overlay.gizmo_tris, ext, ext,
+                       gz_settings, cap=settings.overlay_candidates,
+                       skip_empty=True)
+    gz_rgb = shade_flat_planar(px.color, px.normal, rot)
+    hit = px.tri_id >= 0
 
+    def region(c):
+        return fused.untile(c, ext, ext, gz_settings.tiles_x,
+                            gz_settings.tile_h, gz_settings.tile_w)
+
+    return region(hit), tuple(region(c) for c in gz_rgb)
+
+
+def _composite_gizmo(ldr3_img, view, proj, overlay: OverlayResources,
+                     settings: RenderSettings):
+    """Composite the gizmo into the top-right corner of (H, W) LDR planes."""
+    ext = settings.gizmo_extent
+    hit_img, rgb = _render_gizmo(view, proj, overlay, settings)
     x0 = settings.width - ext
-    region = ldr[0:ext, x0 : settings.width]
-    region = jnp.where(hit, gz_rgb, region)
-    return ldr.at[0:ext, x0 : settings.width].set(region)
+    out = []
+    for c in range(3):
+        img = ldr3_img[c]
+        patch = jnp.where(hit_img, rgb[c], img[0:ext, x0:])
+        out.append(img.at[0:ext, x0:].set(patch))
+    return tuple(out)
 
 
-def _composite_tbn(ldr, soup, vis, view_proj, settings: RenderSettings):
+def _composite_tbn(ldr3_img, soup, depth_img, view_proj,
+                   settings: RenderSettings):
     """TBN visualization (tbn.vert/geom/frag): per-face centroid→T/B/N
     segments in world space, R/G/B, depth-tested, no depth write."""
     tri_world = soup.world[soup.tris]  # (T,3,3)
-    centroid = tri_world.mean(axis=1)  # (T,3)
+    centroid = tri_world.mean(axis=1)
 
     def face_avg(attr):
-        a = attr[soup.tris]  # (T,3,3)
-        v = a.mean(axis=1)
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+        a = attr[soup.tris]
+        vv = a.mean(axis=1)
+        return vv / jnp.maximum(jnp.linalg.norm(vv, axis=-1, keepdims=True),
+                                1e-20)
 
     ends = {
-        (1.0, 0.0, 0.0): centroid + face_avg(soup.tangent) * settings.tbn_length,
+        (1.0, 0.0, 0.0): centroid
+        + face_avg(soup.tangent) * settings.tbn_length,
         (0.0, 1.0, 0.0): centroid
         + face_avg(jnp.cross(soup.normal, soup.tangent)) * settings.tbn_length,
         (0.0, 0.0, 1.0): centroid + face_avg(soup.normal) * settings.tbn_length,
@@ -354,82 +412,15 @@ def _composite_tbn(ldr, soup, vis, view_proj, settings: RenderSettings):
         return jnp.einsum("vk,mk->vm", p4, view_proj,
                           precision=jax.lax.Precision.HIGHEST)
 
+    ldr = jnp.stack(ldr3_img, axis=-1)
     c_clip = project(centroid)
     for color, end in ends.items():
         ldr = rasterize_lines(
-            c_clip,
-            project(end),
+            c_clip, project(end),
             jnp.broadcast_to(jnp.asarray(color), centroid.shape),
-            vis.depth,
-            ldr,
+            depth_img, ldr,
         )
-    return ldr
-
-
-def _shade_band(vis, soup, materials, lights, view_block, frame_params,
-                settings: RenderSettings):
-    """Subpasses 0-3 for one visibility-buffer band:
-    G-buffer materialize → lighting / buffer-viz → HDR quantize → tonemap."""
-    gb, valid = materialize_gbuffer(
-        vis, soup, materials, view_block.enable_normal_map,
-        settings.quantize_fp16 and settings.deferred,
-    )
-
-    if settings.deferred and settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
-        # buffer_visualize.frag: raw G-buffer rgb into the HDR target.
-        plane = [gb["position"], gb["normal"], gb["albedo"], gb["mrah"][..., :3],
-                 gb["matindex"]][int(settings.gbuffer_viz)]
-        hdr = plane[..., :3]
-    else:
-        shaded = shade_pbr(
-            gb["position"], gb["normal"], gb["albedo"],
-            gb["mrah"][..., 0:1], gb["mrah"][..., 1:2], gb["mrah"][..., 2:3],
-            lights, view_block.view_pos,
-        )
-        # Background: lighting runs on cleared G-buffer in the reference;
-        # masked here → clear color black (see SURVEY §7 conventions).
-        hdr = jnp.where(valid, shaded, 0.0)
-
-    hdr = _q16(hdr, settings.quantize_fp16)
-    ldr = tone_map(hdr, frame_params.enable_tone_mapping, frame_params.exposure)
-    return hdr, ldr, gb
-
-
-def shade_visibility(vis, soup, materials, lights, view_block, frame_params,
-                     settings: RenderSettings):
-    """Banded shading over the visibility buffer (see shade_bands docs)."""
-    height = vis.tri_id.shape[0]
-    bands = max(1, min(settings.shade_bands, height))
-    if height % bands != 0:
-        bands = 1  # odd sizes: single band (tests/tiny frames)
-
-    if bands == 1:
-        return _shade_band(vis, soup, materials, lights, view_block,
-                           frame_params, settings)
-
-    bh = height // bands
-
-    def to_bands(x):
-        return x.reshape((bands, bh) + x.shape[1:])
-
-    xs = VisibilityBuffer(
-        tri_id=to_bands(vis.tri_id),
-        bary=to_bands(vis.bary),
-        depth=to_bands(vis.depth),
-    )
-
-    def band_fn(_, vis_b):
-        hdr_b, ldr_b, gb_b = _shade_band(
-            vis_b, soup, materials, lights, view_block, frame_params, settings
-        )
-        return None, (hdr_b, ldr_b, gb_b)
-
-    _, (hdr, ldr, gb) = jax.lax.scan(band_fn, None, xs)
-
-    def merge(x):
-        return x.reshape((height,) + x.shape[2:])
-
-    return merge(hdr), merge(ldr), {k: merge(v) for k, v in gb.items()}
+    return tuple(ldr[..., c] for c in range(3))
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -437,86 +428,169 @@ def render_frame(
     scene: SceneData,
     view_block: ViewBlock,
     frame_params: FrameParams,
-    materials: MaterialTextures,
+    materials,
     overlay: OverlayResources | None,
     settings: RenderSettings,
 ):
-    """Render one frame. Returns dict with 'image' (H,W,3) uint8 plus
-    intermediates ('hdr', 'depth', G-buffer planes) for debugging/tests."""
+    """Render one frame.
+
+    ``settings.outputs``: "image" returns {'image': (H,W,3) u8} only (the
+    production/bench path — no debug intermediates are materialized);
+    "full" adds ldr/hdr/depth/tri_id/gbuffer images for tests & debugging.
+    """
     width, height = settings.width, settings.height
 
     soup = assemble_scene(
         scene.batches, view_block.view, view_block.proj,
         settings.batch_material_ids,
     )
-    vis = dispatch_rasterize(soup.clip, soup.tris, width, height, settings)
+    setup = triangle_setup(soup.clip, soup.tris, width, height)
+    rec_table = _scene_record_table(soup, setup)
+    px, zkey, diag = _raster(
+        rec_table, setup, soup.clip, soup.tris, width, height, settings
+    )
+    valid = px.tri_id >= 0
 
+    gb = {}
     if settings.shading == "flat":
-        # Unlit/flat-color Lambert in view space (gizmo.frag model) — used by
-        # benchmark config 1 and debug renders of color-only meshes.
-        corners = corner_indices(vis, soup.tris)
-        valid = (vis.tri_id >= 0)[..., None]
-        n_world = interpolate(vis, corners, soup.normal)
+        # Unlit flat-color Lambert in view space (gizmo.frag model) —
+        # benchmark config 1 and color-only meshes.
         rot = view_block.view[:3, :3]
-        n_view = jnp.einsum("hwk,mk->hwm", n_world, rot,
-                            precision=jax.lax.Precision.HIGHEST)
-        n_unit = n_view / jnp.maximum(
-            jnp.linalg.norm(n_view, axis=-1, keepdims=True), 1e-20
+        hdr3 = shade_flat_planar(px.color, px.normal, rot)
+        hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+    else:
+        slots = _sample_materials(materials, px, settings)
+        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+        normal = apply_normal_map(
+            px.normal, px.tangent, nmap, view_block.enable_normal_map
         )
-        col = interpolate(vis, corners, soup.color)
-        hdr = jnp.where(valid, col * jnp.maximum(-n_unit[..., 2:3], 0.0), 0.0)
-        gb = None
-        ldr = tone_map(
-            _q16(hdr, settings.quantize_fp16),
-            frame_params.enable_tone_mapping, frame_params.exposure,
-        )
-        view_proj = m3.matmul(view_block.proj, view_block.view)
-        if settings.show_lights and overlay is not None and scene.lights.num_lights > 0:
-            ldr, _ = _composite_light_spheres(
-                ldr, vis, scene.lights, overlay, view_proj, settings
-            )
-        if settings.show_gizmo and overlay is not None:
-            ldr = _composite_gizmo(
-                ldr, view_block.view, view_block.proj, overlay, settings
-            )
-        out = srgb_encode(ldr) if settings.srgb_output else jnp.clip(ldr, 0.0, 1.0)
-        return {
-            "image": to_u8(out),
-            "ldr": ldr,
-            "hdr": hdr,
-            "depth": vis.depth,
-            "tri_id": vis.tri_id,
-            "gbuffer": {},
-        }
 
-    hdr, ldr, gb = shade_visibility(
-        vis, soup, materials, scene.lights, view_block, frame_params, settings
+        # G-buffer materialization (gbuffer.frag:24-32). In deferred mode
+        # the planes round-trip through fp16, emulating the RGBA16F
+        # attachments; the forward path shades at full precision straight
+        # from the sampled material (forward_brdf.frag) with no G-buffer.
+        quant = settings.quantize_fp16 and settings.deferred
+        zero = jnp.zeros_like(px.depth)
+
+        def masked(ch):
+            return jnp.where(valid, ch, 0.0)
+
+        g_pos = _q16(tuple(masked(c) for c in px.world), quant)
+        g_nrm = _q16(tuple(masked(c) for c in normal), quant)
+        g_alb = _q16(tuple(masked(c) for c in albedo), quant)
+        g_mrah = _q16(
+            (masked(slots["metallic"]), masked(slots["roughness"]),
+             masked(slots["ao"]), masked(slots["height"])), quant,
+        )
+
+        if (settings.deferred
+                and settings.gbuffer_viz != GBufferViz.RENDERED_SCENE):
+            # buffer_visualize.frag: raw G-buffer rgb into the HDR target.
+            viz_planes = {
+                GBufferViz.POSITION: g_pos,
+                GBufferViz.NORMAL: g_nrm,
+                GBufferViz.ALBEDO: g_alb,
+                GBufferViz.MRHA: g_mrah[:3],
+                GBufferViz.MATERIAL_INDEX: (
+                    jnp.where(valid, 1.0, 0.0), zero, zero
+                ),  # gbuffer.frag:32 placeholder
+            }
+            hdr3 = viz_planes[settings.gbuffer_viz]
+        else:
+            hdr3 = shade_pbr_planar(
+                g_pos, g_nrm, g_alb, g_mrah[0], g_mrah[1], g_mrah[2],
+                scene.lights, view_block.view_pos,
+            )
+            # Lighting runs on cleared G-buffer in the reference; masked
+            # here → clear color black.
+            hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+
+        if settings.outputs == "full":
+            gb = {
+                "position": jnp.stack(
+                    [_untile(c, settings) for c in g_pos], -1),
+                "normal": jnp.stack(
+                    [_untile(c, settings) for c in g_nrm], -1),
+                "albedo": jnp.stack(
+                    [_untile(c, settings) for c in g_alb], -1),
+                "mrah": jnp.stack(
+                    [_untile(c, settings) for c in g_mrah], -1),
+                "matindex": jnp.stack(
+                    [_untile(jnp.where(valid, 1.0, 0.0), settings),
+                     _untile(zero, settings), _untile(zero, settings)], -1),
+            }
+
+    hdr3 = _q16(hdr3, settings.quantize_fp16)
+    ldr3 = tuple(
+        tone_map(c, frame_params.enable_tone_mapping, frame_params.exposure)
+        for c in hdr3
     )
 
     view_proj = m3.matmul(view_block.proj, view_block.view)
+
+    if settings.show_lights and overlay is not None \
+            and scene.lights.num_lights > 0:
+        ldr3 = _composite_light_spheres(
+            ldr3, zkey, scene.lights, overlay, view_proj, settings
+        )
+
+    # Image-space stages: TBN lines + corner gizmo + output encode.
+    ldr3_img = tuple(_untile(c, settings) for c in ldr3)
     if settings.show_tbn and overlay is not None:
-        ldr = _composite_tbn(ldr, soup, vis, view_proj, settings)
-    if settings.show_lights and overlay is not None and scene.lights.num_lights > 0:
-        ldr, _ = _composite_light_spheres(
-            ldr, vis, scene.lights, overlay, view_proj, settings
+        ldr3_img = _composite_tbn(
+            ldr3_img, soup, _untile(px.depth, settings), view_proj, settings
         )
     if settings.show_gizmo and overlay is not None:
-        ldr = _composite_gizmo(ldr, view_block.view, view_block.proj, overlay, settings)
+        ldr3_img = _composite_gizmo(
+            ldr3_img, view_block.view, view_block.proj, overlay, settings
+        )
 
-    out = srgb_encode(ldr) if settings.srgb_output else jnp.clip(ldr, 0.0, 1.0)
+    if settings.srgb_output:
+        out3 = tuple(srgb_encode(c) for c in ldr3_img)
+    else:
+        out3 = tuple(jnp.clip(c, 0.0, 1.0) for c in ldr3_img)
+    image = to_u8(jnp.stack(out3, axis=-1))
+
+    if settings.outputs == "image":
+        return {"image": image}
     return {
-        "image": to_u8(out),
-        "ldr": ldr,
-        "hdr": hdr,
-        "depth": vis.depth,
-        "tri_id": vis.tri_id,
+        "image": image,
+        "ldr": jnp.stack(ldr3_img, axis=-1),
+        "hdr": jnp.stack([_untile(c, settings) for c in hdr3], -1),
+        "depth": _untile(px.depth, settings),
+        "tri_id": _untile(px.tri_id, settings),
         "gbuffer": gb,
+        "bin_diag": diag,
     }
 
 
+def material_quads_from_set(material_set, index: int) -> tuple:
+    """Bind one material as grouped quad tables (the TPU fast path) with
+    per-map default fallback (createFrame material descriptor wiring,
+    render.cpp:1598-1636)."""
+    return tq.build_quad_tables(tq.pack_material_maps(material_set, index))
+
+
+def material_textures_from_set(material_set, index: int) -> MaterialTextures:
+    """Legacy level-0 image binding (oracle parity tests)."""
+    from bibim_tpu.assets.materials import PBRMapType
+
+    def level0(t):
+        return jnp.asarray(material_set.get_pbr_map_or_default(index, t)[0])
+
+    return MaterialTextures(
+        albedo=level0(PBRMapType.ALBEDO),
+        metallic=level0(PBRMapType.METALLIC),
+        roughness=level0(PBRMapType.ROUGHNESS),
+        ao=level0(PBRMapType.AO),
+        normal=level0(PBRMapType.NORMAL),
+        height=level0(PBRMapType.HEIGHT),
+    )
+
+
 def material_mips_from_set(material_set, index: int) -> MaterialMips:
-    """Like material_textures_from_set but with full mip pyramids packed
-    into flat atlases (trilinear sampling path)."""
+    """Trilinear mip binding (additive over the reference; config 2)."""
     from bibim_tpu.assets.materials import PBRMapType
     from bibim_tpu.ops.texture import build_mip_atlas
 
@@ -530,24 +604,6 @@ def material_mips_from_set(material_set, index: int) -> MaterialMips:
         ao=atlas(PBRMapType.AO),
         normal=atlas(PBRMapType.NORMAL),
         height=atlas(PBRMapType.HEIGHT),
-    )
-
-
-def material_textures_from_set(material_set, index: int) -> MaterialTextures:
-    """Bind one material's maps with per-map default fallback
-    (createFrame material descriptor wiring, render.cpp:1598-1636)."""
-    from bibim_tpu.assets.materials import PBRMapType
-
-    def level0(t):
-        return jnp.asarray(material_set.get_pbr_map_or_default(index, t)[0])
-
-    return MaterialTextures(
-        albedo=level0(PBRMapType.ALBEDO),
-        metallic=level0(PBRMapType.METALLIC),
-        roughness=level0(PBRMapType.ROUGHNESS),
-        ao=level0(PBRMapType.AO),
-        normal=level0(PBRMapType.NORMAL),
-        height=level0(PBRMapType.HEIGHT),
     )
 
 
@@ -565,7 +621,8 @@ def make_overlay_resources() -> OverlayResources:
         gizmo_positions=jnp.asarray(gizmo.positions),
         gizmo_normals=jnp.asarray(gizmo.normals),
         gizmo_colors=jnp.asarray(
-            gizmo.colors if gizmo.colors is not None else np.ones_like(gizmo.positions)
+            gizmo.colors if gizmo.colors is not None
+            else np.ones_like(gizmo.positions)
         ),
         gizmo_tris=jnp.asarray(gizmo.indices),
     )

@@ -21,7 +21,7 @@ from bibim_tpu.pipeline.framegraph import MaterialTextures
 from bibim_tpu.utils.config import get_resource_root
 
 W, H = 128, 64
-SMALL = dict(tile_h=16, tile_w=32, bin_cap=256)
+SMALL = dict(xla_cap=256)  # CPU tests ride the XLA fallback raster
 
 
 def _flat_materials():
@@ -157,8 +157,7 @@ class TestShardedRendering:
 
         n = min(4, len(jax.devices()))
         scene = _sphere_scene()
-        settings = RenderSettings(width=W, height=H, tile_h=16, tile_w=32,
-                                  bin_cap=256)
+        settings = RenderSettings(width=W, height=H, xla_cap=256)
         single = render_frame(scene, _view(), _fp(1), _flat_materials(), None,
                               settings)
         mesh = make_device_mesh(n)
