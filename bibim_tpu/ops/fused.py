@@ -230,8 +230,12 @@ def bin_pairs(
     # (nonzero() was measured slower on TPU).
     neg = jnp.where(big, -jnp.arange(big.shape[0], dtype=jnp.int32),
                     jnp.int32(-(1 << 30)))
-    top, _ = lax.top_k(neg, overflow_cap)
+    k_top = min(overflow_cap, big.shape[0])
+    top, _ = lax.top_k(neg, k_top)
     big_ids = jnp.where(top > -(1 << 30), -top, -1)
+    if k_top < overflow_cap:
+        big_ids = jnp.pad(big_ids, (0, overflow_cap - k_top),
+                          constant_values=-1)
     n_big = jnp.minimum(jnp.sum(big, dtype=jnp.int32), overflow_cap)
 
     counts = jnp.minimum(counts_raw, max_candidates)
@@ -348,11 +352,26 @@ def _fused_kernel(
         oh = (
             lax.broadcasted_iota(jnp.int32, (oc + maxc, npx), 0) == best_cand
         ).astype(jnp.float32)
-        recT = lax.dot_general(
-            scratch[:, :], oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (128, NPX): row j = resolved record channel j
+        # One-hot select on the MXU must be f32-exact, but the default f32
+        # matmul truncates inputs to bf16. Splitting the table into three
+        # bf16-exact parts (8 mantissa bits each) and summing the three
+        # default-precision products is exact for a 0/1 RHS and measured
+        # ~2x cheaper than precision=HIGHEST.
+        t = scratch[:, :]
+        hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+        rem = t - hi
+        mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = rem - mid
+
+        def dot(part):
+            return lax.dot_general(
+                part, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        recT = dot(hi) + dot(mid) + dot(lo)
+        # (128, NPX): row j = resolved record channel j
 
         def r(j):
             return recT[j : j + 1, :]  # (1, NPX)
@@ -491,7 +510,7 @@ def raster_fused_pallas(
     in_specs = [
         pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [ov, pair_rec]
     if init_zkey is not None:

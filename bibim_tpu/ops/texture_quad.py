@@ -187,11 +187,14 @@ def _small_kernel(u_ref, v_ref, tex_ref, *out_refs, tile_h, tile_w, rows,
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == idx
     ).astype(jnp.float32)
+    # The table holds raw integer texel values (0..255) which are exactly
+    # bf16-representable, so the default-precision MXU pass is an exact
+    # select; dequantization happens after the matmul.
     taps = lax.dot_general(
         tex_ref[:, :], oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (4*C, NPX)
+    ) * (1.0 / 255.0)  # (4*C, NPX)
 
     def qf(tap, ci):
         j = tap * cpad + ci
@@ -209,7 +212,7 @@ def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
     nt, npx = u.shape
     rows = table.height * table.width
     rows_pad = max(8, -(-rows // 8) * 8)
-    texf = table.quads.astype(jnp.float32) * (1.0 / 255.0)
+    texf = table.quads.astype(jnp.float32)  # integer-valued: bf16-exact
     if rows_pad != rows:
         texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))
     cpad = table.quads.shape[1] // 4

@@ -102,11 +102,14 @@ def render_frame_sharded(
         ext = settings.gizmo_extent
         hit_img, rgb = _render_gizmo(view_block.view, view_block.proj,
                                      overlay, settings)
+        ey = min(ext, h_pad)
+        ex = min(ext, width)
         patch = jnp.stack(
-            [rgb[0], rgb[1], rgb[2], hit_img.astype(jnp.float32)], axis=-1
-        )  # (ext, ext, 4)
+            [rgb[0][:ey, :ex], rgb[1][:ey, :ex], rgb[2][:ey, :ex],
+             hit_img[:ey, :ex].astype(jnp.float32)], axis=-1
+        )
         gz = jnp.zeros((h_pad, width, 4), jnp.float32)
-        gz = gz.at[0:ext, width - ext :].set(patch)
+        gz = gz.at[0:ey, width - ex :].set(patch)
 
     band_settings = settings
 

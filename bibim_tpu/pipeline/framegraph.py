@@ -377,12 +377,16 @@ def _composite_gizmo(ldr3_img, view, proj, overlay: OverlayResources,
     """Composite the gizmo into the top-right corner of (H, W) LDR planes."""
     ext = settings.gizmo_extent
     hit_img, rgb = _render_gizmo(view, proj, overlay, settings)
-    x0 = settings.width - ext
+    # Clamp the viewport to the frame (tiny debug frames < 100px).
+    ey = min(ext, settings.height)
+    ex = min(ext, settings.width)
+    x0 = settings.width - ex
     out = []
     for c in range(3):
         img = ldr3_img[c]
-        patch = jnp.where(hit_img, rgb[c], img[0:ext, x0:])
-        out.append(img.at[0:ext, x0:].set(patch))
+        patch = jnp.where(hit_img[:ey, :ex], rgb[c][:ey, :ex],
+                          img[0:ey, x0:])
+        out.append(img.at[0:ey, x0:].set(patch))
     return tuple(out)
 
 

@@ -3,20 +3,29 @@
 Real-TPU perf is covered by bench.py; correctness tests run on the CPU
 backend so CI needs no TPU and multi-chip sharding can be validated with
 ``--xla_force_host_platform_device_count=8``.
+
+Set ``BIBIM_TPU_TESTS=1`` to instead keep the real TPU backend: the tests
+in test_tpu.py then exercise the compiled Pallas kernels against the XLA
+fallback on actual hardware (everything else still passes — the pipeline
+dispatches per-backend automatically).
 """
 
 import os
 
-# Force-set: the environment may pin JAX_PLATFORMS to a hardware plugin via
-# sitecustomize, so setdefault is not enough.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TPU_MODE = os.environ.get("BIBIM_TPU_TESTS", "") == "1"
+
+if not _TPU_MODE:
+    # Force-set: the environment may pin JAX_PLATFORMS to a hardware plugin
+    # via sitecustomize, so setdefault is not enough.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

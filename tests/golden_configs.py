@@ -1,0 +1,130 @@
+"""Shared golden-image render configs (used by tools/make_goldens.py and
+tests/test_goldens.py). Each case is a zero-arg callable returning the
+(H, W, 3) uint8 frame, rendered through the public frame function on
+whatever backend is active (CPU XLA fallback in CI)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def golden_cases() -> dict:
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.pipeline import (
+        FrameParams,
+        MaterialTextures,
+        RenderSettings,
+        ViewBlock,
+        make_overlay_resources,
+        material_quads_from_set,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, TriangleScene
+    from bibim_tpu.scene.lights import make_lights
+    from bibim_tpu.scene.scene import SceneData, batch_from_mesh
+    from bibim_tpu.assets.meshgen import generate_uv_sphere_mesh
+
+    def view(w, h, cam=None, fov=60.0):
+        cam = cam or FreeLookCamera()
+        return ViewBlock(
+            view=jnp.asarray(cam.get_view_matrix()),
+            proj=m3.perspective(fov, w / h, 0.1, 1000.0),
+            view_pos=jnp.asarray(cam.pos),
+            enable_normal_map=jnp.int32(0),
+        )
+
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+
+    def checker_materials():
+        t = np.zeros((8, 8, 4), np.uint8)
+        t[::2, ::2] = t[1::2, 1::2] = 255
+        flat = lambda val: jnp.full((4, 4, 4), val, jnp.uint8)
+        return MaterialTextures(
+            albedo=jnp.asarray(np.broadcast_to(t, (8, 8, 4)).copy()),
+            metallic=flat(32),
+            roughness=flat(128),
+            ao=flat(255),
+            normal=jnp.asarray(
+                np.full((4, 4, 4), 128, np.uint8) + np.asarray(
+                    [0, 0, 127, 0], np.uint8)
+            ),
+            height=flat(0),
+        )
+
+    def sphere_scene():
+        mesh = generate_uv_sphere_mesh(1.0, 16, 12)
+        model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+        lights = make_lights([
+            dict(type=2, dir=(0, -1, 1), color=(1, 1, 1), intensity=3.0),
+            dict(type=0, pos=(2, 2, 2), color=(1, 0.5, 0.2), intensity=8.0),
+        ])
+        return SceneData(batches=(batch_from_mesh(mesh, model),),
+                         lights=lights)
+
+    cases = {}
+
+    def triangle():
+        s = RenderSettings(width=128, height=64, xla_cap=256,
+                           outputs="image")
+        return render_frame(TriangleScene().scene_data(), view(128, 64), fp,
+                            checker_materials(), None, s)["image"]
+
+    cases["triangle_pbr_128x64"] = triangle
+
+    def sphere_pbr():
+        s = RenderSettings(width=160, height=96, xla_cap=512,
+                           outputs="image")
+        overlay = make_overlay_resources()
+        return render_frame(sphere_scene(), view(160, 96), fp,
+                            checker_materials(), overlay, s)["image"]
+
+    cases["sphere_pbr_lights_gizmo_160x96"] = sphere_pbr
+
+    def sphere_tbn():
+        s = RenderSettings(width=160, height=96, xla_cap=512, show_tbn=True,
+                           show_gizmo=False, show_lights=False,
+                           outputs="image")
+        overlay = make_overlay_resources()
+        return render_frame(sphere_scene(), view(160, 96), fp,
+                            checker_materials(), overlay, s)["image"]
+
+    cases["sphere_tbn_160x96"] = sphere_tbn
+
+    def gizmo_flat():
+        from bibim_tpu.scene.gizmoscene import (
+            GIZMO_CAMERA_DISTANCE, GIZMO_FOV_DEGREES, GizmoScene,
+        )
+
+        cam = FreeLookCamera(
+            pos=np.array([0.0, 0.0, -GIZMO_CAMERA_DISTANCE], np.float32)
+        )
+        s = RenderSettings(width=128, height=128, shading="flat",
+                           show_lights=False, gizmo_extent=40,
+                           xla_cap=512, outputs="image")
+        overlay = make_overlay_resources()
+        return render_frame(
+            GizmoScene().scene_data(),
+            view(128, 128, cam, GIZMO_FOV_DEGREES), fp, None, overlay, s,
+        )["image"]
+
+    cases["gizmo_flat_128"] = gizmo_flat
+
+    def shaderball():
+        from bibim_tpu.assets.materials import create_pbr_material_set
+        from bibim_tpu.scene import ShaderBallScene
+
+        scene = ShaderBallScene()
+        mats = material_quads_from_set(create_pbr_material_set(),
+                                       scene.selected_material)
+        s = RenderSettings(width=192, height=96, xla_cap=2048,
+                           outputs="image")
+        overlay = make_overlay_resources()
+        return render_frame(scene.scene_data(), view(192, 96), fp, mats,
+                            overlay, s)["image"]
+
+    cases["shaderball_pbr_192x96"] = shaderball
+
+    return cases

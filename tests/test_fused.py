@@ -1,0 +1,183 @@
+"""Fused raster+resolve tests: XLA fallback vs legacy visibility-buffer
+path, Pallas kernel (interpret mode) vs XLA fallback, band rebasing, and
+binning-capacity diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.ops import fused
+from bibim_tpu.ops.geometry import assemble_scene
+from bibim_tpu.ops.interpolate import corner_indices, interpolate
+from bibim_tpu.ops.raster import rasterize, triangle_setup
+from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+W, H = 256, 128
+TX, TH, TW = 2, 8, 128
+
+
+@pytest.fixture(scope="module")
+def scene_soup():
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    data = scene.scene_data()
+    view = jnp.asarray(cam.get_view_matrix())
+    proj = m3.perspective(60.0, W / H, 0.1, 1000.0)
+    return assemble_scene(data.batches, view, proj, None)
+
+
+@pytest.fixture(scope="module")
+def rec_setup(scene_soup):
+    soup = scene_soup
+    setup = triangle_setup(soup.clip, soup.tris, W, H)
+    rec = fused.build_record_table(
+        setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
+        soup.color, soup.mat_id,
+    )
+    return rec, setup
+
+
+# Generous capacities: at this tiny resolution triangles span many 8-row
+# tiles, which is what the caps exist to bound.
+CAPS = dict(max_candidates=2048, overflow_cap=512, span_cap=128)
+
+
+def _untile(p):
+    return np.asarray(fused.untile(p, W, H, TX, TH, TW))
+
+
+class TestXlaFusedPath:
+    def test_matches_legacy_visibility_buffer(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        px, _, _ = fused.raster_fused_xla(rec, setup, soup.clip, soup.tris,
+                                          W, H, cap=4096)
+        vis = rasterize(soup.clip, soup.tris, W, H, cap=4096)
+        np.testing.assert_array_equal(_untile(px.tri_id),
+                                      np.asarray(vis.tri_id))
+        hit = np.asarray(vis.tri_id) >= 0
+        np.testing.assert_allclose(
+            _untile(px.depth)[hit], np.asarray(vis.depth)[hit], atol=1e-6
+        )
+        # Interpolated uv matches the legacy gather+blend formulation.
+        corners = corner_indices(vis, soup.tris)
+        uv_legacy = np.asarray(interpolate(vis, corners, soup.uv))
+        uv_fused = np.stack([_untile(c) for c in px.uv], axis=-1)
+        np.testing.assert_allclose(uv_fused[hit], uv_legacy[hit], atol=1e-4)
+
+    def test_miss_pixels_are_zeroed(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        px, _, _ = fused.raster_fused_xla(rec, setup, soup.clip, soup.tris,
+                                          W, H, cap=4096)
+        miss = _untile(px.tri_id) < 0
+        assert miss.any()
+        for plane in (px.depth, px.uv[0], px.world[2], px.color[0]):
+            assert (_untile(plane)[miss] == 0).all()
+
+
+class TestPallasInterpret:
+    def test_matches_xla_path(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        px_x, zk_x, _ = fused.raster_fused_xla(
+            rec, setup, soup.clip, soup.tris, W, H, cap=4096
+        )
+        px_p, zk_p, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True, **CAPS
+        )
+        assert int(diag.dropped_cap) == 0 and int(diag.dropped_overflow) == 0
+        tid_x, tid_p = _untile(px_x.tri_id), _untile(px_p.tri_id)
+        np.testing.assert_array_equal(tid_x, tid_p)
+        hit = tid_x >= 0
+        for name in ("uv", "normal", "tangent", "world", "color", "bary"):
+            a = getattr(px_x, name)
+            b = getattr(px_p, name)
+            for ca, cb in zip(a, b):
+                np.testing.assert_allclose(
+                    _untile(ca)[hit], _untile(cb)[hit], atol=1e-3
+                )
+        np.testing.assert_allclose(
+            _untile(px_x.depth)[hit], _untile(px_p.depth)[hit], atol=1e-5
+        )
+
+    def test_init_zkey_continues_depth(self, scene_soup, rec_setup):
+        """Overlay semantics: a second pass depth-tests against the first
+        (subpass-over-same-depth-attachment analog, main.cpp:128-171)."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        _, zkey, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True, **CAPS
+        )
+        # Re-raster the same geometry against its own depth: with
+        # GREATER_OR_EQUAL everything re-wins (ties pass).
+        px2, _, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, init_zkey=zkey,
+            interpret=True, skip_empty=True, **CAPS
+        )
+        assert (_untile(px2.tri_id) >= 0).sum() > 0
+
+
+class TestBandRebase:
+    def test_shifted_records_render_band(self, scene_soup):
+        soup = scene_soup
+        full_setup = triangle_setup(soup.clip, soup.tris, W, H)
+        rec = fused.build_record_table(
+            full_setup, soup.tris, soup.uv, soup.normal, soup.tangent,
+            soup.world, soup.color, soup.mat_id,
+        )
+        px_full, _, _ = fused.raster_fused_xla(
+            rec, full_setup, soup.clip, soup.tris, W, H, cap=4096
+        )
+        full_img = _untile(px_full.tri_id)
+
+        band_h, y0 = 64, 64
+        band_setup = triangle_setup(
+            soup.clip, soup.tris, W, H, band_y0=float(y0), band_height=band_h
+        )
+        rec_band = fused.shift_record_table_y(rec, float(y0))
+        px_band, _, _ = fused.raster_fused_xla(
+            rec_band, band_setup, soup.clip, soup.tris, W, band_h, cap=4096,
+            viewport_height=H, y_origin=float(y0),
+        )
+        band_img = np.asarray(
+            fused.untile(px_band.tri_id, W, band_h, TX, TH, TW)
+        )
+        np.testing.assert_array_equal(band_img, full_img[y0 : y0 + band_h])
+
+
+class TestBinDiagnostics:
+    def test_overflow_and_cap_drops_are_counted(self, rec_setup):
+        _, setup = rec_setup
+        # Absurdly small capacities must report drops instead of silence.
+        *_, diag, _, _ = fused.bin_pairs(
+            setup, W, H, TH, TW, span_cap=4, overflow_cap=8,
+            max_candidates=8,
+        )
+        assert int(diag.dropped_overflow) > 0
+        assert int(diag.dropped_cap) > 0
+
+    def test_draw_order_tie_break(self):
+        """Two coplanar triangles: the later one wins (GREATER_OR_EQUAL +
+        submission order, render.cpp:1121)."""
+        quad = np.asarray(
+            [[-1, -1, 0.5], [3, -1, 0.5], [-1, 3, 0.5]], np.float32
+        )
+        clip = jnp.asarray(
+            np.concatenate([quad, quad])[:, [0, 1, 2]], jnp.float32
+        )
+        clip = jnp.concatenate(
+            [clip, jnp.ones((6, 1), jnp.float32)], axis=-1
+        )
+        # flip y for clockwise-in-y-down winding
+        clip = clip.at[:, 1].multiply(-1.0)
+        tris = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+        setup = triangle_setup(clip, tris, TW, TH)
+        zeros2 = jnp.zeros((6, 2), jnp.float32)
+        zeros3 = jnp.zeros((6, 3), jnp.float32)
+        rec = fused.build_record_table(setup, tris, zeros2, zeros3, zeros3,
+                                       zeros3, zeros3)
+        px, _, _ = fused.raster_fused_pallas(
+            rec, setup, TW, TH, tile_h=TH, tile_w=TW, interpret=True,
+            max_candidates=8, overflow_cap=8, span_cap=8,
+        )
+        tid = np.asarray(fused.untile(px.tri_id, TW, TH, 1, TH, TW))
+        assert (tid[tid >= 0] == 1).all()

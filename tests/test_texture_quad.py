@@ -1,0 +1,90 @@
+"""Quad-row texture sampling tests: bit-parity with ops.texture's bilinear
+sampler (the immutable-sampler contract), size-group splitting, and the
+MXU small-table path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bibim_tpu.ops import texture_quad as tq
+from bibim_tpu.ops.texture import sample_bilinear
+
+RNG = np.random.default_rng(7)
+
+
+def _maps(big_shape=(64, 32), small_shape=(16, 16)):
+    big = RNG.integers(0, 256, (*big_shape, 4), np.uint8)
+    small = RNG.integers(0, 256, (*small_shape, 4), np.uint8)
+    maps = {
+        "alb_r": big[:, :, 0:1], "alb_g": big[:, :, 1:2],
+        "alb_b": big[:, :, 2:3],
+        "nrm_x": small[:, :, 0:1], "nrm_y": small[:, :, 1:2],
+        "nrm_z": small[:, :, 2:3],
+        "metallic": big[:, :, 3:4], "roughness": small[:, :, 3:4],
+        "ao": big[:, :, 1:2], "height": small[:, :, 2:3],
+    }
+    sources = {
+        "alb_r": big[:, :, 0:1], "nrm_y": small[:, :, 1:2],
+        "metallic": big[:, :, 3:4], "roughness": small[:, :, 3:4],
+        "ao": big[:, :, 1:2], "height": small[:, :, 2:3],
+    }
+    return maps, sources
+
+
+@pytest.fixture(scope="module")
+def uv_planes():
+    u = jnp.asarray(RNG.uniform(-1.5, 2.5, (4, 1024)).astype(np.float32))
+    v = jnp.asarray(RNG.uniform(-1.5, 2.5, (4, 1024)).astype(np.float32))
+    return u, v
+
+
+class TestQuadTables:
+    def test_groups_split_by_resolution(self):
+        maps, _ = _maps()
+        tables = tq.build_quad_tables(maps)
+        assert len(tables) == 2
+        sizes = sorted((t.height, t.width) for t in tables)
+        assert sizes == [(16, 16), (64, 32)]
+        all_slots = sorted(s for t in tables for s in t.present)
+        assert all_slots == sorted(tq.SLOTS)
+
+    def test_dense_rows(self):
+        maps, _ = _maps()
+        tables = tq.build_quad_tables(maps)
+        for t in tables:
+            # 5 present channels → padded to 8 → 32-byte rows, not 64.
+            assert t.quads.shape[1] == 4 * 8
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_matches_reference_bilinear(self, uv_planes, use_pallas):
+        maps, sources = _maps()
+        tables = tq.build_quad_tables(maps)
+        u, v = uv_planes
+        uv = jnp.stack([u, v], axis=-1)
+        out = tq.sample_material(
+            tables, u, v, use_pallas=use_pallas, interpret=True
+        )
+        for slot, img in sources.items():
+            ref = np.asarray(sample_bilinear(jnp.asarray(img), uv)[..., 0])
+            np.testing.assert_allclose(
+                np.asarray(out[slot]), ref, atol=1e-5,
+                err_msg=f"slot {slot} (pallas={use_pallas})",
+            )
+
+    def test_wrap_addressing(self):
+        """REPEAT semantics across the texture seam (quad rows bake the
+        wrapped neighbors)."""
+        img = np.zeros((8, 8, 1), np.uint8)
+        img[0, 0, 0] = 255  # corner texel
+        maps = {"ao": img}
+        tables = tq.build_quad_tables(maps)
+        # Sample exactly between texel (7,7) and wrapped (0,0).
+        u = jnp.asarray([[0.0]], jnp.float32)
+        v = jnp.asarray([[0.0]], jnp.float32)
+        out = tq.sample_material(tables, u, v, use_pallas=False)
+        ref = sample_bilinear(
+            jnp.asarray(img), jnp.asarray([[[0.0, 0.0]]], jnp.float32)
+        )[..., 0]
+        np.testing.assert_allclose(np.asarray(out["ao"]),
+                                   np.asarray(ref), atol=1e-6)
+        assert float(out["ao"][0, 0]) == pytest.approx(0.25, abs=1e-6)

@@ -1,0 +1,126 @@
+"""Real-TPU kernel validation — runs only with BIBIM_TPU_TESTS=1.
+
+Compares the *compiled* Pallas kernels (fused raster+resolve, small-table
+texture sampling) against the XLA fallback on actual TPU hardware — the
+interpret-mode tests in test_fused.py / test_texture_quad.py validate
+semantics, this validates the Mosaic compilation.
+
+Usage (on a machine with a TPU attached):
+    BIBIM_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("BIBIM_TPU_TESTS", "") != "1",
+    reason="set BIBIM_TPU_TESTS=1 (needs a real TPU)",
+)
+
+W, H = 512, 256
+TX, TH, TW = 4, 8, 128
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+    return jax
+
+
+def test_fused_kernel_compiled_matches_xla(tpu_backend):
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.ops import fused
+    from bibim_tpu.ops.geometry import assemble_scene
+    from bibim_tpu.ops.raster import triangle_setup
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    data = scene.scene_data()
+    soup = assemble_scene(
+        data.batches, jnp.asarray(cam.get_view_matrix()),
+        m3.perspective(60.0, W / H, 0.1, 1000.0), None,
+    )
+    setup = triangle_setup(soup.clip, soup.tris, W, H)
+    rec = fused.build_record_table(
+        setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
+        soup.color, soup.mat_id,
+    )
+    px_p, _, diag = fused.raster_fused_pallas(
+        rec, setup, W, H, tile_h=TH, tile_w=TW,
+        max_candidates=1024, overflow_cap=256, span_cap=64,
+    )
+    px_x, _, _ = fused.raster_fused_xla(
+        rec, setup, soup.clip, soup.tris, W, H, cap=4096
+    )
+    assert int(diag.dropped_cap) == 0
+
+    tid_p = np.asarray(fused.untile(px_p.tri_id, W, H, TX, TH, TW))
+    tid_x = np.asarray(fused.untile(px_x.tri_id, W, H, TX, TH, TW))
+    # Compiled-vs-XLA may flip true depth ties (3-LSB key quantization);
+    # demand >99.9% agreement and identical coverage.
+    assert (tid_p >= 0).sum() == (tid_x >= 0).sum()
+    assert (tid_p != tid_x).mean() < 1e-3
+    agree = tid_p == tid_x
+    for a, b in zip(px_p.uv, px_x.uv):
+        da = np.asarray(fused.untile(a, W, H, TX, TH, TW))
+        db = np.asarray(fused.untile(b, W, H, TX, TH, TW))
+        np.testing.assert_allclose(da[agree], db[agree], atol=1e-3)
+
+
+def test_small_texture_kernel_compiled(tpu_backend):
+    import jax.numpy as jnp
+
+    from bibim_tpu.ops import texture_quad as tq
+    from bibim_tpu.ops.texture import sample_bilinear
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    tables = tq.build_quad_tables({"ao": img})
+    u = jnp.asarray(rng.uniform(-1, 2, (8, 1024)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1, 2, (8, 1024)).astype(np.float32))
+    out = tq.sample_material(tables, u, v, use_pallas=True)
+    ref = sample_bilinear(jnp.asarray(img), jnp.stack([u, v], -1))[..., 0]
+    np.testing.assert_allclose(np.asarray(out["ao"]), np.asarray(ref),
+                               atol=2e-3)
+
+
+def test_full_frame_on_tpu(tpu_backend):
+    """End-to-end compiled frame renders with sane coverage."""
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, make_overlay_resources,
+        material_quads_from_set, render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = material_quads_from_set(create_pbr_material_set(),
+                                   scene.selected_material)
+    s = RenderSettings(width=W, height=H, outputs="full",
+                       max_candidates=1024, span_cap=64, overflow_cap=256)
+    out = render_frame(scene.scene_data(), vb, fp, mats,
+                       make_overlay_resources(), s)
+    tri = np.asarray(out["tri_id"])
+    img = np.asarray(out["image"])
+    assert (tri >= 0).mean() > 0.3  # ball + ground plane cover the frame
+    assert img[tri >= 0].mean() > 20  # lit content, not black
