@@ -29,7 +29,7 @@ from bibim_tpu.pipeline import (
     GBufferViz,
     RenderSettings,
     ViewBlock,
-    material_textures_from_set,
+    material_quads_from_set,
     render_frame,
 )
 from bibim_tpu.pipeline.framegraph import make_overlay_resources
@@ -78,7 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-gizmo", action="store_true")
     p.add_argument("--no-lights", action="store_true")
     p.add_argument("--no-srgb", action="store_true")
-    p.add_argument("--bin-cap", type=int, default=None)
+    p.add_argument("--max-candidates", type=int, default=None,
+                   help="per-tile raster capacity override")
+    p.add_argument("--events", default=None,
+                   help="JSON event script: run an interactive session "
+                        "replay (see host/session.py) instead of the "
+                        "scripted camera")
+    p.add_argument("--list-materials", action="store_true")
+    p.add_argument("--material-previews", default=None, metavar="PNG",
+                   help="write a material-map contact sheet and exit")
     return p
 
 
@@ -112,6 +120,38 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     width, height = args.size
 
+    if args.list_materials:
+        ms = create_pbr_material_set()
+        for i, name in enumerate(ms.names):
+            print(f"{i}: {name}")
+        return 0
+    if args.material_previews:
+        from bibim_tpu.host.session import save_material_previews
+
+        save_material_previews(create_pbr_material_set(),
+                               args.material_previews)
+        return 0
+    if args.events:
+        from bibim_tpu.host.gui import UiState
+        from bibim_tpu.host.session import Session
+
+        ui = UiState(scene=args.scene, enable_tone_mapping=not args.no_tonemap,
+                     exposure=args.exposure, enable_tbn=args.tbn,
+                     enable_normal_map=args.normal_map,
+                     num_instances=args.instances)
+        if args.material is not None:
+            ui.selected_material = args.material
+        session = Session(width=width, height=height, ui=ui)
+        written = 0
+        for img in session.run_script(args.events, args.frames):
+            path = (args.out if args.frames == 1
+                    else args.out.replace(".png", f"_{written:04d}.png"))
+            save_png(path, img)
+            written += 1
+        log_info("session replay: {} frame(s), avg {:.1f} ms/frame",
+                 written, session.stats.ms_per_frame)
+        return 0
+
     scene = make_scene(args)
     cam = default_camera(args)
     fov = GIZMO_FOV_DEGREES if (args.scene == "gizmo" and args.camera is None) else args.fov
@@ -127,7 +167,8 @@ def main(argv=None) -> int:
         show_tbn=args.tbn,
         srgb_output=not args.no_srgb,
         batch_material_ids=getattr(scene, "material_ids", None),
-        **({"bin_cap": args.bin_cap} if args.bin_cap else {}),
+        **({"max_candidates": args.max_candidates}
+           if args.max_candidates else {}),
     )
 
     if args.scene == "cube":
@@ -139,7 +180,7 @@ def main(argv=None) -> int:
         mat_index = (
             args.material if args.material is not None else scene.selected_material
         )
-        mats = material_textures_from_set(material_set, mat_index)
+        mats = material_quads_from_set(material_set, mat_index)
     overlay = make_overlay_resources()
 
     proj = m3.perspective(fov, width / height, 0.1, 1000.0)

@@ -1,0 +1,249 @@
+"""Interactive render session — the live frame loop of main.cpp:1131-1381.
+
+The reference's loop is: SDL events → Input → ImGui state → camera update →
+scene update → record + submit → present. This session reproduces that
+control flow headlessly:
+
+- an *event source* (scripted replay, tests, or an embedding UI) feeds
+  key/mouse/state events per frame,
+- :class:`Input` accumulates them (src/input.h analog),
+- the free-look camera consumes drag (0.6°/px, pitch clamp ±88°) and WASD
+  (4 u/s) exactly like main.cpp:1237-1262,
+- scenes are constructed lazily on first selection and kept alive for
+  switching without restart (main.cpp:1173-1182),
+- material selection rebinds descriptor-set-analog quad tables
+  (scene.cpp:141-151),
+- frames are dispatched with 2-deep readback (numFrames=2, main.cpp:38).
+
+Event script format (JSON list; replay with ``Session.run_script``):
+    [{"frame": 0, "key": "w", "down": true},
+     {"frame": 2, "cursor": [40, 10], "mouse": true},
+     {"frame": 5, "set": {"scene": "gizmo", "exposure": 2.0}}]
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.host.gui import UiState
+from bibim_tpu.host.readback import DoubleBufferedReadback
+from bibim_tpu.pipeline import (
+    FrameParams,
+    GBufferViz,
+    RenderSettings,
+    ViewBlock,
+    make_overlay_resources,
+    material_quads_from_set,
+    render_frame,
+)
+from bibim_tpu.scene import FreeLookCamera, Input
+from bibim_tpu.utils.log import log_info
+from bibim_tpu.utils.profiling import FrameStats
+
+VIZ_BY_NAME = {
+    "position": GBufferViz.POSITION,
+    "normal": GBufferViz.NORMAL,
+    "albedo": GBufferViz.ALBEDO,
+    "mrha": GBufferViz.MRHA,
+    "matindex": GBufferViz.MATERIAL_INDEX,
+    "scene": GBufferViz.RENDERED_SCENE,
+}
+
+
+def _make_scene(name: str, ui: UiState):
+    if name == "triangle":
+        from bibim_tpu.scene.triangle import TriangleScene
+
+        return TriangleScene()
+    if name == "shaderball":
+        from bibim_tpu.scene.shaderball import ShaderBallScene
+
+        return ShaderBallScene(num_instances=max(1, ui.num_instances))
+    if name == "gizmo":
+        from bibim_tpu.scene.gizmoscene import GizmoScene
+
+        return GizmoScene()
+    if name == "cube":
+        from bibim_tpu.scene.cube import CubeScene
+
+        return CubeScene()
+    raise ValueError(f"unknown scene {name!r}")
+
+
+@dataclass
+class Session:
+    """Owns the mutable host state of one interactive run."""
+
+    width: int = 1280
+    height: int = 720
+    ui: UiState = field(default_factory=UiState)
+    readback_depth: int = 2
+
+    def __post_init__(self):
+        self.input = Input()
+        self.camera = FreeLookCamera(
+            pos=np.asarray(self.ui.camera_pos, np.float32),
+            yaw=self.ui.camera_yaw,
+            pitch=self.ui.camera_pitch,
+        )
+        self._scenes: dict = {}  # lazy construction (main.cpp:1173-1182)
+        self._material_set = None
+        self._materials: dict = {}  # material index → quad tables
+        self._overlay = None
+        self.readback = DoubleBufferedReadback(depth=self.readback_depth)
+        self.stats = FrameStats()
+        self._last_cursor_down = False
+
+    # -- resource binding ---------------------------------------------------
+
+    @property
+    def scene(self):
+        name = self.ui.scene
+        if name not in self._scenes:
+            self._scenes[name] = _make_scene(name, self.ui)
+        return self._scenes[name]
+
+    def material_set(self):
+        if self._material_set is None:
+            from bibim_tpu.assets.materials import create_pbr_material_set
+
+            self._material_set = create_pbr_material_set()
+        return self._material_set
+
+    def materials(self):
+        if self.ui.scene == "cube":
+            from bibim_tpu.scene.cube import cube_scene_materials
+
+            key = "cube"
+            if key not in self._materials:
+                self._materials[key] = cube_scene_materials()
+            return self._materials[key]
+        idx = self.ui.selected_material
+        if idx not in self._materials:
+            self._materials[idx] = material_quads_from_set(
+                self.material_set(), idx
+            )
+        return self._materials[idx]
+
+    def overlay(self):
+        if self._overlay is None:
+            self._overlay = make_overlay_resources()
+        return self._overlay
+
+    # -- event handling (SDL_PollEvent analog, main.cpp:1132-1147) ----------
+
+    def handle_event(self, ev: dict) -> None:
+        if "key" in ev:
+            self.input.process_key_event(ev["key"], bool(ev.get("down", True)))
+        if "mouse" in ev:
+            self.input.mouse_down = bool(ev["mouse"])
+        if "cursor" in ev:
+            x, y = ev["cursor"]
+            self.input.update_cursor(int(x), int(y))
+        if "set" in ev:
+            for k, v in ev["set"].items():
+                if not hasattr(self.ui, k):
+                    raise ValueError(f"unknown ui field {k!r}")
+                setattr(self.ui, k, v)
+            self.ui.clamp()
+
+    def _update_camera(self, dt: float) -> None:
+        """main.cpp:1237-1262: drag rotates, WASD moves."""
+        if self.input.mouse_down:
+            dx, dy = self.input.cursor_delta
+            self.camera.apply_mouse_drag(dx, dy)
+        self.input.cursor_delta = (0, 0)
+        strafe, forward = self.input.movement_direction()
+        if strafe or forward:
+            self.camera.apply_movement(strafe, forward, dt)
+
+    # -- frame --------------------------------------------------------------
+
+    def settings(self) -> RenderSettings:
+        return RenderSettings(
+            width=self.width,
+            height=self.height,
+            deferred=self.ui.deferred,
+            shading="flat" if self.ui.scene == "gizmo" else "pbr",
+            gbuffer_viz=VIZ_BY_NAME[self.ui.gbuffer_viz],
+            show_tbn=self.ui.enable_tbn,
+            batch_material_ids=getattr(self.scene, "material_ids", None),
+            outputs="image",
+        )
+
+    def render(self, dt: float = 1 / 60):
+        """One loop iteration: camera ← input, scene update, dispatch.
+
+        Returns the host image of the frame readied this iteration (one
+        frame behind the dispatch, or None while the pipeline fills)."""
+        self._update_camera(dt)
+        scene = self.scene
+        scene.update_scene(dt)
+
+        view_block = ViewBlock(
+            view=jnp.asarray(self.camera.get_view_matrix()),
+            proj=m3.perspective(60.0, self.width / self.height, 0.1, 1000.0),
+            view_pos=jnp.asarray(self.camera.pos),
+            enable_normal_map=jnp.int32(1 if self.ui.enable_normal_map else 0),
+        )
+        frame_params = FrameParams(
+            enable_tone_mapping=jnp.int32(
+                1 if self.ui.enable_tone_mapping else 0
+            ),
+            exposure=jnp.float32(self.ui.exposure),
+        )
+        out = render_frame(
+            scene.scene_data(), view_block, frame_params, self.materials(),
+            self.overlay(), self.settings(),
+        )
+        self.stats.tick()
+        return self.readback.submit(out["image"])
+
+    def run_script(self, events, n_frames: int, dt: float = 1 / 60):
+        """Replay a recorded event stream over ``n_frames`` frames and
+        yield every completed host frame (the scripted-session analog of
+        the reference's live loop)."""
+        if isinstance(events, (str, Path)):
+            events = json.loads(Path(events).read_text())
+        by_frame: dict[int, list] = {}
+        for ev in events:
+            by_frame.setdefault(int(ev.get("frame", 0)), []).append(ev)
+        for f in range(n_frames):
+            for ev in by_frame.get(f, []):
+                self.handle_event(ev)
+            img = self.render(dt)
+            if img is not None:
+                yield img
+        for img in self.readback.flush():
+            yield img
+
+
+def save_material_previews(material_set, out_path: str,
+                           tile: int = 128) -> str:
+    """Material-map contact sheet — the ImGui material preview analog
+    (scene.cpp:128-170): one row per material, one column per PBR map."""
+    from PIL import Image
+
+    from bibim_tpu.assets.materials import PBRMapType
+
+    names = list(material_set.names)
+    cols = list(PBRMapType)
+    sheet = np.zeros((len(names) * tile, len(cols) * tile, 3), np.uint8)
+    for mi in range(len(names)):
+        for ci, t in enumerate(cols):
+            img = np.asarray(material_set.get_pbr_map_or_default(mi, t)[0])
+            im = Image.fromarray(img[:, :, :3]).resize(
+                (tile, tile), Image.BILINEAR
+            )
+            sheet[mi * tile : (mi + 1) * tile,
+                  ci * tile : (ci + 1) * tile] = np.asarray(im)
+    Image.fromarray(sheet).save(out_path)
+    log_info("material previews ({} × {}) → {}",
+             len(names), [t.name.lower() for t in cols], out_path)
+    return out_path
