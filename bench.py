@@ -186,7 +186,7 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
                      exposure=jnp.float32(1.0))
     s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                        show_gizmo=False, show_lights=False,
-                       max_candidates=512)
+                       max_candidates=1024, span_cap=8)
 
     def step():
         return render_frame(data, vb, fp, mats, None, s)["image"]

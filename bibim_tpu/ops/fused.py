@@ -85,11 +85,12 @@ class BinDiag(NamedTuple):
 
     dropped_overflow: jnp.ndarray  # big triangles beyond overflow slots
     dropped_cap: jnp.ndarray  # per-tile candidates beyond max_candidates
+    dropped_pairs: jnp.ndarray  # live pairs beyond pair_budget
 
 
 def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
                        uv, normal, tangent, world, color,
-                       mat_id=None) -> jnp.ndarray:
+                       mat_id=None, sequential: bool = False) -> jnp.ndarray:
     """Pack per-triangle raster coefficients + corner attributes into one
     (T, 128) f32 record table (one DMA/gather-friendly row per triangle).
 
@@ -114,7 +115,8 @@ def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
         ],
         axis=-1,
     )  # (V, 16)
-    va = vert[tris]  # (T, 3, 16)
+    # De-indexed scenes: corner fetch by reshape (see batch_from_mesh).
+    va = vert.reshape(-1, 3, 16) if sequential else vert[tris]  # (T,3,16)
 
     def corners(ch):
         return va[:, :, ch]  # (T,3)
@@ -179,6 +181,7 @@ def bin_pairs(
     span_cap: int = 16,
     overflow_cap: int = 64,
     max_candidates: int = 320,
+    pair_budget: int | None = None,
 ):
     """Sort-based sparse binning: (triangle, tile) pairs → contiguous
     per-tile [start, count) ranges into one sorted pair list.
@@ -216,9 +219,16 @@ def bin_pairs(
     tile = jnp.where(live, tile, nt)  # sentinel sorts to the tail
 
     flat_tile = tile.reshape(-1)
-    order = jnp.argsort(flat_tile, stable=True)  # preserves draw order
-    sorted_tile = flat_tile[order]
-    sorted_tri = (order // span_cap).astype(jnp.int32)
+    tri_of_pair = jnp.broadcast_to(
+        jnp.arange(flat_tile.shape[0] // span_cap, dtype=jnp.int32)[:, None],
+        (flat_tile.shape[0] // span_cap, span_cap),
+    ).reshape(-1)
+    # Multi-operand stable sort carries the payload through the sort —
+    # sorting an argsort permutation and gathering afterwards costs an
+    # extra P-element gather (~8 ns/row: 80 ms at 10M pairs).
+    sorted_tile, sorted_tri = lax.sort(
+        (flat_tile, tri_of_pair), num_keys=1, is_stable=True
+    )
 
     boundaries = jnp.searchsorted(
         sorted_tile, jnp.arange(nt + 1, dtype=jnp.int32)
@@ -239,11 +249,22 @@ def bin_pairs(
     n_big = jnp.minimum(jnp.sum(big, dtype=jnp.int32), overflow_cap)
 
     counts = jnp.minimum(counts_raw, max_candidates)
+    dropped_pairs = jnp.int32(0)
+    if pair_budget is not None and sorted_tri.shape[0] > pair_budget:
+        # Live pairs sort before the sentinel tail, so slicing to the
+        # (static) budget keeps them all unless the scene exceeds it —
+        # which the diagnostics report instead of silently truncating.
+        live_total = boundaries[-1]
+        dropped_pairs = jnp.maximum(live_total - pair_budget, 0)
+        sorted_tri = sorted_tri[:pair_budget]
+        starts = jnp.minimum(starts, pair_budget)
+        counts = jnp.minimum(counts, pair_budget - starts)
     diag = BinDiag(
         dropped_overflow=jnp.maximum(
             jnp.sum(big, dtype=jnp.int32) - overflow_cap, 0
         ),
         dropped_cap=jnp.sum(jnp.maximum(counts_raw - max_candidates, 0)),
+        dropped_pairs=dropped_pairs,
     )
     return sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x
 
@@ -467,8 +488,9 @@ def raster_fused_pallas(
     overflow_cap: int = 64,
     span_cap: int = 16,
     init_zkey: jnp.ndarray | None = None,  # (NT, NPX) int32
-    skip_empty: bool = False,
+    skip_empty: bool = True,
     interpret: bool = False,
+    pair_budget: int = 262144,
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -482,7 +504,8 @@ def raster_fused_pallas(
     npx = tile_h * tile_w
 
     sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
-        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc, maxc)
+        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc, maxc,
+                  pair_budget=pair_budget)
     )
     nt = tiles_y * tiles_x
 
@@ -639,6 +662,7 @@ def raster_fused_xla(
     diag = BinDiag(
         dropped_overflow=jnp.int32(0),
         dropped_cap=jnp.int32(0),
+        dropped_pairs=jnp.int32(0),
     )
     return _pixels_from_fields(fields), zkey, diag
 

@@ -69,6 +69,7 @@ class VisibilityBuffer(NamedTuple):
 def triangle_setup(
     clip: jnp.ndarray, tris: jnp.ndarray, width: int, height: int,
     band_y0=None, band_height: int | None = None,
+    sequential: bool = False,
 ) -> TriangleSetup:
     """Homogeneous triangle setup: culling, edge/depth coefficients, bbox.
 
@@ -78,7 +79,9 @@ def triangle_setup(
     external triangle can have. Back faces and degenerates are culled by
     det ≤ 0 (CullMode BACK everywhere in main.cpp).
     """
-    v = clip[tris]  # (T,3,4)
+    # De-indexed scenes (tris == arange, see batch_from_mesh): the corner
+    # fetch is a free reshape instead of a T×3 row gather.
+    v = clip.reshape(-1, 3, 4) if sequential else clip[tris]  # (T,3,4)
     w = v[..., 3]
     # Viewport-scaled homogeneous coords: X/W = screen x in pixels.
     xh = (v[..., 0] * 0.5 + w * 0.5) * width  # (T,3)

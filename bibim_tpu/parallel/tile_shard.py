@@ -64,6 +64,7 @@ def _band_raster(rec_band, setup, clip, tris, width, band_h, settings,
             overflow_cap=settings.overflow_cap,
             span_cap=settings.span_cap,
             init_zkey=init_zkey, skip_empty=skip_empty,
+            pair_budget=settings.pair_budget,
         )
     return fused.raster_fused_xla(
         rec_band, setup, clip, tris, width, band_h,
@@ -134,9 +135,10 @@ def render_frame_sharded(
         setup = triangle_setup(
             soup.clip, soup.tris, width, settings.height,
             band_y0=y0, band_height=band_h,
+            sequential=settings.sequential_tris,
         )
         rec = fused.shift_record_table_y(
-            _scene_record_table(soup, setup), y0
+            _scene_record_table(soup, setup, settings), y0
         )
         px, zkey, _diag = _band_raster(
             rec, setup, soup.clip, soup.tris, width, band_h,

@@ -147,6 +147,11 @@ class RenderSettings:
     overflow_cap: int = 64  # shared big-triangle list capacity
     span_cap: int = 16  # max tiles a binned triangle may span
     xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
+    pair_budget: int = 262144  # static cap on live (triangle, tile) pairs
+    # Scenes built via batch_from_mesh are de-indexed (triangle list is a
+    # global arange), letting corner fetches be reshapes instead of
+    # gathers. Set False for hand-built DrawBatches with shared vertices.
+    sequential_tris: bool = True
     # Per-batch material indices into a materials tuple (per-draw material
     # descriptor binding analog, scene.cpp:198-200); None = all material 0.
     batch_material_ids: tuple | None = None
@@ -180,7 +185,7 @@ def _q16(x, enable: bool):
 
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
-            skip_empty=False):
+            skip_empty=True):
     if _use_pallas(settings):
         return fused.raster_fused_pallas(
             rec_table, setup, width, height,
@@ -189,6 +194,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             overflow_cap=settings.overflow_cap,
             span_cap=settings.span_cap,
             init_zkey=init_zkey, skip_empty=skip_empty,
+            pair_budget=settings.pair_budget,
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
@@ -281,10 +287,10 @@ def _tile(img, settings: RenderSettings, fill=0.0):
                             settings.tile_h, settings.tile_w, fill)
 
 
-def _scene_record_table(soup, setup):
+def _scene_record_table(soup, setup, settings: RenderSettings):
     return fused.build_record_table(
         setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
-        soup.color, soup.mat_id,
+        soup.color, soup.mat_id, sequential=settings.sequential_tris,
     )
 
 
@@ -448,8 +454,9 @@ def render_frame(
         scene.batches, view_block.view, view_block.proj,
         settings.batch_material_ids,
     )
-    setup = triangle_setup(soup.clip, soup.tris, width, height)
-    rec_table = _scene_record_table(soup, setup)
+    setup = triangle_setup(soup.clip, soup.tris, width, height,
+                           sequential=settings.sequential_tris)
+    rec_table = _scene_record_table(soup, setup, settings)
     px, zkey, diag = _raster(
         rec_table, setup, soup.clip, soup.tris, width, height, settings
     )

@@ -52,7 +52,15 @@ class DrawBatch(NamedTuple):
 
 def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
     """Build a DrawBatch from a Mesh with I instance matrices ((I,4,4) or
-    a single (4,4), default identity)."""
+    a single (4,4), default identity).
+
+    The mesh is de-indexed host-side (vertices duplicated per corner,
+    indices become an arange), mirroring the reference's own ShaderBall
+    flattening (scene.cpp:63-79). This makes the whole scene's triangle
+    list a global arange, so the per-frame corner fetches in
+    triangle_setup / build_record_table are free reshapes instead of
+    row gathers (~8 ns each on TPU — 30+ ms/frame for instanced scenes).
+    """
     if model is None:
         model = np.eye(4, dtype=np.float32)[None]
     model = np.asarray(model, np.float32)
@@ -62,13 +70,22 @@ def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
     # device ops — on remote-attached TPUs each eager dispatch is costly.
     inv_model = np.linalg.inv(model.astype(np.float64)).astype(np.float32)
     colors = mesh.colors if mesh.colors is not None else np.ones_like(mesh.positions)
+
+    flat = np.asarray(mesh.indices, np.int64).reshape(-1)
+
+    def deindex(arr):
+        return np.ascontiguousarray(np.asarray(arr)[flat])
+
+    n_corners = flat.shape[0]
     return DrawBatch(
-        positions=jnp.asarray(mesh.positions),
-        uvs=jnp.asarray(mesh.uvs),
-        normals=jnp.asarray(mesh.normals),
-        tangents=jnp.asarray(mesh.tangents),
-        colors=jnp.asarray(colors),
-        indices=jnp.asarray(mesh.indices),
+        positions=jnp.asarray(deindex(mesh.positions)),
+        uvs=jnp.asarray(deindex(mesh.uvs)),
+        normals=jnp.asarray(deindex(mesh.normals)),
+        tangents=jnp.asarray(deindex(mesh.tangents)),
+        colors=jnp.asarray(deindex(colors)),
+        indices=jnp.asarray(
+            np.arange(n_corners, dtype=np.int32).reshape(-1, 3)
+        ),
         model=jnp.asarray(model),
         inv_model=jnp.asarray(inv_model),
     )

@@ -181,3 +181,39 @@ class TestBinDiagnostics:
         )
         tid = np.asarray(fused.untile(px.tri_id, TW, TH, 1, TH, TW))
         assert (tid[tid >= 0] == 1).all()
+
+
+class TestValidationHook:
+    def test_check_bin_diag_raises_on_drops(self, rec_setup):
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        _, setup = rec_setup
+        *_, diag, _, _ = fused.bin_pairs(
+            setup, W, H, TH, TW, span_cap=4, overflow_cap=8, max_candidates=8
+        )
+        with pytest.raises(Exception):
+            check_bin_diag(diag)
+
+    def test_render_frame_surfaces_diag(self, scene_soup):
+        from bibim_tpu.pipeline import (
+            FrameParams, RenderSettings, ViewBlock, render_frame,
+        )
+        from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        scene = ShaderBallScene()
+        cam = FreeLookCamera()
+        vb = ViewBlock(
+            view=jnp.asarray(cam.get_view_matrix()),
+            proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+            view_pos=jnp.asarray(cam.pos),
+            enable_normal_map=jnp.int32(0),
+        )
+        fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                         exposure=jnp.float32(1.0))
+        out = render_frame(
+            scene.scene_data(), vb, fp, None, None,
+            RenderSettings(width=W, height=H, shading="flat", xla_cap=2048,
+                           show_lights=False, show_gizmo=False),
+        )
+        check_bin_diag(out["bin_diag"])  # XLA fallback reports zero drops
