@@ -156,6 +156,38 @@ def bench_gizmo(report: dict) -> None:
     report["configs"]["gizmo_flat_512"] = round(_time(step), 2)
 
 
+def bench_cube(report: dict) -> None:
+    """Config 2: textured cubes, bilinear + mip (trilinear) sampling."""
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera
+    from bibim_tpu.scene.cube import CubeScene, cube_scene_materials
+
+    scene = CubeScene()
+    data = scene.scene_data()
+    mats = jax.device_put(cube_scene_materials(with_mips=True))
+    cam = FreeLookCamera()
+    w, h = 1280, 720
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, w / h, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    s = RenderSettings(width=w, height=h, outputs="image",
+                       batch_material_ids=scene.material_ids,
+                       show_gizmo=False, show_lights=False)
+
+    def step():
+        return render_frame(data, vb, fp, mats, None, s)["image"]
+
+    report["configs"]["cube_mips_720p"] = round(_time(step, iters=5), 2)
+
+
 def bench_instanced(report: dict, n_instances: int = 64) -> None:
     """Config 4: 64 ShaderBall instances, 1080p."""
     from bibim_tpu import math3d as m3
@@ -206,6 +238,10 @@ def main() -> None:
         bench_gizmo(report)
     except Exception as e:  # pragma: no cover - aux configs must not kill CI
         report["configs"]["gizmo_flat_512"] = f"error: {e}"
+    try:
+        bench_cube(report)
+    except Exception as e:  # pragma: no cover
+        report["configs"]["cube_mips_720p"] = f"error: {e}"
     try:
         bench_instanced(report)
     except Exception as e:  # pragma: no cover

@@ -275,3 +275,177 @@ def sample_material(tables: tuple, u, v, tile_h: int = 8, tile_w: int = 128,
     for slot in SLOTS:
         out.setdefault(slot, jnp.zeros_like(u))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mip-chain (trilinear) quad tables — the fast path for the additive mip
+# capability (BASELINE config 2). Same quad-row trick per mip level; a
+# trilinear sample costs TWO row gathers per pixel per size group (levels
+# l and l+1) plus dense blending. LOD uses GPU-style 2×2 pixel-quad
+# derivatives computed directly on the tiled-planar layout.
+# ---------------------------------------------------------------------------
+
+
+class MipQuadTable(NamedTuple):
+    """Quad-row tables for every mip level of one size group, concatenated
+    flat. Level geometry is static (python ints) so per-pixel level
+    selection is an unrolled vector select — no index tables, no gathers."""
+
+    quads: jnp.ndarray  # (total_rows, 4*C) uint8
+    heights: tuple  # per-level, static
+    widths: tuple
+    offsets: tuple  # per-level flat row offset, static
+    present: tuple
+
+
+jax.tree_util.register_pytree_node(
+    MipQuadTable,
+    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present)),
+    lambda aux, ch: MipQuadTable(ch[0], *aux),
+)
+
+
+def build_mip_quad_tables(mip_maps: dict) -> tuple:
+    """``mip_maps``: slot → list of (H_l, W_l, ≥1) uint8 mip levels (level 0
+    first). Slots group by level-0 resolution (pyramids of equal base size
+    have equal sizes at every level)."""
+    groups: dict = {}
+    for slot, mips in mip_maps.items():
+        key = (int(mips[0].shape[0]), int(mips[0].shape[1]))
+        groups.setdefault(key, {})[slot] = mips
+
+    tables = []
+    for (h0, w0), slot_mips in sorted(groups.items()):
+        present = tuple(sorted(slot_mips, key=SLOTS.index))
+        cpad = _ceil4(len(present))
+        levels = len(next(iter(slot_mips.values())))
+        heights, widths, offsets, parts = [], [], [], []
+        off = 0
+        for li in range(levels):
+            any_level = next(iter(slot_mips.values()))[li]
+            h, w = int(any_level.shape[0]), int(any_level.shape[1])
+            tex = np.zeros((h, w, cpad), np.uint8)
+            for k, slot in enumerate(present):
+                img = slot_mips[slot][li]
+                tex[:, :, k] = img[:, :, 0] if img.ndim == 3 else img
+            t01 = np.roll(tex, -1, axis=1)
+            t10 = np.roll(tex, -1, axis=0)
+            t11 = np.roll(t01, -1, axis=0)
+            parts.append(
+                np.concatenate([tex, t01, t10, t11], axis=-1).reshape(
+                    h * w, 4 * cpad
+                )
+            )
+            heights.append(h)
+            widths.append(w)
+            offsets.append(off)
+            off += h * w
+        tables.append(
+            MipQuadTable(
+                quads=jnp.asarray(np.concatenate(parts, axis=0)),
+                heights=tuple(heights),
+                widths=tuple(widths),
+                offsets=tuple(offsets),
+                present=present,
+            )
+        )
+    return tuple(tables)
+
+
+def quad_lod_planar(u, v, tile_h: int, tile_w: int, tex_h: int,
+                    tex_w: int):
+    """Per-pixel LOD from 2×2 pixel-quad uv differences on tiled-planar
+    (NT, NPX) arrays — the GPU derivative model (quad-constant), matching
+    ops.texture.quad_uv_lod's image-space formulation (tiles start on even
+    pixel coordinates, so the 2×2 quads coincide)."""
+    nt, npx = u.shape
+
+    def quad_diffs(x):
+        a = x.reshape(nt, tile_h // 2, 2, tile_w // 2, 2)
+        dx = a[..., 1:2] - a[..., 0:1]  # (nt, th/2, 2, tw/2, 1)
+        dx = jnp.broadcast_to(dx, a.shape).reshape(nt, npx)
+        dy = a[:, :, 1:2] - a[:, :, 0:1]  # (nt, th/2, 1, tw/2, 2)
+        dy = jnp.broadcast_to(dy, a.shape).reshape(nt, npx)
+        return dx, dy
+
+    du_dx, du_dy = quad_diffs(u)
+    dv_dx, dv_dy = quad_diffs(v)
+    w = jnp.float32(tex_w)
+    h = jnp.float32(tex_h)
+    rho_x = jnp.sqrt((du_dx * w) ** 2 + (dv_dx * h) ** 2)
+    rho_y = jnp.sqrt((du_dy * w) ** 2 + (dv_dy * h) ** 2)
+    rho = jnp.maximum(rho_x, rho_y)
+    lod = jnp.log2(jnp.maximum(rho, 1e-12))
+    return jnp.maximum(lod, 0.0)
+
+
+def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
+                     tile_w: int) -> dict:
+    """Trilinear sample: 2 gathers/pixel + dense blends (planar)."""
+    shape = u.shape
+    cpad = table.quads.shape[1] // 4
+    levels = len(table.heights)
+    lod = quad_lod_planar(u, v, tile_h, tile_w,
+                          table.heights[0], table.widths[0])
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, levels - 1)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)
+
+    uf = u.reshape(-1)
+    vf = v.reshape(-1)
+
+    def sample_level(lsel):
+        lsel = jnp.clip(lsel, 0, levels - 1).reshape(-1)
+        # Static unrolled per-level constants (≤ ~12 levels): vector
+        # selects, no lookup tables.
+        h = w = off = None
+        for li in range(levels):
+            is_l = lsel == li
+            h = jnp.where(is_l, float(table.heights[li]),
+                          0.0 if h is None else h)
+            w = jnp.where(is_l, float(table.widths[li]),
+                          0.0 if w is None else w)
+            off = jnp.where(is_l, table.offsets[li],
+                            0 if off is None else off)
+        fx = uf * w - 0.5
+        fy = vf * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = fx - x0
+        ty = fy - y0
+        wi = w.astype(jnp.int32)
+        hi = h.astype(jnp.int32)
+        x0i = jnp.remainder(x0.astype(jnp.int32), wi)
+        y0i = jnp.remainder(y0.astype(jnp.int32), hi)
+        idx = off + y0i * wi + x0i
+        q = table.quads[idx].astype(jnp.float32) * (1.0 / 255.0)
+        w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
+        w01 = (tx * (1.0 - ty))[:, None]
+        w10 = ((1.0 - tx) * ty)[:, None]
+        w11 = (tx * ty)[:, None]
+        return (
+            q[:, 0:cpad] * w00
+            + q[:, cpad : 2 * cpad] * w01
+            + q[:, 2 * cpad : 3 * cpad] * w10
+            + q[:, 3 * cpad :] * w11
+        )
+
+    s0 = sample_level(l0)
+    s1 = sample_level(l0 + 1)
+    out = s0 * (1.0 - frac.reshape(-1))[:, None] + s1 * frac.reshape(-1)[
+        :, None
+    ]
+    return {
+        slot: out[:, k].reshape(shape)
+        for k, slot in enumerate(table.present)
+    }
+
+
+def sample_material_mips(tables: tuple, u, v, tile_h: int = 8,
+                         tile_w: int = 128) -> dict:
+    """Sample all slots of a mip-quad material (trilinear) at planar uv."""
+    out = {}
+    for table in tables:
+        out.update(sample_mip_table(table, u, v, tile_h, tile_w))
+    for slot in SLOTS:
+        out.setdefault(slot, jnp.zeros_like(u))
+    return out

@@ -217,6 +217,10 @@ def _sample_one_material(mats, px: fused.FusedPixels,
             mats, u, v, settings.tile_h, settings.tile_w,
             use_pallas=_use_pallas(settings),
         )
+    if isinstance(mats, tuple) and mats             and isinstance(mats[0], tq.MipQuadTable):
+        return tq.sample_material_mips(
+            mats, u, v, settings.tile_h, settings.tile_w
+        )
 
     # Legacy paths work on an (H, W, 2) uv image.
     from bibim_tpu.ops.texture import (
@@ -260,7 +264,7 @@ def _sample_materials(materials, px: fused.FusedPixels,
     multi = (
         isinstance(materials, (tuple, list))
         and materials
-        and not isinstance(materials[0], tq.QuadTable)
+        and not isinstance(materials[0], (tq.QuadTable, tq.MipQuadTable))
         and not isinstance(materials, (MaterialTextures, MaterialMips))
     )
     if not multi:
@@ -598,6 +602,31 @@ def material_textures_from_set(material_set, index: int) -> MaterialTextures:
         normal=level0(PBRMapType.NORMAL),
         height=level0(PBRMapType.HEIGHT),
     )
+
+
+def material_mip_quads_from_set(material_set, index: int) -> tuple:
+    """Trilinear mip binding on the fast quad-table path (additive over
+    the reference's mip-less samplers; BASELINE config 2)."""
+    from bibim_tpu.assets.materials import PBRMapType
+
+    def mips(t):
+        return [np.asarray(m)
+                for m in material_set.get_pbr_map_or_default(index, t)]
+
+    alb = mips(PBRMapType.ALBEDO)
+    nrm = mips(PBRMapType.NORMAL)
+    return tq.build_mip_quad_tables({
+        "alb_r": [m[:, :, 0:1] for m in alb],
+        "alb_g": [m[:, :, 1:2] for m in alb],
+        "alb_b": [m[:, :, 2:3] for m in alb],
+        "nrm_x": [m[:, :, 0:1] for m in nrm],
+        "nrm_y": [m[:, :, 1:2] for m in nrm],
+        "nrm_z": [m[:, :, 2:3] for m in nrm],
+        "metallic": mips(PBRMapType.METALLIC),
+        "roughness": mips(PBRMapType.ROUGHNESS),
+        "ao": mips(PBRMapType.AO),
+        "height": mips(PBRMapType.HEIGHT),
+    })
 
 
 def material_mips_from_set(material_set, index: int) -> MaterialMips:

@@ -67,13 +67,13 @@ class CubeScene(SceneBase):
 def cube_scene_materials(with_mips: bool = True):
     """Materials for CubeScene: (uv_debug, texture.jpg) albedos.
 
-    Returns a tuple usable as render_frame's ``materials`` — MaterialMips
-    when ``with_mips`` (trilinear), MaterialTextures otherwise (level-0
-    bilinear, reference sampler parity)."""
+    Returns a tuple usable as render_frame's ``materials`` — mip-quad
+    tables when ``with_mips`` (trilinear fast path), MaterialTextures
+    otherwise (level-0 bilinear, reference sampler parity)."""
     import jax.numpy as jnp
 
-    from bibim_tpu.ops.texture import build_mip_atlas
-    from bibim_tpu.pipeline.framegraph import MaterialMips, MaterialTextures
+    from bibim_tpu.ops.texture_quad import build_mip_quad_tables
+    from bibim_tpu.pipeline.framegraph import MaterialTextures
 
     root = get_resource_root()
     uv_debug = load_image_rgba8(root.common("uv_debug.png"))
@@ -91,15 +91,20 @@ def cube_scene_materials(with_mips: bool = True):
     mats = []
     for albedo in (uv_debug, photo):
         if with_mips:
+            alb_mips = build_mip_pyramid(albedo)
             mats.append(
-                MaterialMips(
-                    albedo=build_mip_atlas(build_mip_pyramid(albedo)),
-                    metallic=build_mip_atlas([n_metal]),
-                    roughness=build_mip_atlas([n_rough]),
-                    ao=build_mip_atlas([n_ao]),
-                    normal=build_mip_atlas([n_norm]),
-                    height=build_mip_atlas([n_height]),
-                )
+                build_mip_quad_tables({
+                    "alb_r": [m[:, :, 0:1] for m in alb_mips],
+                    "alb_g": [m[:, :, 1:2] for m in alb_mips],
+                    "alb_b": [m[:, :, 2:3] for m in alb_mips],
+                    "nrm_x": [n_norm[:, :, 0:1]],
+                    "nrm_y": [n_norm[:, :, 1:2]],
+                    "nrm_z": [n_norm[:, :, 2:3]],
+                    "metallic": [n_metal],
+                    "roughness": [n_rough],
+                    "ao": [n_ao],
+                    "height": [n_height],
+                })
             )
         else:
             mats.append(
