@@ -166,3 +166,47 @@ class TestShardedRendering:
         np.testing.assert_array_equal(
             np.asarray(single["image"]), np.asarray(sharded)
         )
+
+    def test_sharded_with_overlays_matches_single(self):
+        """Light spheres + gizmo composite identically under band sharding
+        (VERDICT r1 item 8): 8 devices, overlays on."""
+        import jax
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+        from bibim_tpu.pipeline.framegraph import make_overlay_resources
+
+        n = min(8, len(jax.devices()))
+        scene = _sphere_scene()
+        overlay = make_overlay_resources()
+        settings = RenderSettings(width=W, height=H, xla_cap=256,
+                                  gizmo_extent=32)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              overlay, settings)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                       _flat_materials(), settings,
+                                       overlay=overlay)
+        # Band-rebased records associate the depth plane differently
+        # (C + B*y0), so exact depth ties at sphere silhouettes may flip;
+        # everything else must match bit-exactly.
+        a = np.asarray(single["image"]).astype(int)
+        b = np.asarray(sharded).astype(int)
+        mismatch = (a != b).any(axis=-1)
+        assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
+
+    def test_sharded_pads_non_divisible_heights(self):
+        import jax
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+
+        n = min(4, len(jax.devices()))
+        scene = _sphere_scene()
+        odd_h = H - 8  # 56 rows over 4 devices → 16-row padded bands
+        settings = RenderSettings(width=W, height=odd_h, xla_cap=256)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              None, settings)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                       _flat_materials(), settings)
+        assert np.asarray(sharded).shape == (odd_h, W, 3)
+        np.testing.assert_array_equal(
+            np.asarray(single["image"]), np.asarray(sharded)
+        )
