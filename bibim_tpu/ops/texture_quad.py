@@ -449,3 +449,146 @@ def sample_material_mips(tables: tuple, u, v, tile_h: int = 8,
     for slot in SLOTS:
         out.setdefault(slot, jnp.zeros_like(u))
     return out
+
+
+class MipQuadMulti(NamedTuple):
+    """One slot-group of mip-quad tables for SEVERAL materials, merged into
+    one flat buffer. Per-pixel material routing then costs zero extra
+    gathers: the material id only selects (static, unrolled) level
+    geometry + offsets. Built by :func:`merge_mip_quad_materials`."""
+
+    quads: jnp.ndarray  # (total_rows, 4*C) uint8
+    heights: tuple  # [mat][level], static
+    widths: tuple
+    offsets: tuple  # [mat][level] flat row offsets, static
+    present: tuple
+
+
+jax.tree_util.register_pytree_node(
+    MipQuadMulti,
+    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present)),
+    lambda aux, ch: MipQuadMulti(ch[0], *aux),
+)
+
+
+def merge_mip_quad_materials(materials: tuple) -> tuple:
+    """Merge a tuple of per-material MipQuadTable tuples into MipQuadMulti
+    groups. Requires every material to partition slots identically (true
+    whenever they come from the same builder); raises otherwise."""
+    by_present = [
+        {t.present: t for t in mat_tables} for mat_tables in materials
+    ]
+    keys = set(by_present[0])
+    for bp in by_present[1:]:
+        if set(bp) != keys:
+            raise ValueError(
+                "materials partition slots differently — cannot merge "
+                f"({sorted(keys)} vs {sorted(bp)})"
+            )
+    merged = []
+    for present in sorted(keys):
+        tabs = [bp[present] for bp in by_present]
+        heights, widths, offsets, parts = [], [], [], []
+        base = 0
+        for t in tabs:
+            heights.append(t.heights)
+            widths.append(t.widths)
+            offsets.append(tuple(o + base for o in t.offsets))
+            parts.append(t.quads)
+            base += t.quads.shape[0]
+        merged.append(
+            MipQuadMulti(
+                quads=jnp.concatenate(parts, axis=0),
+                heights=tuple(heights),
+                widths=tuple(widths),
+                offsets=tuple(offsets),
+                present=present,
+            )
+        )
+    return tuple(merged)
+
+
+def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
+                     tile_w: int) -> dict:
+    """Trilinear sample with per-pixel material routing: still 2 gathers
+    per pixel — material selection is unrolled static geometry selects."""
+    shape = u.shape
+    cpad = table.quads.shape[1] // 4
+    n_mats = len(table.heights)
+
+    def sel_by_mat(values):
+        out = None
+        for mi in range(n_mats):
+            val = values[mi]
+            out = val if out is None else jnp.where(mat_id == mi, val, out)
+        return out
+
+    lod = None
+    for mi in range(n_mats):
+        l = quad_lod_planar(u, v, tile_h, tile_w,
+                            table.heights[mi][0], table.widths[mi][0])
+        lod = l if lod is None else jnp.where(mat_id == mi, l, lod)
+    max_level = sel_by_mat(
+        [jnp.int32(len(h) - 1) for h in table.heights]
+    )
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, max_level)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)
+
+    uf, vf = u.reshape(-1), v.reshape(-1)
+    matf = mat_id.reshape(-1)
+
+    def sample_level(lsel):
+        lsel = jnp.minimum(lsel, max_level).reshape(-1)
+        h = w = off = None
+        for mi in range(n_mats):
+            is_m = matf == mi
+            for li in range(len(table.heights[mi])):
+                is_ml = is_m & (lsel == li)
+                h = jnp.where(is_ml, float(table.heights[mi][li]),
+                              1.0 if h is None else h)
+                w = jnp.where(is_ml, float(table.widths[mi][li]),
+                              1.0 if w is None else w)
+                off = jnp.where(is_ml, table.offsets[mi][li],
+                                0 if off is None else off)
+        fx = uf * w - 0.5
+        fy = vf * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx, ty = fx - x0, fy - y0
+        wi = w.astype(jnp.int32)
+        hi = h.astype(jnp.int32)
+        x0i = jnp.remainder(x0.astype(jnp.int32), wi)
+        y0i = jnp.remainder(y0.astype(jnp.int32), hi)
+        q = table.quads[off + y0i * wi + x0i].astype(jnp.float32) * (
+            1.0 / 255.0
+        )
+        w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
+        w01 = (tx * (1.0 - ty))[:, None]
+        w10 = ((1.0 - tx) * ty)[:, None]
+        w11 = (tx * ty)[:, None]
+        return (
+            q[:, 0:cpad] * w00
+            + q[:, cpad : 2 * cpad] * w01
+            + q[:, 2 * cpad : 3 * cpad] * w10
+            + q[:, 3 * cpad :] * w11
+        )
+
+    s0 = sample_level(l0)
+    s1 = sample_level(l0 + 1)
+    fr = frac.reshape(-1)[:, None]
+    out = s0 * (1.0 - fr) + s1 * fr
+    return {
+        slot: out[:, k].reshape(shape)
+        for k, slot in enumerate(table.present)
+    }
+
+
+def sample_material_mips_multi(tables: tuple, mat_id, u, v,
+                               tile_h: int = 8, tile_w: int = 128) -> dict:
+    """Sample merged multi-material mip-quad groups at planar uv."""
+    out = {}
+    for table in tables:
+        out.update(sample_mip_multi(table, mat_id, u, v, tile_h, tile_w))
+    for slot in SLOTS:
+        out.setdefault(slot, jnp.zeros_like(u))
+    return out

@@ -261,6 +261,13 @@ def _sample_materials(materials, px: fused.FusedPixels,
     """Material routing: single binding, or per-pixel select over a tuple of
     bindings by the winning triangle's batch material id (the per-draw
     material descriptor binding analog, scene.cpp:198-200)."""
+    if isinstance(materials, (tuple, list)) and materials             and isinstance(materials[0], tq.MipQuadMulti):
+        # Pre-merged multi-material mip tables: routing costs no extra
+        # gathers (see merge_mip_quad_materials).
+        u, v = px.uv
+        return tq.sample_material_mips_multi(
+            materials, px.mat_id, u, v, settings.tile_h, settings.tile_w
+        )
     multi = (
         isinstance(materials, (tuple, list))
         and materials

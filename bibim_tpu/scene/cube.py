@@ -72,7 +72,9 @@ def cube_scene_materials(with_mips: bool = True):
     otherwise (level-0 bilinear, reference sampler parity)."""
     import jax.numpy as jnp
 
-    from bibim_tpu.ops.texture_quad import build_mip_quad_tables
+    from bibim_tpu.ops.texture_quad import (
+        build_mip_quad_tables, merge_mip_quad_materials,
+    )
     from bibim_tpu.pipeline.framegraph import MaterialTextures
 
     root = get_resource_root()
@@ -117,4 +119,6 @@ def cube_scene_materials(with_mips: bool = True):
                     height=jnp.asarray(n_height),
                 )
             )
+    if with_mips:
+        return merge_mip_quad_materials(tuple(mats))
     return tuple(mats)
