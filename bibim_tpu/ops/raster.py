@@ -21,7 +21,7 @@ is confined to this one op, and everything downstream is dense.
 Algorithm (plain-XLA path): triangle setup → bbox binning into screen tiles
 (fixed per-tile candidate capacity) → per-tile candidate loop with masked
 edge-function coverage and a running (depth, id, bary) merge. The same
-setup/binning feeds the Pallas kernel (ops/raster_pallas.py).
+setup/binning feeds the fused Pallas kernel (ops/fused.py).
 """
 
 from __future__ import annotations
