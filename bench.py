@@ -227,6 +227,50 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
         _time(step, iters=5), 2)
 
 
+def bench_stretch_4k(report: dict) -> None:
+    """Config 5 (stretch): 4K frame — PBR + shadow map + IBL + overlays."""
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.ops.ibl import make_ibl
+    from bibim_tpu.pipeline import (
+        FrameParams,
+        RenderSettings,
+        ViewBlock,
+        make_overlay_resources,
+        material_quads_from_set,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    w, h = 3840, 2160
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    mats = jax.device_put(
+        material_quads_from_set(create_pbr_material_set(),
+                                scene.selected_material)
+    )
+    ibl = jax.device_put(make_ibl())
+    overlay = make_overlay_resources()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, w / h, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    s = RenderSettings(width=w, height=h, outputs="image",
+                       enable_shadows=True, enable_ibl=True)
+    data = scene.scene_data()
+
+    def step():
+        return render_frame(data, vb, fp, mats, overlay, s,
+                            ibl=ibl)["image"]
+
+    report["configs"]["stretch_4k_shadows_ibl"] = round(
+        _time(step, iters=5), 2)
+
+
 def main() -> None:
     from bibim_tpu.utils.cache import enable_compilation_cache
 
@@ -246,6 +290,10 @@ def main() -> None:
         bench_instanced(report)
     except Exception as e:  # pragma: no cover
         report["configs"]["shaderball_x64_1080p"] = f"error: {e}"
+    try:
+        bench_stretch_4k(report)
+    except Exception as e:  # pragma: no cover
+        report["configs"]["stretch_4k_shadows_ibl"] = f"error: {e}"
 
     print(
         json.dumps(

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-gizmo", action="store_true")
     p.add_argument("--no-lights", action="store_true")
     p.add_argument("--no-srgb", action="store_true")
+    p.add_argument("--shadows", action="store_true",
+                   help="shadow-map the first light (stretch capability)")
+    p.add_argument("--ibl", action="store_true",
+                   help="procedural-sky split-sum IBL ambient (stretch)")
     p.add_argument("--max-candidates", type=int, default=None,
                    help="per-tile raster capacity override")
     p.add_argument("--events", default=None,
@@ -166,6 +170,8 @@ def main(argv=None) -> int:
         show_gizmo=not args.no_gizmo,
         show_tbn=args.tbn,
         srgb_output=not args.no_srgb,
+        enable_shadows=args.shadows,
+        enable_ibl=args.ibl,
         batch_material_ids=getattr(scene, "material_ids", None),
         **({"max_candidates": args.max_candidates}
            if args.max_candidates else {}),
@@ -188,6 +194,12 @@ def main(argv=None) -> int:
         enable_tone_mapping=jnp.int32(0 if args.no_tonemap else 1),
         exposure=jnp.float32(args.exposure),
     )
+
+    ibl_maps = None
+    if args.ibl:
+        from bibim_tpu.ops.ibl import make_ibl
+
+        ibl_maps = make_ibl()
 
     readback = DoubleBufferedReadback(depth=2)
     clock = Stopwatch()
@@ -221,7 +233,8 @@ def main(argv=None) -> int:
             enable_normal_map=jnp.int32(1 if args.normal_map else 0),
         )
         out = render_frame(
-            scene.scene_data(), view_block, frame_params, mats, overlay, settings
+            scene.scene_data(), view_block, frame_params, mats, overlay,
+            settings, ibl=ibl_maps,
         )
         write(readback.submit(out["image"]))
 

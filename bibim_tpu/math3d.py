@@ -198,6 +198,30 @@ def perspective(fov_degrees, aspect, near, far):
     return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
+def orthographic(left, right, bottom, top, near, far):
+    """Reversed-Z orthographic projection with the same conventions as
+    :func:`perspective` (Y negated for the y-down framebuffer, z_ndc = 1 at
+    ``near`` and 0 at ``far``, w = 1). Used by the shadow pass for
+    directional lights — an additive capability over the reference."""
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    bottom = jnp.asarray(bottom, jnp.float32)
+    top = jnp.asarray(top, jnp.float32)
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    z = jnp.zeros_like(left)
+    o = jnp.ones_like(left)
+    sx = 2.0 / (right - left)
+    sy = 2.0 / (top - bottom)
+    rows = [
+        [sx, z, z, -(right + left) / (right - left)],
+        [z, -sy, z, (top + bottom) / (top - bottom)],
+        [z, z, -o / (far - near), far / (far - near)],
+        [z, z, z, o],
+    ]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
 def matmul(a, b):
     """Matrix product (vector_math.cpp:262-272) at full f32 precision."""
     return jnp.matmul(jnp.asarray(a), jnp.asarray(b), precision=_HIGHEST)

@@ -61,8 +61,15 @@ def shade_pbr_planar(
     ao,  # plane
     lights: Lights,
     view_pos,  # (3,)
+    light_vis: dict | None = None,  # light index → visibility plane (shadows)
+    ambient=None,  # (r, g, b) ambient planes override (IBL)
 ):
-    """Full light loop of brdf.frag:22-71 → (r, g, b) linear HDR planes."""
+    """Full light loop of brdf.frag:22-71 → (r, g, b) linear HDR planes.
+
+    ``light_vis`` multiplies per-light radiance by a [0,1] visibility plane
+    (shadow mapping); ``ambient`` replaces the reference's constant
+    0.03·albedo·ao term (IBL). Both are additive capabilities — defaults
+    reproduce the reference exactly."""
     n = normalize3(normal)
     v = normalize3(tuple(view_pos[c] - world[c] for c in range(3)))
     f0 = tuple(0.04 * (1.0 - metallic) + albedo[c] * metallic
@@ -119,6 +126,8 @@ def shade_pbr_planar(
 
         spec_den = 1.0 / jnp.maximum(4.0 * ndv * ndl, 0.001)  # brdf.frag:61
         radiance = att * lights.intensity[i]
+        if light_vis and i in light_vis:
+            radiance = radiance * light_vis[i]
         contrib = []
         for c in range(3):
             specular = (d * f[c] * g) * spec_den
@@ -129,8 +138,10 @@ def shade_pbr_planar(
             )
         lo = tuple(lo[c] + contrib[c] for c in range(3))
 
-    # ambient = 0.03 · albedo · ao (brdf.frag:70)
-    return tuple(0.03 * albedo[c] * ao + lo[c] for c in range(3))
+    # ambient = 0.03 · albedo · ao (brdf.frag:70) unless IBL overrides
+    if ambient is None:
+        ambient = tuple(0.03 * albedo[c] * ao for c in range(3))
+    return tuple(ambient[c] + lo[c] for c in range(3))
 
 
 def shade_flat_planar(color, normal, view_rot):

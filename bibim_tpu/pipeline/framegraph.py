@@ -158,6 +158,13 @@ class RenderSettings:
     gizmo_extent: int = 100  # gGizmo.ViewportExtent (scene.h:14)
     tbn_length: float = 0.05  # tbn.geom LENGTH
     outputs: str = "full"  # "full" (debug dict) | "image" (final u8 only)
+    # Additive stretch capabilities (BASELINE config 5; off = parity):
+    enable_shadows: bool = False  # shadow-map the light below
+    shadow_light: int = 0  # index of the shadow-casting light
+    shadow_size: int = 1024  # shadow map resolution (multiple of 128)
+    shadow_bias: float = 2e-3
+    enable_ibl: bool = False  # split-sum IBL ambient (pass ibl= to
+    # render_frame; replaces the constant 0.03·albedo·ao term)
 
     @property
     def tiles_x(self) -> int:
@@ -444,6 +451,38 @@ def _composite_tbn(ldr3_img, soup, depth_img, view_proj,
     return tuple(ldr[..., c] for c in range(3))
 
 
+def _shadow_visibility(soup, px, lights, settings: RenderSettings):
+    """Depth-only light pass through the same fused raster → planar PCF
+    visibility for the shadow-casting light (ops/shadow.py)."""
+    from bibim_tpu.ops import shadow as sh
+
+    size = settings.shadow_size
+    d = lights.dir[settings.shadow_light]
+    wmin = soup.world.min(axis=0)
+    wmax = soup.world.max(axis=0)
+    lvp = sh.light_view_proj(d, wmin, wmax)
+
+    p4 = jnp.concatenate([soup.world, jnp.ones_like(soup.world[..., :1])],
+                         axis=-1)
+    clip_l = jnp.einsum("vk,mk->vm", p4, lvp,
+                        precision=jax.lax.Precision.HIGHEST)
+    setup_l = triangle_setup(clip_l, soup.tris, size, size,
+                             sequential=settings.sequential_tris)
+    zeros2 = jnp.zeros((clip_l.shape[0], 2), jnp.float32)
+    zeros3 = jnp.zeros((clip_l.shape[0], 3), jnp.float32)
+    rec_l = fused.build_record_table(
+        setup_l, soup.tris, zeros2, zeros3, zeros3, zeros3, zeros3,
+        sequential=settings.sequential_tris,
+    )
+    px_l, _, _ = _raster(rec_l, setup_l, clip_l, soup.tris, size, size,
+                         settings)
+    tiles_x = -(-size // settings.tile_w)
+    depth_img = fused.untile(px_l.depth, size, size, tiles_x,
+                             settings.tile_h, settings.tile_w)
+    smap = sh.build_shadow_map(depth_img, lvp, size)
+    return sh.shadow_factor(smap, px.world, settings.shadow_bias)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def render_frame(
     scene: SceneData,
@@ -452,6 +491,7 @@ def render_frame(
     materials,
     overlay: OverlayResources | None,
     settings: RenderSettings,
+    ibl=None,
 ):
     """Render one frame.
 
@@ -506,6 +546,27 @@ def render_frame(
              masked(slots["ao"]), masked(slots["height"])), quant,
         )
 
+        light_vis = None
+        if settings.enable_shadows and scene.lights.num_lights > 0:
+            light_vis = {
+                settings.shadow_light: _shadow_visibility(
+                    soup, px, scene.lights, settings
+                )
+            }
+        ambient = None
+        if settings.enable_ibl and ibl is not None:
+            from bibim_tpu.ops.ibl import ibl_ambient
+
+            view_dir = tuple(
+                view_block.view_pos[c] - g_pos[c] for c in range(3)
+            )
+            ambient = ibl_ambient(
+                ibl, g_nrm, view_dir, g_alb, g_mrah[0], g_mrah[1],
+                g_mrah[2], settings.tile_h, settings.tile_w,
+                use_pallas=_use_pallas(settings),
+            )
+            ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
+
         if (settings.deferred
                 and settings.gbuffer_viz != GBufferViz.RENDERED_SCENE):
             # buffer_visualize.frag: raw G-buffer rgb into the HDR target.
@@ -523,6 +584,7 @@ def render_frame(
             hdr3 = shade_pbr_planar(
                 g_pos, g_nrm, g_alb, g_mrah[0], g_mrah[1], g_mrah[2],
                 scene.lights, view_block.view_pos,
+                light_vis=light_vis, ambient=ambient,
             )
             # Lighting runs on cleared G-buffer in the reference; masked
             # here → clear color black.

@@ -1,0 +1,164 @@
+"""Stretch capabilities (BASELINE config 5): shadow mapping and IBL.
+
+Both are additive over the reference — disabled they must not change the
+image at all; enabled they must darken occluded regions / replace the
+constant ambient plausibly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.assets.meshgen import generate_plane_mesh
+from bibim_tpu.pipeline import (
+    FrameParams,
+    MaterialTextures,
+    RenderSettings,
+    ViewBlock,
+    render_frame,
+)
+from bibim_tpu.scene import FreeLookCamera
+from bibim_tpu.scene.lights import make_lights
+from bibim_tpu.scene.scene import SceneData, batch_from_mesh
+
+W, H = 128, 64
+
+
+def _mat(albedo=200):
+    def tex(v):
+        return jnp.full((4, 4, 4), v, jnp.uint8)
+
+    return MaterialTextures(
+        albedo=tex(albedo), metallic=tex(0), roughness=tex(180),
+        ao=tex(255), normal=tex(128), height=tex(0),
+    )
+
+
+def _view():
+    cam = FreeLookCamera(pos=np.array([0.0, 6.0, -2.0], np.float32),
+                         pitch=-50.0)
+    return ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+
+
+def _fp():
+    return FrameParams(enable_tone_mapping=jnp.int32(0),
+                       exposure=jnp.float32(1.0))
+
+
+def _occluder_scene():
+    """Ground plane + a floating quad between it and a straight-down
+    directional light → a crisp shadow square."""
+    import numpy as np
+
+    ground = batch_from_mesh(
+        generate_plane_mesh(),
+        np.asarray(m3.compose(m3.translate([0, -1, 4]), m3.scale(8.0))),
+    )
+    blocker = batch_from_mesh(
+        generate_plane_mesh(),
+        np.asarray(m3.compose(m3.translate([0, 1.0, 4]), m3.scale(2.0))),
+    )
+    lights = make_lights(
+        [dict(type=2, dir=(0, -1, 0.01), color=(1, 1, 1), intensity=1.5)]
+    )
+    return SceneData(batches=(ground, blocker), lights=lights)
+
+
+class TestShadows:
+    def test_off_is_parity(self):
+        scene = _occluder_scene()
+        base = render_frame(scene, _view(), _fp(), _mat(), None,
+                            RenderSettings(width=W, height=H, xla_cap=256))
+        again = render_frame(scene, _view(), _fp(), _mat(), None,
+                             RenderSettings(width=W, height=H, xla_cap=256,
+                                            enable_shadows=False))
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(again["image"]))
+
+    def test_occluder_darkens_ground(self):
+        scene = _occluder_scene()
+        s_off = RenderSettings(width=W, height=H, xla_cap=256)
+        s_on = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_shadows=True, shadow_size=128)
+        off = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["image"]
+        ).astype(int)
+        on = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_on)["image"]
+        ).astype(int)
+        darkened = (off.sum(-1) - on.sum(-1)) > 30
+        assert darkened.sum() > 50, "no shadowed pixels found"
+        # Shadows only darken; nothing gets brighter.
+        assert (on <= off + 1).all()
+
+    def test_point_lit_regions_unaffected(self):
+        """Only the shadow-casting light is attenuated."""
+        scene = _occluder_scene()
+        # Second light (point, not shadow-casting) dominates from below.
+        scene = scene._replace(
+            lights=make_lights(
+                [
+                    dict(type=2, dir=(0, -1, 0.01), color=(1, 1, 1),
+                         intensity=0.0),
+                    dict(type=0, pos=(0, 0.5, 4), color=(1, 1, 1),
+                         intensity=5.0),
+                ]
+            )
+        )
+        s_on = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_shadows=True, shadow_size=128,
+                              shadow_light=0)
+        s_off = RenderSettings(width=W, height=H, xla_cap=256)
+        on = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_on)["image"]
+        )
+        off = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["image"]
+        )
+        np.testing.assert_array_equal(on, off)
+
+
+class TestIbl:
+    def test_maps_build(self):
+        from bibim_tpu.ops.ibl import make_ibl, make_procedural_sky
+
+        env = make_procedural_sky()
+        assert env.shape == (64, 128, 3) and env.min() >= 0
+        ibl = make_ibl(env)
+        assert ibl.hdr_scale > 0
+        for tabs in (ibl.irradiance, ibl.spec_gloss, ibl.spec_rough):
+            assert tabs[0].quads.dtype == jnp.uint8
+
+    def test_constant_env_irradiance_is_constant(self):
+        from bibim_tpu.ops.ibl import _convolve
+
+        env = np.full((16, 32, 3), 2.0, np.float32)
+        irr = _convolve(env, 8, 16, power=1.0)
+        np.testing.assert_allclose(irr, 2.0, rtol=1e-4)
+
+    def test_ibl_replaces_ambient(self):
+        from bibim_tpu.ops.ibl import make_ibl
+
+        scene = _occluder_scene()
+        ibl = make_ibl()
+        s_off = RenderSettings(width=W, height=H, xla_cap=256)
+        s_on = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_ibl=True)
+        off = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["image"]
+        )
+        on = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_on,
+                         ibl=ibl)["image"]
+        )
+        assert not np.array_equal(on, off)
+        # sky-lit ambient should be brighter than the 0.03 constant
+        hit = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["tri_id"]
+        ) >= 0
+        assert on[hit].astype(int).mean() > off[hit].astype(int).mean() * 0.5
