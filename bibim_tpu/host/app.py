@@ -52,8 +52,11 @@ VIZ_NAMES = {
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="bibim_tpu renderer")
-    p.add_argument("--scene", choices=["triangle", "shaderball", "gizmo", "cube"],
+    p.add_argument("--scene",
+                   choices=["triangle", "shaderball", "gizmo", "cube", "mesh"],
                    default="shaderball")
+    p.add_argument("--mesh-path", default=None,
+                   help="OBJ/FBX file for --scene mesh (bring your own asset)")
     p.add_argument("--no-mips", action="store_true",
                    help="level-0 sampling only (reference parity) for cube scene")
     p.add_argument("--size", nargs=2, type=int, default=[1280, 720],
@@ -99,6 +102,12 @@ def make_scene(args):
         return TriangleScene()
     if args.scene == "gizmo":
         return GizmoScene()
+    if args.scene == "mesh":
+        from bibim_tpu.scene.meshscene import MeshScene
+
+        if not args.mesh_path:
+            raise SystemExit("--scene mesh requires --mesh-path FILE.obj/.fbx")
+        return MeshScene(path=args.mesh_path, spin=args.spin)
     if args.scene == "cube":
         from bibim_tpu.scene.cube import CubeScene
 

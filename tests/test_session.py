@@ -88,3 +88,35 @@ def test_material_previews(tmp_path):
     sheet = np.asarray(Image.open(out))
     assert sheet.shape[1] == 6 * 32  # one column per PBR map
     assert sheet.any()
+
+
+def test_mesh_scene_renders_user_asset():
+    """Bring-your-own-asset path (Assimp import analog, main.cpp:216-283)."""
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.pipeline import (
+        FrameParams, MaterialTextures, RenderSettings, ViewBlock,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera
+    from bibim_tpu.scene.meshscene import MeshScene
+    from bibim_tpu.utils.config import get_resource_root
+
+    scene = MeshScene(path=str(get_resource_root().common("gizmo.obj")))
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, 2.0, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    tex = jnp.full((4, 4, 4), 180, jnp.uint8)
+    mats = MaterialTextures(albedo=tex, metallic=tex, roughness=tex,
+                            ao=tex, normal=tex, height=tex)
+    out = render_frame(scene.scene_data(), vb, fp, mats, None,
+                       RenderSettings(width=128, height=64, xla_cap=512,
+                                      outputs="full"))
+    assert (np.asarray(out["tri_id"]) >= 0).sum() > 20
