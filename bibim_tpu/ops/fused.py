@@ -298,21 +298,35 @@ def _fused_kernel(
 ):
     zkey_out = refs[0]
     outs = dict(zip(_OUT_FIELDS, refs[1 : 1 + len(_OUT_FIELDS)]))
-    scratch, sem = refs[1 + len(_OUT_FIELDS) :]
+    slabs, sem = refs[1 + len(_OUT_FIELDS) :]
     npx = tile_h * tile_w
 
     i = pl.program_id(0)
-    start = starts_ref[i]
     cnt = counts_ref[i]
     nb = nbig_ref[0]
+    nt = pl.num_programs(0)
+    slot = lax.rem(i, 2)
 
-    dma = pltpu.make_async_copy(
-        tab_ref.at[pl.ds(start, maxc), :],
-        scratch.at[pl.ds(oc, maxc), :],
-        sem,
-    )
-    dma.start()
-    scratch[0:oc, :] = ov_ref[:]  # overflow prefix while the DMA flies
+    def tile_dma(j, s):
+        return pltpu.make_async_copy(
+            tab_ref.at[pl.ds(starts_ref[j], maxc), :],
+            slabs.at[s, pl.ds(oc, maxc), :],
+            sem.at[s],
+        )
+
+    # Double-buffered record fetch: this tile's DMA was started by the
+    # previous grid step; kick off the next tile's before computing.
+    @pl.when(i == 0)
+    def _():
+        slabs[0, 0:oc, :] = ov_ref[:]  # overflow prefix, copied once
+        slabs[1, 0:oc, :] = ov_ref[:]
+        tile_dma(0, 0).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        tile_dma(i + 1, 1 - slot).start()
+
+    scratch = slabs.at[slot]
 
     row = i // tiles_x
     col = lax.rem(i, tiles_x)
@@ -364,7 +378,7 @@ def _fused_kernel(
         init_key = init_ref[0].reshape(1, npx) & _LOW3
     carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
     carry = run(0, nb, carry)
-    dma.wait()
+    tile_dma(i, slot).wait()
     best_key, best_cand = run(oc, cnt, carry)
 
     zkey_out[0] = best_key.reshape(tile_h, tile_w)
@@ -551,8 +565,8 @@ def raster_fused_pallas(
         in_specs=in_specs,
         out_specs=[plane_spec] * n_out,
         scratch_shapes=[
-            pltpu.VMEM((oc + maxc, REC_CH), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
