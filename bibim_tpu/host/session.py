@@ -86,6 +86,9 @@ class Session:
     readback_depth: int = 2
 
     def __post_init__(self):
+        from bibim_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.input = Input()
         self.camera = FreeLookCamera(
             pos=np.asarray(self.ui.camera_pos, np.float32),
