@@ -31,6 +31,16 @@ def _sync(x):
     return np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
+def _validate(render, name: str) -> None:
+    """Render one frame with debug outputs and assert the tiler dropped
+    nothing (CLAUDE.md: capacity limits must never drop geometry silently).
+    The published numbers are for complete frames."""
+    from bibim_tpu.utils.validation import check_bin_diag
+
+    out = render()
+    check_bin_diag(out["bin_diag"], where=name)
+
+
 def _time(fn, *args, iters=ITERS, warmup=WARMUP):
     out = None
     for _ in range(warmup):
@@ -78,6 +88,14 @@ def bench_shaderball(report: dict) -> float:
         enable_tone_mapping=jnp.int32(1), exposure=jnp.float32(1.0)
     )
     data = scene.scene_data()
+
+    import dataclasses
+
+    _validate(
+        lambda: render_frame(data, view_block, frame_params, mats, overlay,
+                             dataclasses.replace(settings, outputs="full")),
+        "config3_shaderball_1080p",
+    )
 
     def step():
         return render_frame(data, view_block, frame_params, mats, overlay,
@@ -150,6 +168,14 @@ def bench_gizmo(report: dict) -> None:
     s = RenderSettings(width=512, height=512, shading="flat",
                        show_lights=False, show_gizmo=False, outputs="image")
 
+    import dataclasses
+
+    _validate(
+        lambda: render_frame(data, vb, fp, None, None,
+                             dataclasses.replace(s, outputs="full")),
+        "config1_gizmo_512",
+    )
+
     def step():
         return render_frame(data, vb, fp, None, None, s)["image"]
 
@@ -181,6 +207,14 @@ def bench_cube(report: dict) -> None:
     s = RenderSettings(width=w, height=h, outputs="image",
                        batch_material_ids=scene.material_ids,
                        show_gizmo=False, show_lights=False)
+
+    import dataclasses
+
+    _validate(
+        lambda: render_frame(data, vb, fp, mats, None,
+                             dataclasses.replace(s, outputs="full")),
+        "config2_cube_720p",
+    )
 
     def step():
         return render_frame(data, vb, fp, mats, None, s)["image"]
@@ -216,9 +250,20 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     )
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
+    # Dense distant instances: the worst tile holds ~2.1k candidates;
+    # seven depth-chained 320-candidate windows cover it without blowing
+    # up the one-hot resolve (skip_empty makes the extra passes cheap).
     s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                        show_gizmo=False, show_lights=False,
-                       max_candidates=1024, span_cap=8)
+                       max_candidates=320, raster_passes=7, span_cap=8)
+
+    import dataclasses
+
+    _validate(
+        lambda: render_frame(data, vb, fp, mats, None,
+                             dataclasses.replace(s, outputs="full")),
+        "config4_shaderball_x64",
+    )
 
     def step():
         return render_frame(data, vb, fp, mats, None, s)["image"]
@@ -259,9 +304,24 @@ def bench_stretch_4k(report: dict) -> None:
     )
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
+    # 4K: silhouette triangles span 4x more tiles (span_cap/overflow up),
+    # and the light-view shadow raster concentrates the ball into dense
+    # tiles (multi-pass windows, same as config 4).
     s = RenderSettings(width=w, height=h, outputs="image",
-                       enable_shadows=True, enable_ibl=True)
+                       enable_shadows=True, enable_ibl=True,
+                       span_cap=32, overflow_cap=256,
+                       max_candidates=320, raster_passes=2,
+                       shadow_passes=14)
     data = scene.scene_data()
+
+    import dataclasses
+
+    _validate(
+        lambda: render_frame(data, vb, fp, mats, overlay,
+                             dataclasses.replace(s, outputs="full"),
+                             ibl=ibl),
+        "config5_stretch_4k",
+    )
 
     def step():
         return render_frame(data, vb, fp, mats, overlay, s,

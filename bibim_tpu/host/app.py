@@ -151,7 +151,8 @@ def main(argv=None) -> int:
         ui = UiState(scene=args.scene, enable_tone_mapping=not args.no_tonemap,
                      exposure=args.exposure, enable_tbn=args.tbn,
                      enable_normal_map=args.normal_map,
-                     num_instances=args.instances)
+                     num_instances=args.instances,
+                     mesh_path=args.mesh_path or "")
         if args.material is not None:
             ui.selected_material = args.material
         session = Session(width=width, height=height, ui=ui)
@@ -203,6 +204,17 @@ def main(argv=None) -> int:
         enable_tone_mapping=jnp.int32(0 if args.no_tonemap else 1),
         exposure=jnp.float32(args.exposure),
     )
+
+    if args.shadows:
+        # The shadow pass assumes a directional caster (orthographic light
+        # frustum); reject other light types up front instead of rendering
+        # garbage visibility.
+        lt = int(np.asarray(scene.scene_data().lights.type)[0])
+        if lt != 2:
+            raise SystemExit(
+                "--shadows requires light 0 to be directional "
+                f"(scene light 0 has type {lt})"
+            )
 
     ibl_maps = None
     if args.ibl:

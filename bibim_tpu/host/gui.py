@@ -30,6 +30,7 @@ class UiState:
     enable_tbn: bool = False
     exposure: float = 1.0  # slider 0.1..10
     selected_material: int = 1  # Material Selector (scene.cpp:141-151)
+    mesh_path: str = ""  # --scene mesh asset (MeshScene)
     selected_instance: int = -1  # Shader Balls window (scene.cpp:131-139)
     num_instances: int = 1
     # FreeLookCamera pose (camera.h:6-14)

@@ -73,6 +73,12 @@ def _make_scene(name: str, ui: UiState):
         from bibim_tpu.scene.cube import CubeScene
 
         return CubeScene()
+    if name == "mesh":
+        from bibim_tpu.scene.meshscene import MeshScene
+
+        if not ui.mesh_path:
+            raise ValueError("scene 'mesh' needs UiState.mesh_path")
+        return MeshScene(path=ui.mesh_path)
     raise ValueError(f"unknown scene {name!r}")
 
 

@@ -505,29 +505,37 @@ def raster_fused_pallas(
     skip_empty: bool = True,
     interpret: bool = False,
     pair_budget: int = 262144,
+    passes: int = 1,
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
     Returns (pixels: FusedPixels, zkey (NT, NPX) int32, diag: BinDiag).
     ``init_zkey`` continues over an existing depth buffer (the analog of a
     later subpass drawing depth-tested against the same depth attachment,
-    main.cpp:128-171)."""
+    main.cpp:128-171).
+
+    ``passes`` > 1 handles tiles denser than ``max_candidates`` without
+    inflating the one-hot resolve: pass p covers candidate window
+    [p·maxc, (p+1)·maxc), depth-chained via the previous pass's keys.
+    GREATER_OR_EQUAL acceptance keeps draw order across windows, and
+    skip_empty makes extra passes nearly free for the tiles that are
+    already exhausted."""
     assert tile_h % 8 == 0 and tile_w % 128 == 0, "VPU-aligned tiles required"
     maxc = ((max_candidates + CHUNK - 1) // CHUNK) * CHUNK
     oc = ((overflow_cap + CHUNK - 1) // CHUNK) * CHUNK
     npx = tile_h * tile_w
 
     sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
-        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc, maxc,
-                  pair_budget=pair_budget)
+        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
+                  maxc * passes, pair_budget=pair_budget)
     )
     nt = tiles_y * tiles_x
 
-    # Gather pair records once, pad so any [start, start+maxc) DMA window
-    # stays in bounds.
+    # Gather pair records once, pad so any DMA window of any pass stays in
+    # bounds.
     pair_rec = rec_table[sorted_tri]
     pair_rec = jnp.concatenate(
-        [pair_rec, jnp.zeros((maxc, REC_CH), jnp.float32)], axis=0
+        [pair_rec, jnp.zeros((maxc * passes, REC_CH), jnp.float32)], axis=0
     )
     ov = rec_table[jnp.maximum(big_ids, 0)] * (
         big_ids >= 0
@@ -548,15 +556,11 @@ def raster_fused_pallas(
         pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
+        plane_spec,  # initial depth keys (zeros = clear)
     ]
-    inputs = [ov, pair_rec]
-    if init_zkey is not None:
-        in_specs.append(plane_spec)
-        inputs.append(init_zkey.reshape(nt, tile_h, tile_w))
-        body = kernel
-    else:
-        def body(s_ref, c_ref, nb_ref, ov_ref, tab_ref, *refs):
-            return kernel(s_ref, c_ref, nb_ref, ov_ref, tab_ref, None, *refs)
+    body = kernel
+    if init_zkey is None:
+        init_zkey = jnp.zeros((nt, npx), jnp.int32)
 
     n_out = 1 + len(_OUT_FIELDS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -569,7 +573,7 @@ def raster_fused_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         body,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.int32)]
@@ -579,11 +583,30 @@ def raster_fused_pallas(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(starts, counts, n_big[None], *inputs)
-    zkey = out[0].reshape(nt, npx)
-    fields = {
-        k: v.reshape(nt, npx) for k, v in zip(_OUT_FIELDS, out[1:])
-    }
+    )
+
+    fields = None
+    zkey = init_zkey
+    for p in range(passes):
+        starts_p = starts + p * maxc
+        counts_p = jnp.clip(counts - p * maxc, 0, maxc)
+        # Big (overflow) triangles are tested in pass 0 only.
+        nb_p = n_big if p == 0 else jnp.int32(0)
+        out = call(
+            starts_p, counts_p, nb_p[None], ov, pair_rec,
+            zkey.reshape(nt, tile_h, tile_w),
+        )
+        zkey = out[0].reshape(nt, npx)
+        fields_p = {
+            k: v.reshape(nt, npx) for k, v in zip(_OUT_FIELDS, out[1:])
+        }
+        if fields is None:
+            fields = fields_p
+        else:
+            hit = fields_p["idf"] >= 0.5  # pass-p winner beat the chain
+            fields = {
+                k: jnp.where(hit, fields_p[k], fields[k]) for k in fields
+            }
     return _pixels_from_fields(fields), zkey, diag
 
 
@@ -600,13 +623,17 @@ def raster_fused_xla(
     init_zkey: jnp.ndarray | None = None,
     viewport_height: int | None = None,
     y_origin=0,
+    diag_caps: tuple | None = None,
 ):
     """XLA fallback with identical outputs (CPU tests / non-TPU backends).
 
     Uses ops.raster.rasterize for the visibility pass, then gathers whole
     record rows per pixel (pixel-rate gathers are fine on CPU). For band
     rendering pass the full-frame ``viewport_height`` + traced ``y_origin``
-    and a shift_record_table_y-rebased ``rec_table``."""
+    and a shift_record_table_y-rebased ``rec_table``. ``diag_caps`` =
+    (span_cap, overflow_cap, max_candidates) reports the drops the Pallas
+    path's binning would incur with those capacities, so CPU tests can
+    validate TPU capacity settings."""
     from bibim_tpu.ops.raster import VisibilityBuffer, rasterize
 
     tiles_x = -(-width // tile_w)
@@ -673,11 +700,18 @@ def raster_fused_xla(
     zkey = tile_plane(
         (zbits & _LOW3).astype(jnp.int32), tiles_x, tiles_y, tile_h, tile_w, 0
     )
-    diag = BinDiag(
-        dropped_overflow=jnp.int32(0),
-        dropped_cap=jnp.int32(0),
-        dropped_pairs=jnp.int32(0),
-    )
+    if diag_caps is not None:
+        span_cap, overflow_cap, maxc = diag_caps
+        *_, diag, _, _ = bin_pairs(
+            setup, width, height, tile_h, tile_w, span_cap,
+            overflow_cap, maxc,
+        )
+    else:
+        diag = BinDiag(
+            dropped_overflow=jnp.int32(0),
+            dropped_cap=jnp.int32(0),
+            dropped_pairs=jnp.int32(0),
+        )
     return _pixels_from_fields(fields), zkey, diag
 
 

@@ -103,7 +103,11 @@ def triangle_setup(
     )
 
     det = edge_c[:, 0] * w0 + edge_c[:, 1] * w1 + edge_c[:, 2] * w2
-    valid = det > 0.0
+    # Front-facing, and at least one corner in front of the camera: a
+    # triangle with all w ≤ 0 is entirely behind the projection center (it
+    # would otherwise survive as a conservative full-screen "external"
+    # triangle and flood the overflow list).
+    valid = (det > 0.0) & (jnp.max(w, axis=-1) > 1e-6)
 
     # Scale-normalize all coefficients per triangle (common factor cancels in
     # coverage, bary, and depth) to keep f32 headroom.

@@ -87,6 +87,24 @@ def render_frame_sharded(
 
     Returns an (H, W, 3) uint8 image whose rows are sharded over the mesh
     axis (device_get assembles it on the host)."""
+    if settings.shading != "pbr":
+        raise NotImplementedError(
+            "render_frame_sharded shards the deferred PBR path; flat "
+            "shading scenes are single-chip-cheap — render them unsharded"
+        )
+    if settings.enable_shadows or settings.enable_ibl:
+        raise NotImplementedError(
+            "shadows/IBL are not wired into the band-sharded path yet — "
+            "render single-chip or disable them"
+        )
+    from bibim_tpu.pipeline.framegraph import GBufferViz
+
+    if settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
+        raise NotImplementedError(
+            "G-buffer visualization is a debug view; use the single-chip "
+            "path"
+        )
+
     (axis_name,) = mesh.axis_names
     n = mesh.devices.size
     th = settings.tile_h
@@ -101,8 +119,9 @@ def render_frame_sharded(
     gz = None
     if settings.show_gizmo and overlay is not None:
         ext = settings.gizmo_extent
-        hit_img, rgb = _render_gizmo(view_block.view, view_block.proj,
-                                     overlay, settings)
+        hit_img, rgb, _gz_diag = _render_gizmo(view_block.view,
+                                               view_block.proj, overlay,
+                                               settings)
         ey = min(ext, h_pad)
         ex = min(ext, width)
         patch = jnp.stack(

@@ -143,7 +143,9 @@ class RenderSettings:
     tile_h: int = 8  # Pallas screen-tile rows (multiple of 8)
     tile_w: int = 128  # must be 128 (VPU lane width)
     max_candidates: int = 320  # per-tile candidate capacity (main pass)
-    overlay_candidates: int = 64  # per-tile capacity for overlay passes
+    raster_passes: int = 1  # multi-pass windows for tiles denser than that
+    shadow_passes: int | None = None  # shadow-pass windows (None = same)
+    overlay_candidates: int = 384  # per-tile capacity for overlay passes
     overflow_cap: int = 64  # shared big-triangle list capacity
     span_cap: int = 16  # max tiles a binned triangle may span
     xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
@@ -192,21 +194,27 @@ def _q16(x, enable: bool):
 
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
-            skip_empty=True):
+            skip_empty=True, overflow_cap=None, passes=None):
+    if passes is None:
+        passes = settings.raster_passes if cap is None else 1
     if _use_pallas(settings):
         return fused.raster_fused_pallas(
             rec_table, setup, width, height,
             tile_h=settings.tile_h, tile_w=settings.tile_w,
             max_candidates=cap or settings.max_candidates,
-            overflow_cap=settings.overflow_cap,
+            overflow_cap=overflow_cap or settings.overflow_cap,
             span_cap=settings.span_cap,
             init_zkey=init_zkey, skip_empty=skip_empty,
             pair_budget=settings.pair_budget,
+            passes=passes,
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
         tile_h=settings.tile_h, tile_w=settings.tile_w,
         cap=settings.xla_cap, init_zkey=init_zkey,
+        diag_caps=(settings.span_cap,
+                   overflow_cap or settings.overflow_cap,
+                   (cap or settings.max_candidates) * passes),
     )
 
 
@@ -338,12 +346,13 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
     rec = fused.build_record_table(
         setup, tris, zeros2, zeros3, zeros3, world, colors,
     )
-    px, _, _ = _raster(
+    px, _, diag = _raster(
         rec, setup, clip, tris, settings.width, settings.height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
+        overflow_cap=512,  # near-plane-straddling spheres go conservative
     )
     hit = px.tri_id >= 0
-    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3))
+    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3)), diag
 
 
 def _render_gizmo(view, proj, overlay: OverlayResources,
@@ -383,9 +392,9 @@ def _render_gizmo(view, proj, overlay: OverlayResources,
         jnp.zeros_like(overlay.gizmo_normals),
         overlay.gizmo_positions, overlay.gizmo_colors,
     )
-    px, _, _ = _raster(rec, setup, clip, overlay.gizmo_tris, ext, ext,
-                       gz_settings, cap=settings.overlay_candidates,
-                       skip_empty=True)
+    px, _, gz_diag = _raster(rec, setup, clip, overlay.gizmo_tris, ext, ext,
+                             gz_settings, cap=settings.overlay_candidates,
+                             skip_empty=True)
     gz_rgb = shade_flat_planar(px.color, px.normal, rot)
     hit = px.tri_id >= 0
 
@@ -393,14 +402,14 @@ def _render_gizmo(view, proj, overlay: OverlayResources,
         return fused.untile(c, ext, ext, gz_settings.tiles_x,
                             gz_settings.tile_h, gz_settings.tile_w)
 
-    return region(hit), tuple(region(c) for c in gz_rgb)
+    return region(hit), tuple(region(c) for c in gz_rgb), gz_diag
 
 
 def _composite_gizmo(ldr3_img, view, proj, overlay: OverlayResources,
                      settings: RenderSettings):
     """Composite the gizmo into the top-right corner of (H, W) LDR planes."""
     ext = settings.gizmo_extent
-    hit_img, rgb = _render_gizmo(view, proj, overlay, settings)
+    hit_img, rgb, gz_diag = _render_gizmo(view, proj, overlay, settings)
     # Clamp the viewport to the frame (tiny debug frames < 100px).
     ey = min(ext, settings.height)
     ex = min(ext, settings.width)
@@ -411,7 +420,7 @@ def _composite_gizmo(ldr3_img, view, proj, overlay: OverlayResources,
         patch = jnp.where(hit_img[:ey, :ex], rgb[c][:ey, :ex],
                           img[0:ey, x0:])
         out.append(img.at[0:ey, x0:].set(patch))
-    return tuple(out)
+    return tuple(out), gz_diag
 
 
 def _composite_tbn(ldr3_img, soup, depth_img, view_proj,
@@ -474,13 +483,15 @@ def _shadow_visibility(soup, px, lights, settings: RenderSettings):
         setup_l, soup.tris, zeros2, zeros3, zeros3, zeros3, zeros3,
         sequential=settings.sequential_tris,
     )
-    px_l, _, _ = _raster(rec_l, setup_l, clip_l, soup.tris, size, size,
-                         settings)
+    px_l, _, sh_diag = _raster(
+        rec_l, setup_l, clip_l, soup.tris, size, size, settings,
+        passes=settings.shadow_passes or settings.raster_passes,
+    )
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
                              settings.tile_h, settings.tile_w)
     smap = sh.build_shadow_map(depth_img, lvp, size)
-    return sh.shadow_factor(smap, px.world, settings.shadow_bias)
+    return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -511,6 +522,7 @@ def render_frame(
     px, zkey, diag = _raster(
         rec_table, setup, soup.clip, soup.tris, width, height, settings
     )
+    diags = [diag]
     valid = px.tri_id >= 0
 
     gb = {}
@@ -548,11 +560,11 @@ def render_frame(
 
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
-            light_vis = {
-                settings.shadow_light: _shadow_visibility(
-                    soup, px, scene.lights, settings
-                )
-            }
+            vis_plane, sh_diag = _shadow_visibility(
+                soup, px, scene.lights, settings
+            )
+            light_vis = {settings.shadow_light: vis_plane}
+            diags.append(sh_diag)
         ambient = None
         if settings.enable_ibl and ibl is not None:
             from bibim_tpu.ops.ibl import ibl_ambient
@@ -615,9 +627,10 @@ def render_frame(
 
     if settings.show_lights and overlay is not None \
             and scene.lights.num_lights > 0:
-        ldr3 = _composite_light_spheres(
+        ldr3, sp_diag = _composite_light_spheres(
             ldr3, zkey, scene.lights, overlay, view_proj, settings
         )
+        diags.append(sp_diag)
 
     # Image-space stages: TBN lines + corner gizmo + output encode.
     ldr3_img = tuple(_untile(c, settings) for c in ldr3)
@@ -626,9 +639,10 @@ def render_frame(
             ldr3_img, soup, _untile(px.depth, settings), view_proj, settings
         )
     if settings.show_gizmo and overlay is not None:
-        ldr3_img = _composite_gizmo(
+        ldr3_img, gz_diag = _composite_gizmo(
             ldr3_img, view_block.view, view_block.proj, overlay, settings
         )
+        diags.append(gz_diag)
 
     if settings.srgb_output:
         out3 = tuple(srgb_encode(c) for c in ldr3_img)
@@ -638,6 +652,13 @@ def render_frame(
 
     if settings.outputs == "image":
         return {"image": image}
+    # Aggregate capacity diagnostics over every raster pass of the frame
+    # (main, shadow, light spheres, gizmo).
+    total_diag = fused.BinDiag(
+        dropped_overflow=sum(d.dropped_overflow for d in diags),
+        dropped_cap=sum(d.dropped_cap for d in diags),
+        dropped_pairs=sum(d.dropped_pairs for d in diags),
+    )
     return {
         "image": image,
         "ldr": jnp.stack(ldr3_img, axis=-1),
@@ -645,7 +666,7 @@ def render_frame(
         "depth": _untile(px.depth, settings),
         "tri_id": _untile(px.tri_id, settings),
         "gbuffer": gb,
-        "bin_diag": diag,
+        "bin_diag": total_diag,
     }
 
 

@@ -86,8 +86,10 @@ class MeshScene(SceneBase):
     def update_scene(self, dt: float) -> None:
         if self.spin:
             self.angle += 30.0 * dt
+            model = self._model()[None]
+            inv = np.linalg.inv(model.astype(np.float64)).astype(np.float32)
             self._batch = self._batch._replace(
-                model=np.asarray(self._model())[None]
+                model=np.asarray(model, np.float32), inv_model=inv
             )
 
     def scene_data(self) -> SceneData:

@@ -87,3 +87,9 @@ def check_bin_diag(diag, where: str = "frame") -> None:
         "RenderSettings.max_candidates (or span_cap if triangles are "
         "being misclassified as huge)",
     )
+    pairs = int(getattr(diag, "dropped_pairs", 0))
+    bb_assert(
+        pairs == 0,
+        f"{where}: {pairs} (triangle, tile) pairs beyond the pair budget — "
+        "raise RenderSettings.pair_budget",
+    )

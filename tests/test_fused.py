@@ -214,6 +214,61 @@ class TestValidationHook:
         out = render_frame(
             scene.scene_data(), vb, fp, None, None,
             RenderSettings(width=W, height=H, shading="flat", xla_cap=2048,
-                           show_lights=False, show_gizmo=False),
+                           show_lights=False, show_gizmo=False,
+                           max_candidates=2048, span_cap=128,
+                           overflow_cap=512),
         )
-        check_bin_diag(out["bin_diag"])  # XLA fallback reports zero drops
+        check_bin_diag(out["bin_diag"])  # adequate caps → zero drops
+
+    def test_render_frame_reports_real_drops(self, scene_soup):
+        """Undersized capacities must surface through the frame output
+        (the silent-holes failure mode VERDICT r1 flagged)."""
+        from bibim_tpu.pipeline import (
+            FrameParams, RenderSettings, ViewBlock, render_frame,
+        )
+        from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        scene = ShaderBallScene()
+        cam = FreeLookCamera()
+        vb = ViewBlock(
+            view=jnp.asarray(cam.get_view_matrix()),
+            proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+            view_pos=jnp.asarray(cam.pos),
+            enable_normal_map=jnp.int32(0),
+        )
+        fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                         exposure=jnp.float32(1.0))
+        out = render_frame(
+            scene.scene_data(), vb, fp, None, None,
+            RenderSettings(width=W, height=H, shading="flat", xla_cap=2048,
+                           show_lights=False, show_gizmo=False,
+                           max_candidates=64),
+        )
+        with pytest.raises(Exception):
+            check_bin_diag(out["bin_diag"])
+
+
+class TestMultiPass:
+    def test_passes_equal_single_big_cap(self, scene_soup, rec_setup):
+        """Dense tiles: 4 windows of 64 candidates must equal one 256-cap
+        pass (depth-chained GREATER_OR_EQUAL keeps draw order)."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, overflow_cap=512, span_cap=128,
+                  interpret=True)
+        px_one, zk_one, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=2048, **kw
+        )
+        px_multi, zk_multi, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=512, passes=4, **kw
+        )
+        np.testing.assert_array_equal(_untile(px_one.tri_id),
+                                      _untile(px_multi.tri_id))
+        hit = _untile(px_one.tri_id) >= 0
+        np.testing.assert_allclose(
+            _untile(px_one.depth)[hit], _untile(px_multi.depth)[hit],
+            atol=1e-6,
+        )
+        for a, b in zip(px_one.uv, px_multi.uv):
+            np.testing.assert_allclose(_untile(a)[hit], _untile(b)[hit],
+                                       atol=1e-5)
