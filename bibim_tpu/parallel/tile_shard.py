@@ -34,15 +34,17 @@ from bibim_tpu import math3d as m3
 from bibim_tpu.ops import fused
 from bibim_tpu.ops.geometry import assemble_scene
 from bibim_tpu.ops.raster import triangle_setup
-from bibim_tpu.ops.shading_planar import apply_normal_map, shade_pbr_planar
 from bibim_tpu.ops.tonemap import srgb_encode, to_u8, tone_map
 from bibim_tpu.pipeline.framegraph import (
     FrameParams,
     OverlayResources,
     RenderSettings,
     ViewBlock,
+    _composite_light_spheres,
+    _materialize_gbuffer_planes,
+    _raster,
+    _pbr_hdr,
     _render_gizmo,
-    _sample_materials,
     _scene_record_table,
     _q16,
 )
@@ -159,33 +161,17 @@ def render_frame_sharded(
         rec = fused.shift_record_table_y(
             _scene_record_table(soup, setup, settings), y0
         )
-        px, zkey, _diag = _band_raster(
+        px, zkey, _diag = _raster(
             rec, setup, soup.clip, soup.tris, width, band_h,
-            band_settings, y0,
+            band_settings, viewport=(settings.height, y0),
         )
-        valid = px.tri_id >= 0
 
-        slots = _sample_materials(materials, px, _band_view(band_settings,
-                                                            band_h))
-        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
-        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
-        normal = apply_normal_map(px.normal, px.tangent, nmap,
-                                  view_block.enable_normal_map)
-        quant = settings.quantize_fp16 and settings.deferred
-
-        def masked(ch):
-            return jnp.where(valid, ch, 0.0)
-
-        g_pos = _q16(tuple(masked(c) for c in px.world), quant)
-        g_nrm = _q16(tuple(masked(c) for c in normal), quant)
-        g_alb = _q16(tuple(masked(c) for c in albedo), quant)
-        g_m = _q16(masked(slots["metallic"]), quant)
-        g_r = _q16(masked(slots["roughness"]), quant)
-        g_ao = _q16(masked(slots["ao"]), quant)
-
-        hdr3 = shade_pbr_planar(g_pos, g_nrm, g_alb, g_m, g_r, g_ao,
-                                scene.lights, view_block.view_pos)
-        hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+        band_view = _band_view(band_settings, band_h)
+        g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
+            px, materials, view_block, band_view
+        )
+        hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
+                        view_block)
         hdr3 = _q16(hdr3, settings.quantize_fp16)
         ldr3 = tuple(
             tone_map(c, frame_params.enable_tone_mapping,
@@ -195,9 +181,10 @@ def render_frame_sharded(
 
         if settings.show_lights and overlay is not None \
                 and scene.lights.num_lights > 0:
-            ldr3 = _band_light_spheres(
-                ldr3, zkey, scene.lights, overlay, view_block, band_settings,
-                band_h, y0,
+            view_proj = m3.matmul(view_block.proj, view_block.view)
+            ldr3, _sp_diag = _composite_light_spheres(
+                ldr3, zkey, scene.lights, overlay, view_proj, band_settings,
+                band=(band_h, y0),
             )
 
         tiles_x = band_settings.tiles_x
@@ -230,37 +217,3 @@ def _band_view(settings: RenderSettings, band_h: int) -> RenderSettings:
 
     return dataclasses.replace(settings, height=band_h)
 
-
-def _band_light_spheres(ldr3, zkey, lights, overlay, view_block,
-                        settings: RenderSettings, band_h: int, y0):
-    """Band-local light-sphere pass (light.vert/frag): same construction as
-    the single-chip overlay, rebased to band rows."""
-    view_proj = m3.matmul(view_block.proj, view_block.view)
-    num_l = lights.num_lights
-    vs = overlay.sphere_positions
-    nv = vs.shape[0]
-    world = (vs[None, :, :] + lights.pos[:, None, :]).reshape(-1, 3)
-    p4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
-    clip = jnp.einsum("vk,mk->vm", p4, view_proj,
-                      precision=jax.lax.Precision.HIGHEST)
-    offs = (jnp.arange(num_l, dtype=jnp.int32) * nv)[:, None, None]
-    tris = (overlay.sphere_tris[None] + offs).reshape(-1, 3)
-    colors = jnp.broadcast_to(
-        lights.color[:, None, :], (num_l, nv, 3)
-    ).reshape(-1, 3)
-
-    setup = triangle_setup(clip, tris, settings.width, settings.height,
-                           band_y0=y0, band_height=band_h)
-    zeros2 = jnp.zeros((world.shape[0], 2), jnp.float32)
-    zeros3 = jnp.zeros_like(world)
-    rec = fused.shift_record_table_y(
-        fused.build_record_table(setup, tris, zeros2, zeros3, zeros3,
-                                 world, colors),
-        y0,
-    )
-    px, _, _ = _band_raster(
-        rec, setup, clip, tris, settings.width, band_h, settings, y0,
-        cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
-    )
-    hit = px.tri_id >= 0
-    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3))

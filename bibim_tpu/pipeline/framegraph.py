@@ -194,7 +194,12 @@ def _q16(x, enable: bool):
 
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
-            skip_empty=True, overflow_cap=None, passes=None):
+            skip_empty=True, overflow_cap=None, passes=None,
+            viewport=None):
+    """``viewport`` = (full_frame_height, y_origin) for band rendering: the
+    Pallas path consumes band-rebased records (shift_record_table_y), the
+    XLA fallback re-derives its own setup from clip and needs the band
+    explicitly."""
     if passes is None:
         passes = settings.raster_passes if cap is None else 1
     if _use_pallas(settings):
@@ -212,6 +217,8 @@ def _raster(rec_table, setup, clip, tris, width, height,
         rec_table, setup, clip, tris, width, height,
         tile_h=settings.tile_h, tile_w=settings.tile_w,
         cap=settings.xla_cap, init_zkey=init_zkey,
+        viewport_height=viewport[0] if viewport else None,
+        y_origin=viewport[1] if viewport else 0,
         diag_caps=(settings.span_cap,
                    overflow_cap or settings.overflow_cap,
                    (cap or settings.max_candidates) * passes),
@@ -320,12 +327,58 @@ def _scene_record_table(soup, setup, settings: RenderSettings):
     )
 
 
+def _materialize_gbuffer_planes(px, materials, view_block,
+                                settings: RenderSettings):
+    """gbuffer.frag materialization: material sampling + TBN normal mapping
+    + (deferred) fp16 attachment quantization → planar G-buffer channels.
+
+    Shared by the single-chip frame and the band-sharded path."""
+    valid = px.tri_id >= 0
+    slots = _sample_materials(materials, px, settings)
+    albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+    nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+    normal = apply_normal_map(
+        px.normal, px.tangent, nmap, view_block.enable_normal_map
+    )
+    # In deferred mode the planes round-trip through fp16, emulating the
+    # RGBA16F attachments; the forward path shades at full precision
+    # straight from the sampled material (forward_brdf.frag), no G-buffer.
+    quant = settings.quantize_fp16 and settings.deferred
+
+    def masked(ch):
+        return jnp.where(valid, ch, 0.0)
+
+    g_pos = _q16(tuple(masked(c) for c in px.world), quant)
+    g_nrm = _q16(tuple(masked(c) for c in normal), quant)
+    g_alb = _q16(tuple(masked(c) for c in albedo), quant)
+    g_mrah = _q16(
+        (masked(slots["metallic"]), masked(slots["roughness"]),
+         masked(slots["ao"]), masked(slots["height"])), quant,
+    )
+    return g_pos, g_nrm, g_alb, g_mrah, valid
+
+
+def _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid, lights, view_block,
+             light_vis=None, ambient=None):
+    """Deferred lighting (brdf.frag) on G-buffer planes → masked HDR."""
+    hdr3 = shade_pbr_planar(
+        g_pos, g_nrm, g_alb, g_mrah[0], g_mrah[1], g_mrah[2],
+        lights, view_block.view_pos,
+        light_vis=light_vis, ambient=ambient,
+    )
+    # Lighting runs on cleared G-buffer in the reference; masked here →
+    # clear color black.
+    return tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+
+
 def _composite_light_spheres(ldr3, zkey, lights: Lights,
                              overlay: OverlayResources, view_proj,
-                             settings: RenderSettings):
+                             settings: RenderSettings, band=None):
     """Light-source spheres (light.vert/frag + main.cpp:138-148): instanced
     sphere at each light position, flat light color, depth-tested against
-    the scene depth (continued via init_zkey), drawn after tone mapping."""
+    the scene depth (continued via init_zkey), drawn after tone mapping.
+
+    ``band`` = (band_h, y0) renders the band-local slice (sharded path)."""
     num_l = lights.num_lights
     vs = overlay.sphere_positions  # (V,3)
     nv = vs.shape[0]
@@ -340,16 +393,24 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
         lights.color[:, None, :], (num_l, nv, 3)
     ).reshape(-1, 3)
 
-    setup = triangle_setup(clip, tris, settings.width, settings.height)
+    height = settings.height
+    y0 = None
+    if band is not None:
+        height, y0 = band
+    setup = triangle_setup(clip, tris, settings.width, settings.height,
+                           band_y0=y0, band_height=height if band else None)
     zeros2 = jnp.zeros((world.shape[0], 2), jnp.float32)
     zeros3 = jnp.zeros_like(world)
     rec = fused.build_record_table(
         setup, tris, zeros2, zeros3, zeros3, world, colors,
     )
+    if band is not None:
+        rec = fused.shift_record_table_y(rec, y0)
     px, _, diag = _raster(
-        rec, setup, clip, tris, settings.width, settings.height, settings,
+        rec, setup, clip, tris, settings.width, height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
         overflow_cap=512,  # near-plane-straddling spheres go conservative
+        viewport=(settings.height, y0) if band is not None else None,
     )
     hit = px.tri_id >= 0
     return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3)), diag
@@ -533,30 +594,10 @@ def render_frame(
         hdr3 = shade_flat_planar(px.color, px.normal, rot)
         hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
     else:
-        slots = _sample_materials(materials, px, settings)
-        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
-        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
-        normal = apply_normal_map(
-            px.normal, px.tangent, nmap, view_block.enable_normal_map
+        g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
+            px, materials, view_block, settings
         )
-
-        # G-buffer materialization (gbuffer.frag:24-32). In deferred mode
-        # the planes round-trip through fp16, emulating the RGBA16F
-        # attachments; the forward path shades at full precision straight
-        # from the sampled material (forward_brdf.frag) with no G-buffer.
-        quant = settings.quantize_fp16 and settings.deferred
         zero = jnp.zeros_like(px.depth)
-
-        def masked(ch):
-            return jnp.where(valid, ch, 0.0)
-
-        g_pos = _q16(tuple(masked(c) for c in px.world), quant)
-        g_nrm = _q16(tuple(masked(c) for c in normal), quant)
-        g_alb = _q16(tuple(masked(c) for c in albedo), quant)
-        g_mrah = _q16(
-            (masked(slots["metallic"]), masked(slots["roughness"]),
-             masked(slots["ao"]), masked(slots["height"])), quant,
-        )
 
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
@@ -593,14 +634,9 @@ def render_frame(
             }
             hdr3 = viz_planes[settings.gbuffer_viz]
         else:
-            hdr3 = shade_pbr_planar(
-                g_pos, g_nrm, g_alb, g_mrah[0], g_mrah[1], g_mrah[2],
-                scene.lights, view_block.view_pos,
-                light_vis=light_vis, ambient=ambient,
-            )
-            # Lighting runs on cleared G-buffer in the reference; masked
-            # here → clear color black.
-            hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+            hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
+                            scene.lights, view_block,
+                            light_vis=light_vis, ambient=ambient)
 
         if settings.outputs == "full":
             gb = {
