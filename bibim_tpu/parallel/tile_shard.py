@@ -41,6 +41,7 @@ from bibim_tpu.pipeline.framegraph import (
     RenderSettings,
     ViewBlock,
     _composite_light_spheres,
+    _forward_hdr,
     _materialize_gbuffer_planes,
     _raster,
     _pbr_hdr,
@@ -167,11 +168,15 @@ def render_frame_sharded(
         )
 
         band_view = _band_view(band_settings, band_h)
-        g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
-            px, materials, view_block, band_view
-        )
-        hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
-                        view_block)
+        if settings.deferred:
+            g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
+                px, materials, view_block, band_view
+            )
+            hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
+                            scene.lights, view_block)
+        else:
+            hdr3, valid = _forward_hdr(px, materials, scene.lights,
+                                       view_block, band_view)
         hdr3 = _q16(hdr3, settings.quantize_fp16)
         ldr3 = tuple(
             tone_map(c, frame_params.enable_tone_mapping,

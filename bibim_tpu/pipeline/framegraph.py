@@ -358,6 +358,42 @@ def _materialize_gbuffer_planes(px, materials, view_block,
     return g_pos, g_nrm, g_alb, g_mrah, valid
 
 
+def _forward_hdr(px, materials, lights, view_block, settings,
+                 light_vis=None, ibl=None):
+    """True forward lighting path (forward_brdf.vert/.frag, subpass 2 at
+    main.cpp:106-113): shade at fragment rate straight from the sampled
+    material taps and the interpolated vertex attributes — full f32, no
+    G-buffer materialization, no RGBA16F attachment round-trip. Distinct
+    from the deferred path both in code and in cost (skips the quantize +
+    materialize stage entirely)."""
+    valid = px.tri_id >= 0
+    slots = _sample_materials(materials, px, settings)
+    albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+    nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+    normal = apply_normal_map(
+        px.normal, px.tangent, nmap, view_block.enable_normal_map
+    )
+    ambient = None
+    if settings.enable_ibl and ibl is not None:
+        from bibim_tpu.ops.ibl import ibl_ambient
+
+        view_dir = tuple(
+            view_block.view_pos[c] - px.world[c] for c in range(3)
+        )
+        ambient = ibl_ambient(
+            ibl, normal, view_dir, albedo, slots["metallic"],
+            slots["roughness"], slots["ao"], settings.tile_h,
+            settings.tile_w, use_pallas=_use_pallas(settings),
+        )
+        ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
+    hdr3 = shade_pbr_planar(
+        px.world, normal, albedo, slots["metallic"], slots["roughness"],
+        slots["ao"], lights, view_block.view_pos,
+        light_vis=light_vis, ambient=ambient,
+    )
+    return tuple(jnp.where(valid, c, 0.0) for c in hdr3), valid
+
+
 def _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid, lights, view_block,
              light_vis=None, ambient=None):
     """Deferred lighting (brdf.frag) on G-buffer planes → masked HDR."""
@@ -593,6 +629,27 @@ def render_frame(
         rot = view_block.view[:3, :3]
         hdr3 = shade_flat_planar(px.color, px.normal, rot)
         hdr3 = tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+    elif not settings.deferred:
+        # Forward lighting (subpass 2, main.cpp:106-113): no G-buffer
+        # exists this frame. A G-buffer visualization request shows the
+        # *cleared* attachments (black), matching the reference's subpass
+        # structure where buffer_visualize samples attachments nothing
+        # wrote (main.cpp:114-121).
+        light_vis = None
+        if settings.enable_shadows and scene.lights.num_lights > 0:
+            vis_plane, sh_diag = _shadow_visibility(
+                soup, px, scene.lights, settings
+            )
+            light_vis = {settings.shadow_light: vis_plane}
+            diags.append(sh_diag)
+        if settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
+            zero = jnp.zeros_like(px.depth)
+            hdr3 = (zero, zero, zero)
+        else:
+            hdr3, valid = _forward_hdr(
+                px, materials, scene.lights, view_block, settings,
+                light_vis=light_vis, ibl=ibl,
+            )
     else:
         g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
             px, materials, view_block, settings
@@ -620,8 +677,7 @@ def render_frame(
             )
             ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
 
-        if (settings.deferred
-                and settings.gbuffer_viz != GBufferViz.RENDERED_SCENE):
+        if settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
             # buffer_visualize.frag: raw G-buffer rgb into the HDR target.
             viz_planes = {
                 GBufferViz.POSITION: g_pos,

@@ -112,6 +112,19 @@ class TestRenderFrame:
             np.asarray(out_d["ldr"]), np.asarray(out_f["ldr"]), atol=1e-5
         )
 
+    def test_forward_viz_shows_cleared_gbuffer(self):
+        """In forward mode nothing writes the G-buffer attachments, so a
+        visualization request shows the cleared (black) planes — the
+        reference's subpass structure (main.cpp:106-121)."""
+        scene = _sphere_scene()
+        out = render_frame(
+            scene, _view(), _fp(0), _flat_materials(), None,
+            RenderSettings(width=W, height=H, deferred=False,
+                           gbuffer_viz=GBufferViz.NORMAL, **SMALL),
+        )
+        assert (np.asarray(out["hdr"]) == 0.0).all()
+        assert (np.asarray(out["image"]) == 0).all()
+
 
 needs_assets = pytest.mark.skipif(
     not get_resource_root().common("gizmo.obj").is_file(),
@@ -192,6 +205,24 @@ class TestShardedRendering:
         b = np.asarray(sharded).astype(int)
         mismatch = (a != b).any(axis=-1)
         assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
+
+    def test_sharded_forward_matches_single(self):
+        """The true forward path shards identically to deferred."""
+        import jax
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+
+        n = min(4, len(jax.devices()))
+        scene = _sphere_scene()
+        settings = RenderSettings(width=W, height=H, deferred=False,
+                                  xla_cap=256)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              None, settings)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                       _flat_materials(), settings)
+        np.testing.assert_array_equal(
+            np.asarray(single["image"]), np.asarray(sharded)
+        )
 
     def test_sharded_pads_non_divisible_heights(self):
         import jax
