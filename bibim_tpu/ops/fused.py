@@ -43,7 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bibim_tpu.ops.raster import TriangleSetup, triangle_setup
+from bibim_tpu.ops.raster import PlanarSetup, TriangleSetup, triangle_setup
 
 CHUNK = 8
 _LOW3 = ~7  # clears the 3 lane-index bits from a packed depth key
@@ -86,6 +86,8 @@ class BinDiag(NamedTuple):
     dropped_overflow: jnp.ndarray  # big triangles beyond overflow slots
     dropped_cap: jnp.ndarray  # per-tile candidates beyond max_candidates
     dropped_pairs: jnp.ndarray  # live pairs beyond pair_budget
+    dropped_tiles: object = 0  # covered tiles beyond an overlay pass's
+    # compact-grid capacity (composite_overlay_pallas max_tiles)
 
 
 def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
@@ -140,6 +142,32 @@ def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
         jnp.zeros((t, REC_CH - _USED), jnp.float32),
     ]
     rec = jnp.concatenate(cols, axis=-1)
+    return rec * setup.valid.astype(jnp.float32)[:, None]
+
+
+def build_record_table_planar(setup: PlanarSetup, soup) -> jnp.ndarray:
+    """Corner-planar :func:`build_record_table`: stack 59 dense (T,)
+    channel planes channel-major and transpose once into the (T, 128) row
+    layout the per-tile DMA needs. Replaces ~20 narrow lane-dim concats of
+    (T, 3) pieces (3/128-lane ops — ~16 ms at 625k triangles) with one
+    dense block transpose. Channel order matches build_record_table
+    exactly (same record constants _A.._USED)."""
+    t = setup.valid.shape[0]
+    ids = jnp.arange(t, dtype=jnp.float32) + 1.0
+    planes = [
+        *setup.edge_a, *setup.edge_b, *setup.edge_c,  # 0:9
+        *setup.z_coef, *setup.w_coef,  # 9:15
+        ids,  # 15
+        *soup.uv[0], *soup.uv[1],  # 16:22
+        *soup.normal[0], *soup.normal[1], *soup.normal[2],  # 22:31
+        *soup.tangent[0], *soup.tangent[1], *soup.tangent[2],  # 31:40
+        *soup.world[0], *soup.world[1], *soup.world[2],  # 40:49
+        *soup.color[0], *soup.color[1], *soup.color[2],  # 49:58
+        soup.mat,  # 58
+    ]
+    assert len(planes) == _USED
+    cm = jnp.stack(planes, axis=0)  # (59, T) — sublane-dim stack, dense
+    rec = jnp.pad(jnp.transpose(cm, (1, 0)), ((0, 0), (0, REC_CH - _USED)))
     return rec * setup.valid.astype(jnp.float32)[:, None]
 
 
@@ -201,10 +229,14 @@ def bin_pairs(
     tiles_y = -(-height // tile_h)
     nt = tiles_x * tiles_y
 
-    tx0 = setup.bbox[:, 0] // tile_w
-    ty0 = setup.bbox[:, 1] // tile_h
-    tx1 = setup.bbox[:, 2] // tile_w
-    ty1 = setup.bbox[:, 3] // tile_h
+    if isinstance(setup, PlanarSetup):
+        bx0, by0, bx1, by1 = setup.bbox
+    else:
+        bx0, by0, bx1, by1 = (setup.bbox[:, i] for i in range(4))
+    tx0 = bx0 // tile_w
+    ty0 = by0 // tile_h
+    tx1 = bx1 // tile_w
+    ty1 = by1 // tile_h
     span_w = tx1 - tx0 + 1
     area = span_w * (ty1 - ty0 + 1)
 
@@ -276,6 +308,47 @@ _OUT_FIELDS = (
 )
 
 
+def _coverage_loop(scratch, px, py, chunk_idx, base, count, carry):
+    """Chunked candidate coverage/depth loop over scratch rows
+    [base, base+count): homogeneous edge tests, reversed-Z GEQ packed-key
+    resolve, later-candidate tie win. Shared by the main fused kernel and
+    the compact overlay kernel."""
+
+    def body(c, carry):
+        best_key, best_cand = carry
+        k = c * CHUNK
+        blk = scratch[pl.ds(base + k, CHUNK), :]  # (CHUNK, 128)
+
+        def coef(j):
+            return blk[:, j][:, None]  # (CHUNK, 1)
+
+        e0 = coef(_A + 0) * px + coef(_B + 0) * py + coef(_C + 0)
+        e1 = coef(_A + 1) * px + coef(_B + 1) * py + coef(_C + 1)
+        e2 = coef(_A + 2) * px + coef(_B + 2) * py + coef(_C + 2)
+        zn = coef(_ZC) * px + coef(_ZC + 1) * py + coef(_ZC + 2)
+        wn = coef(_WC) * px + coef(_WC + 1) * py + coef(_WC + 2)
+
+        live = (k + chunk_idx) < count
+        ok = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+            & (wn > 0.0) & (zn >= 0.0) & (zn <= wn)
+        )
+        z = zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False)
+        z = jnp.where(ok, z, -1.0)  # negative float → negative bits
+        zbits = pltpu.bitcast(z, jnp.int32)
+        key = (zbits & _LOW3) | chunk_idx  # later candidate wins ties
+        kmax = jnp.max(key, axis=0, keepdims=True)  # (1, NPX)
+
+        kz = kmax & _LOW3
+        accept = kz >= best_key  # int cmp == float cmp for z >= 0
+        cand = jnp.where(accept, base + k + (kmax & 7), best_cand)
+        return jnp.where(accept, kz, best_key), cand
+
+    return lax.fori_loop(
+        0, lax.div(count + (CHUNK - 1), CHUNK), body, carry, unroll=False
+    )
+
+
 def _fused_kernel(
     # scalar prefetch
     starts_ref, counts_ref, nbig_ref,
@@ -336,41 +409,7 @@ def _fused_kernel(
     chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
 
     def run(base, count, carry):
-        """Candidate loop over scratch rows [base, base+count)."""
-
-        def body(c, carry):
-            best_key, best_cand = carry
-            k = c * CHUNK
-            blk = scratch[pl.ds(base + k, CHUNK), :]  # (CHUNK, 128)
-
-            def coef(j):
-                return blk[:, j][:, None]  # (CHUNK, 1)
-
-            e0 = coef(_A + 0) * px + coef(_B + 0) * py + coef(_C + 0)
-            e1 = coef(_A + 1) * px + coef(_B + 1) * py + coef(_C + 1)
-            e2 = coef(_A + 2) * px + coef(_B + 2) * py + coef(_C + 2)
-            zn = coef(_ZC) * px + coef(_ZC + 1) * py + coef(_ZC + 2)
-            wn = coef(_WC) * px + coef(_WC + 1) * py + coef(_WC + 2)
-
-            live = (k + chunk_idx) < count
-            ok = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
-                & (wn > 0.0) & (zn >= 0.0) & (zn <= wn)
-            )
-            z = zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False)
-            z = jnp.where(ok, z, -1.0)  # negative float → negative bits
-            zbits = pltpu.bitcast(z, jnp.int32)
-            key = (zbits & _LOW3) | chunk_idx  # later candidate wins ties
-            kmax = jnp.max(key, axis=0, keepdims=True)  # (1, NPX)
-
-            kz = kmax & _LOW3
-            accept = kz >= best_key  # int cmp == float cmp for z >= 0
-            cand = jnp.where(accept, base + k + (kmax & 7), best_cand)
-            return jnp.where(accept, kz, best_key), cand
-
-        return lax.fori_loop(
-            0, lax.div(count + (CHUNK - 1), CHUNK), body, carry, unroll=False
-        )
+        return _coverage_loop(scratch, px, py, chunk_idx, base, count, carry)
 
     if init_ref is None:
         init_key = jnp.zeros((1, npx), jnp.int32)  # depth 0.0 bits = clear
@@ -608,6 +647,230 @@ def raster_fused_pallas(
                 k: jnp.where(hit, fields_p[k], fields[k]) for k in fields
             }
     return _pixels_from_fields(fields), zkey, diag
+
+
+def _overlay_kernel(
+    # scalar prefetch (all compacted to the live-tile list)
+    ids_ref, starts_ref, counts_ref, nbig_ref,
+    # inputs
+    ov_ref,  # (OC, 128) f32 overflow records, VMEM
+    tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
+    zkey_ref,  # (1, th, tw) int32 scene depth keys (compact)
+    lr_ref, lg_ref, lb_ref,  # (1, th, tw) f32 LDR planes (compact)
+    # outputs
+    or_ref, og_ref, ob_ref,
+    # scratch
+    slabs, sem,
+    *, tile_h, tile_w, tiles_x, oc, maxc,
+):
+    """Depth-tested flat-color overlay composite over a COMPACT tile list
+    (light.vert/frag + main.cpp:138-148): same coverage/depth semantics as
+    the main kernel, but the grid only visits tiles the overlay geometry
+    touches — a full-frame pass for 3 light spheres costs a 2025-step grid
+    (~5 ms measured); this costs ~max_tiles steps."""
+    npx = tile_h * tile_w
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    nb = nbig_ref[0]
+    nt = pl.num_programs(0)
+    slot = lax.rem(i, 2)
+
+    def tile_dma(j, s):
+        return pltpu.make_async_copy(
+            tab_ref.at[pl.ds(starts_ref[j], maxc), :],
+            slabs.at[s, pl.ds(oc, maxc), :],
+            sem.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        slabs[0, 0:oc, :] = ov_ref[:]
+        slabs[1, 0:oc, :] = ov_ref[:]
+        tile_dma(0, 0).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        tile_dma(i + 1, 1 - slot).start()
+
+    scratch = slabs.at[slot]
+    tid = ids_ref[i]
+    row = tid // tiles_x
+    col = lax.rem(tid, tiles_x)
+    pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
+    py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
+    chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+
+    init_key = zkey_ref[0].reshape(1, npx) & _LOW3
+    carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
+    carry = _coverage_loop(scratch, px, py, chunk_idx, 0, nb, carry)
+    tile_dma(i, slot).wait()
+    _, best_cand = _coverage_loop(scratch, px, py, chunk_idx, oc, cnt, carry)
+
+    ldr = (lr_ref[0].reshape(1, npx), lg_ref[0].reshape(1, npx),
+           lb_ref[0].reshape(1, npx))
+    outs = (or_ref, og_ref, ob_ref)
+    any_hit = jnp.any(best_cand >= 0)
+
+    @pl.when(any_hit)
+    def _():
+        oh = (
+            lax.broadcasted_iota(jnp.int32, (oc + maxc, npx), 0) == best_cand
+        ).astype(jnp.float32)
+        t = scratch[:, :]
+        hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+        rem = t - hi
+        mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = rem - mid
+
+        def dot(part):
+            return lax.dot_general(
+                part, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        recT = dot(hi) + dot(mid) + dot(lo)
+
+        def r(j):
+            return recT[j : j + 1, :]
+
+        hit = r(_ID) >= 0.5
+        e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
+        e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
+        e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
+        esum = e0 + e1 + e2
+        inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum), approx=False)
+        b = (e0 * inv, e1 * inv, e2 * inv)
+
+        for c in range(3):
+            col3 = (r(_COL + 3 * c) * b[0] + r(_COL + 3 * c + 1) * b[1]
+                    + r(_COL + 3 * c + 2) * b[2])
+            outs[c][0] = jnp.where(hit, col3, ldr[c]).reshape(tile_h, tile_w)
+
+    @pl.when(jnp.logical_not(any_hit))
+    def _():
+        for c in range(3):
+            outs[c][0] = ldr[c].reshape(tile_h, tile_w)
+
+
+def composite_overlay_pallas(
+    rec_table: jnp.ndarray,  # (T, 128) f32 overlay records
+    setup,  # TriangleSetup | PlanarSetup of the overlay geometry
+    ldr3: tuple,  # three (NT, NPX) planes
+    zkey: jnp.ndarray,  # (NT, NPX) int32 scene depth keys
+    width: int,
+    height: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    max_candidates: int = 128,
+    overflow_cap: int = 64,
+    span_cap: int = 64,
+    max_tiles: int = 512,
+    pair_budget: int = 65536,
+    interpret: bool = False,
+):
+    """Composite depth-tested flat-color overlay geometry into LDR planes,
+    visiting only the tiles the geometry touches.
+
+    Returns (ldr3', diag). Tiles beyond ``max_tiles`` are reported in
+    diag.dropped_tiles (surfaced by utils.validation) instead of silently
+    losing overlay pixels — raise max_tiles if it fires."""
+    maxc = ((max_candidates + CHUNK - 1) // CHUNK) * CHUNK
+    oc = ((overflow_cap + CHUNK - 1) // CHUNK) * CHUNK
+    npx = tile_h * tile_w
+
+    sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
+        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
+                  maxc, pair_budget=pair_budget)
+    )
+    nt = tiles_y * tiles_x
+
+    pair_rec = rec_table[sorted_tri]
+    pair_rec = jnp.concatenate(
+        [pair_rec, jnp.zeros((maxc, REC_CH), jnp.float32)], axis=0
+    )
+    ov = rec_table[jnp.maximum(big_ids, 0)] * (
+        big_ids >= 0
+    ).astype(jnp.float32)[:, None]
+
+    # Live tiles: own candidates, or overlapped by a big (overflow)
+    # triangle's bbox (big records are tested by every listed tile).
+    live = counts > 0
+    if isinstance(setup, PlanarSetup):
+        bx0, by0, bx1, by1 = setup.bbox
+    else:
+        bx0, by0, bx1, by1 = (setup.bbox[:, i] for i in range(4))
+    safe_big = jnp.maximum(big_ids, 0)
+
+    def g(a):  # (OC,) big-triangle bboxes
+        return a[safe_big]
+    tcol = jnp.arange(nt, dtype=jnp.int32) % tiles_x
+    trow = jnp.arange(nt, dtype=jnp.int32) // tiles_x
+    inb = (
+        (tcol[:, None] * tile_w <= g(bx1)[None, :])
+        & ((tcol[:, None] + 1) * tile_w > g(bx0)[None, :])
+        & (trow[:, None] * tile_h <= g(by1)[None, :])
+        & ((trow[:, None] + 1) * tile_h > g(by0)[None, :])
+        & (big_ids >= 0)[None, :]
+    )
+    live = live | jnp.any(inb, axis=1)
+
+    neg = jnp.where(live, -jnp.arange(nt, dtype=jnp.int32),
+                    jnp.int32(-(1 << 30)))
+    k_top = min(max_tiles, nt)
+    top, _ = lax.top_k(neg, k_top)
+    slot_live = top > -(1 << 30)
+    ids = jnp.where(slot_live, -top, 0)
+    # Dead slots re-process the first listed tile (idempotent duplicates —
+    # the scatter below then writes identical values).
+    ids = jnp.where(slot_live, ids, ids[0])
+    n_live_total = jnp.sum(live, dtype=jnp.int32)
+    diag = diag._replace(
+        dropped_tiles=jnp.maximum(n_live_total - k_top, 0)
+    )
+
+    starts_c = starts[ids]
+    counts_c = counts[ids]
+    zkey_c = zkey[ids].reshape(k_top, tile_h, tile_w)
+    ldr_c = [c[ids].reshape(k_top, tile_h, tile_w) for c in ldr3]
+
+    kernel = functools.partial(
+        _overlay_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        oc=oc, maxc=maxc,
+    )
+    plane_spec = pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k_top,),
+        in_specs=[
+            pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            plane_spec, plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=[plane_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((k_top, tile_h, tile_w), jnp.float32)]
+        * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(ids, starts_c, counts_c, n_big[None], ov, pair_rec, zkey_c, *ldr_c)
+
+    ldr_new = tuple(
+        ldr3[c].at[ids].set(out[c].reshape(k_top, npx)) for c in range(3)
+    )
+    return ldr_new, diag
 
 
 def raster_fused_xla(

@@ -100,6 +100,12 @@ def build_quad_tables(maps: dict) -> tuple:
         quads = np.concatenate([t00, t01, t10, t11], axis=-1).reshape(
             h * w, 4 * cpad
         )
+        if h * w > SMALL_ROWS:
+            # Gather-table rows as int32 lanes (4 bytes/lane): measured
+            # ~7% faster than u8 rows at 1080p (narrower lane footprint);
+            # bytes unpack exactly after the gather. Small tables stay u8
+            # for the MXU one-hot path.
+            quads = np.ascontiguousarray(quads).view(np.int32)
         tables.append(
             QuadTable(
                 quads=jnp.asarray(quads),
@@ -158,10 +164,18 @@ def _blend(qf, tx, ty, ci: int):
 def sample_table_xla(table: QuadTable, u, v) -> dict:
     """One row-gather per pixel + dense tap-slice blend (large tables)."""
     shape = u.shape
-    cpad = table.quads.shape[1] // 4
     idx, tx, ty = _footprint(u.reshape(-1), v.reshape(-1),
                              table.height, table.width)
-    q = table.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (N, 4*C)
+    q = table.quads[idx]  # (N, 4*C) u8 or (N, C) i32-packed
+    if q.dtype == jnp.int32:
+        # Little-endian byte lanes → channel planes (exact u8 recovery).
+        parts = [((q >> (8 * b)) & 0xFF).astype(jnp.float32)
+                 for b in range(4)]
+        q = jnp.stack(parts, axis=-1).reshape(q.shape[0], -1)
+    else:
+        q = q.astype(jnp.float32)
+    q = q * (1.0 / 255.0)
+    cpad = q.shape[1] // 4
     w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
     w01 = (tx * (1.0 - ty))[:, None]
     w10 = ((1.0 - tx) * ty)[:, None]
@@ -212,6 +226,7 @@ def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
     nt, npx = u.shape
     rows = table.height * table.width
     rows_pad = max(8, -(-rows // 8) * 8)
+    assert table.quads.dtype == jnp.uint8, "MXU path needs u8 tables"
     texf = table.quads.astype(jnp.float32)  # integer-valued: bf16-exact
     if rows_pad != rows:
         texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))

@@ -32,8 +32,12 @@ from jax import shard_map
 
 from bibim_tpu import math3d as m3
 from bibim_tpu.ops import fused
-from bibim_tpu.ops.geometry import assemble_scene
-from bibim_tpu.ops.raster import triangle_setup
+from bibim_tpu.ops.geometry import (
+    assemble_scene,
+    assemble_scene_planar,
+    planar_compat_clip,
+)
+from bibim_tpu.ops.raster import triangle_setup, triangle_setup_planar
 from bibim_tpu.ops.tonemap import srgb_encode, to_u8, tone_map
 from bibim_tpu.pipeline.framegraph import (
     FrameParams,
@@ -47,6 +51,7 @@ from bibim_tpu.pipeline.framegraph import (
     _pbr_hdr,
     _render_gizmo,
     _scene_record_table,
+    _use_planar,
     _q16,
 )
 from bibim_tpu.scene.scene import SceneData
@@ -152,18 +157,40 @@ def render_frame_sharded(
         k = lax.axis_index(axis_name)
         y0 = (k * band_h).astype(jnp.float32)
 
-        soup = assemble_scene(scene.batches, view_block.view,
-                              view_block.proj, settings.batch_material_ids)
-        setup = triangle_setup(
-            soup.clip, soup.tris, width, settings.height,
-            band_y0=y0, band_height=band_h,
-            sequential=settings.sequential_tris,
-        )
-        rec = fused.shift_record_table_y(
-            _scene_record_table(soup, setup, settings), y0
-        )
+        if _use_planar(scene, settings):
+            psoup = assemble_scene_planar(
+                scene.batches, view_block.view, view_block.proj,
+                settings.batch_material_ids,
+            )
+            setup = triangle_setup_planar(
+                psoup.clip, width, settings.height,
+                band_y0=y0, band_height=band_h,
+            )
+            rec = fused.shift_record_table_y(
+                fused.build_record_table_planar(setup, psoup), y0
+            )
+            use_pal = settings.raster == "pallas" or (
+                settings.raster == "auto"
+                and jax.default_backend() == "tpu"
+            )
+            clip = tris = None
+            if not use_pal:
+                clip, tris = planar_compat_clip(psoup)
+        else:
+            soup = assemble_scene(scene.batches, view_block.view,
+                                  view_block.proj,
+                                  settings.batch_material_ids)
+            setup = triangle_setup(
+                soup.clip, soup.tris, width, settings.height,
+                band_y0=y0, band_height=band_h,
+                sequential=settings.sequential_tris,
+            )
+            rec = fused.shift_record_table_y(
+                _scene_record_table(soup, setup, settings), y0
+            )
+            clip, tris = soup.clip, soup.tris
         px, zkey, _diag = _raster(
-            rec, setup, soup.clip, soup.tris, width, band_h,
+            rec, setup, clip, tris, width, band_h,
             band_settings, viewport=(settings.height, y0),
         )
 

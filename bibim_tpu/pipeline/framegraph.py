@@ -46,9 +46,13 @@ import numpy as np
 from bibim_tpu import math3d as m3
 from bibim_tpu.ops import fused
 from bibim_tpu.ops import texture_quad as tq
-from bibim_tpu.ops.geometry import assemble_scene
+from bibim_tpu.ops.geometry import (
+    assemble_scene,
+    assemble_scene_planar,
+    planar_compat_clip,
+)
 from bibim_tpu.ops.lines import rasterize_lines
-from bibim_tpu.ops.raster import triangle_setup
+from bibim_tpu.ops.raster import triangle_setup, triangle_setup_planar
 from bibim_tpu.ops.shading_planar import (
     apply_normal_map,
     normalize3,
@@ -140,6 +144,10 @@ class RenderSettings:
     show_tbn: bool = False
     srgb_output: bool = True
     raster: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
+    # Triangle-pipeline layout: "auto" uses the corner-planar path for
+    # de-indexed scenes (dense (T,) planes; the (T,3) legacy layout runs at
+    # 3/128 lane utilization); "legacy" forces the (T,3) path (tests).
+    geometry: str = "auto"  # "auto" | "planar" | "legacy"
     tile_h: int = 8  # Pallas screen-tile rows (multiple of 8)
     tile_w: int = 128  # must be 128 (VPU lane width)
     max_candidates: int = 320  # per-tile candidate capacity (main pass)
@@ -327,6 +335,54 @@ def _scene_record_table(soup, setup, settings: RenderSettings):
     )
 
 
+def _use_planar(scene: SceneData, settings: RenderSettings) -> bool:
+    """The corner-planar triangle pipeline runs for de-indexed scenes
+    (batch_from_mesh builds the host corner planes); hand-built
+    shared-vertex batches keep the legacy (T, 3) path."""
+    if settings.geometry == "legacy":
+        return False
+    ok = settings.sequential_tris and all(
+        b.corner_planes is not None for b in scene.batches
+    )
+    if settings.geometry == "planar" and not ok:
+        raise ValueError("geometry='planar' needs de-indexed batches with "
+                         "corner_planes (build via batch_from_mesh)")
+    return ok
+
+
+def _assemble_and_raster(scene, view_block, settings: RenderSettings):
+    """Main-pass geometry + raster, planar when the scene supports it.
+
+    Returns (px, zkey, diag, soup_or_none, psoup_or_none)."""
+    width, height = settings.width, settings.height
+    if _use_planar(scene, settings):
+        psoup = assemble_scene_planar(
+            scene.batches, view_block.view, view_block.proj,
+            settings.batch_material_ids,
+        )
+        setup = triangle_setup_planar(psoup.clip, width, height)
+        rec_table = fused.build_record_table_planar(setup, psoup)
+        if _use_pallas(settings):
+            clip = tris = None
+        else:
+            clip, tris = planar_compat_clip(psoup)
+        px, zkey, diag = _raster(
+            rec_table, setup, clip, tris, width, height, settings
+        )
+        return px, zkey, diag, None, psoup
+    soup = assemble_scene(
+        scene.batches, view_block.view, view_block.proj,
+        settings.batch_material_ids,
+    )
+    setup = triangle_setup(soup.clip, soup.tris, width, height,
+                           sequential=settings.sequential_tris)
+    rec_table = _scene_record_table(soup, setup, settings)
+    px, zkey, diag = _raster(
+        rec_table, setup, soup.clip, soup.tris, width, height, settings
+    )
+    return px, zkey, diag, soup, None
+
+
 def _materialize_gbuffer_planes(px, materials, view_block,
                                 settings: RenderSettings):
     """gbuffer.frag materialization: material sampling + TBN normal mapping
@@ -442,6 +498,17 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
     )
     if band is not None:
         rec = fused.shift_record_table_y(rec, y0)
+    if _use_pallas(settings):
+        # Compact-grid overlay kernel: a full-frame kernel pass for a few
+        # hundred sphere triangles measured ~5 ms at 1080p (grid overhead);
+        # visiting only covered tiles makes it sub-millisecond.
+        return fused.composite_overlay_pallas(
+            rec, setup, ldr3, zkey, settings.width, height,
+            tile_h=settings.tile_h, tile_w=settings.tile_w,
+            max_candidates=settings.overlay_candidates,
+            overflow_cap=512,  # near-plane-straddling spheres go conservative
+            span_cap=32, max_tiles=min(256, settings.tiles_x * -(-height // settings.tile_h)),
+        )
     px, _, diag = _raster(
         rec, setup, clip, tris, settings.width, height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
@@ -591,6 +658,61 @@ def _shadow_visibility(soup, px, lights, settings: RenderSettings):
     return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
 
+def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
+    """Corner-planar :func:`_shadow_visibility` (dense (T,) light-space
+    transform + planar setup/record build)."""
+    from bibim_tpu.ops import shadow as sh
+    from bibim_tpu.ops.geometry import PlanarSoup
+
+    size = settings.shadow_size
+    d = lights.dir[settings.shadow_light]
+    wmin = jnp.stack([
+        jnp.minimum(jnp.minimum(psoup.world[k][0].min(),
+                                psoup.world[k][1].min()),
+                    psoup.world[k][2].min()) for k in range(3)
+    ])
+    wmax = jnp.stack([
+        jnp.maximum(jnp.maximum(psoup.world[k][0].max(),
+                                psoup.world[k][1].max()),
+                    psoup.world[k][2].max()) for k in range(3)
+    ])
+    lvp = sh.light_view_proj(d, wmin, wmax)
+
+    clip_l = tuple(
+        tuple(
+            lvp[m, 0] * psoup.world[0][c] + lvp[m, 1] * psoup.world[1][c]
+            + lvp[m, 2] * psoup.world[2][c] + lvp[m, 3]
+            for c in range(3)
+        )
+        for m in range(4)
+    )
+    setup_l = triangle_setup_planar(clip_l, size, size)
+    zero = jnp.zeros_like(psoup.world[0][0])
+    z3 = ((zero,) * 3,) * 3
+    zero_soup = PlanarSoup(clip=clip_l, world=z3, normal=z3, tangent=z3,
+                           uv=((zero,) * 3,) * 2, color=z3, mat=zero)
+    rec_l = fused.build_record_table_planar(setup_l, zero_soup)
+    if _use_pallas(settings):
+        clip = tris = None
+    else:
+        clip, tris = planar_compat_clip(zero_soup)
+    px_l, _, sh_diag = _raster(
+        rec_l, setup_l, clip, tris, size, size, settings,
+        passes=settings.shadow_passes or settings.raster_passes,
+    )
+    tiles_x = -(-size // settings.tile_w)
+    depth_img = fused.untile(px_l.depth, size, size, tiles_x,
+                             settings.tile_h, settings.tile_w)
+    smap = sh.build_shadow_map(depth_img, lvp, size)
+    return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
+
+
+def _shadow_vis_any(soup, psoup, px, lights, settings: RenderSettings):
+    if psoup is not None:
+        return _shadow_visibility_planar(psoup, px, lights, settings)
+    return _shadow_visibility(soup, px, lights, settings)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def render_frame(
     scene: SceneData,
@@ -609,15 +731,8 @@ def render_frame(
     """
     width, height = settings.width, settings.height
 
-    soup = assemble_scene(
-        scene.batches, view_block.view, view_block.proj,
-        settings.batch_material_ids,
-    )
-    setup = triangle_setup(soup.clip, soup.tris, width, height,
-                           sequential=settings.sequential_tris)
-    rec_table = _scene_record_table(soup, setup, settings)
-    px, zkey, diag = _raster(
-        rec_table, setup, soup.clip, soup.tris, width, height, settings
+    px, zkey, diag, soup, psoup = _assemble_and_raster(
+        scene, view_block, settings
     )
     diags = [diag]
     valid = px.tri_id >= 0
@@ -637,8 +752,8 @@ def render_frame(
         # wrote (main.cpp:114-121).
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
-            vis_plane, sh_diag = _shadow_visibility(
-                soup, px, scene.lights, settings
+            vis_plane, sh_diag = _shadow_vis_any(
+                soup, psoup, px, scene.lights, settings
             )
             light_vis = {settings.shadow_light: vis_plane}
             diags.append(sh_diag)
@@ -658,8 +773,8 @@ def render_frame(
 
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
-            vis_plane, sh_diag = _shadow_visibility(
-                soup, px, scene.lights, settings
+            vis_plane, sh_diag = _shadow_vis_any(
+                soup, psoup, px, scene.lights, settings
             )
             light_vis = {settings.shadow_light: vis_plane}
             diags.append(sh_diag)
@@ -727,6 +842,11 @@ def render_frame(
     # Image-space stages: TBN lines + corner gizmo + output encode.
     ldr3_img = tuple(_untile(c, settings) for c in ldr3)
     if settings.show_tbn and overlay is not None:
+        if soup is None:  # planar main pass; TBN debug wants vertex arrays
+            soup = assemble_scene(
+                scene.batches, view_block.view, view_block.proj,
+                settings.batch_material_ids,
+            )
         ldr3_img = _composite_tbn(
             ldr3_img, soup, _untile(px.depth, settings), view_proj, settings
         )
@@ -750,6 +870,7 @@ def render_frame(
         dropped_overflow=sum(d.dropped_overflow for d in diags),
         dropped_cap=sum(d.dropped_cap for d in diags),
         dropped_pairs=sum(d.dropped_pairs for d in diags),
+        dropped_tiles=sum(getattr(d, "dropped_tiles", 0) for d in diags),
     )
     return {
         "image": image,

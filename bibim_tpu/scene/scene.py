@@ -48,6 +48,12 @@ class DrawBatch(NamedTuple):
     indices: jnp.ndarray  # (F,3) int32
     model: jnp.ndarray  # (I,4,4)
     inv_model: jnp.ndarray  # (I,4,4)
+    # Corner-planar twin of the vertex SoA for de-indexed meshes: channel →
+    # per-channel tuple of three per-corner (F,) planes, de-interleaved on
+    # the host (free) so the device-side triangle pipeline runs on dense
+    # (T,) planes (see ops.geometry.PlanarSoup). None for hand-built
+    # shared-vertex batches (they use the legacy (T,3) path).
+    corner_planes: dict | None = None
 
 
 def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
@@ -77,17 +83,40 @@ def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
         return np.ascontiguousarray(np.asarray(arr)[flat])
 
     n_corners = flat.shape[0]
+
+    def planes(arr, nk):
+        # (V=3F, k) de-indexed array → channel-major ((c0,c1,c2) per
+        # channel) of (F,) planes; numpy slicing = free.
+        a = np.asarray(arr, np.float32)
+        return tuple(
+            tuple(jnp.asarray(np.ascontiguousarray(a[c::3, k]))
+                  for c in range(3))
+            for k in range(nk)
+        )
+
+    d_pos = deindex(mesh.positions)
+    d_uv = deindex(mesh.uvs)
+    d_nrm = deindex(mesh.normals)
+    d_tan = deindex(mesh.tangents)
+    d_col = deindex(colors)
     return DrawBatch(
-        positions=jnp.asarray(deindex(mesh.positions)),
-        uvs=jnp.asarray(deindex(mesh.uvs)),
-        normals=jnp.asarray(deindex(mesh.normals)),
-        tangents=jnp.asarray(deindex(mesh.tangents)),
-        colors=jnp.asarray(deindex(colors)),
+        positions=jnp.asarray(d_pos),
+        uvs=jnp.asarray(d_uv),
+        normals=jnp.asarray(d_nrm),
+        tangents=jnp.asarray(d_tan),
+        colors=jnp.asarray(d_col),
         indices=jnp.asarray(
             np.arange(n_corners, dtype=np.int32).reshape(-1, 3)
         ),
         model=jnp.asarray(model),
         inv_model=jnp.asarray(inv_model),
+        corner_planes={
+            "pos": planes(d_pos, 3),
+            "uv": planes(d_uv, 2),
+            "normal": planes(d_nrm, 3),
+            "tangent": planes(d_tan, 3),
+            "color": planes(d_col, 3),
+        },
     )
 
 

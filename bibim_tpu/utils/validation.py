@@ -93,3 +93,9 @@ def check_bin_diag(diag, where: str = "frame") -> None:
         f"{where}: {pairs} (triangle, tile) pairs beyond the pair budget — "
         "raise RenderSettings.pair_budget",
     )
+    tiles = int(getattr(diag, "dropped_tiles", 0))
+    bb_assert(
+        tiles == 0,
+        f"{where}: {tiles} overlay-covered tiles beyond the compact "
+        "overlay grid — raise composite_overlay_pallas max_tiles",
+    )

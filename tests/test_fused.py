@@ -116,6 +116,51 @@ class TestPallasInterpret:
         assert (_untile(px2.tri_id) >= 0).sum() > 0
 
 
+class TestCompactOverlay:
+    def test_matches_fullgrid_composite(self, scene_soup, rec_setup):
+        """composite_overlay_pallas (compact tile list, interpret mode)
+        reproduces the full-grid raster + where() composite."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        nt = (H // TH) * TX
+        npx = TH * TW
+        key = jax.random.PRNGKey(3)
+        ldr3 = tuple(
+            jax.random.uniform(jax.random.fold_in(key, c), (nt, npx))
+            for c in range(3)
+        )
+        zkey = jnp.zeros((nt, npx), jnp.int32)
+
+        out, diag = fused.composite_overlay_pallas(
+            rec, setup, ldr3, zkey, W, H, tile_h=TH, tile_w=TW,
+            max_candidates=2048, overflow_cap=512, span_cap=128,
+            max_tiles=nt, interpret=True,
+        )
+        assert int(diag.dropped_tiles) == 0
+
+        px, _, _ = fused.raster_fused_xla(
+            rec, setup, soup.clip, soup.tris, W, H, cap=4096,
+        )
+        hit = np.asarray(px.tri_id) >= 0
+        assert hit.any()
+        for c in range(3):
+            want = np.where(hit, np.asarray(px.color[c]),
+                            np.asarray(ldr3[c]))
+            np.testing.assert_allclose(np.asarray(out[c]), want, atol=1e-5)
+
+    def test_dropped_tiles_are_counted(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        nt = (H // TH) * TX
+        npx = TH * TW
+        ldr3 = tuple(jnp.zeros((nt, npx)) for _ in range(3))
+        zkey = jnp.zeros((nt, npx), jnp.int32)
+        _, diag = fused.composite_overlay_pallas(
+            rec, setup, ldr3, zkey, W, H, tile_h=TH, tile_w=TW,
+            max_candidates=2048, overflow_cap=512, span_cap=128,
+            max_tiles=2, interpret=True,
+        )
+        assert int(diag.dropped_tiles) > 0
+
+
 class TestBandRebase:
     def test_shifted_records_render_band(self, scene_soup):
         soup = scene_soup

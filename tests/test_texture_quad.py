@@ -52,8 +52,12 @@ class TestQuadTables:
         maps, _ = _maps()
         tables = tq.build_quad_tables(maps)
         for t in tables:
-            # 5 present channels → padded to 8 → 32-byte rows, not 64.
-            assert t.quads.shape[1] == 4 * 8
+            # 5 present channels → padded to 8 → 32-byte rows, not 64
+            # (large gather tables pack the bytes into int32 lanes).
+            if t.quads.dtype == jnp.int32:
+                assert t.quads.shape[1] == 8
+            else:
+                assert t.quads.shape[1] == 4 * 8
 
     @pytest.mark.parametrize("use_pallas", [False, True])
     def test_matches_reference_bilinear(self, uv_planes, use_pallas):

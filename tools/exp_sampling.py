@@ -183,6 +183,19 @@ def main():
         tb, fn = kblock(k, as_i32)
         timeit(tag, scanned(fn), tb, u, v)
 
+    # F. bf16 rows (u8 values are bf16-exact; no unpack ops needed)
+    t_bf16 = jnp.asarray(quads_np.astype(np.float32)).astype(jnp.bfloat16)
+
+    def bf(table, u, v):
+        idx, tx, ty = footprint(u.reshape(-1), v.reshape(-1))
+        q = table[idx].astype(jnp.float32) * (1 / 255.0)
+        return blend(q, tx, ty, c)
+
+    timeit("F bf16 (HW x 16bf16)", scanned(bf), t_bf16, u, v)
+
+    # G. covered-pixels-only gather cost probe: clamp miss pixels' indices
+    # to 0 explicitly (they already are) vs spreading them randomly — how
+    # much does the miss concentration save?
     # correctness spot check (A vs D)
     a = cur(jnp.asarray(quads_np), u, v)
     tb, fn = kblock(2, True)

@@ -45,8 +45,8 @@ def main():
     from bibim_tpu.assets.materials import create_pbr_material_set
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
-    from bibim_tpu.ops.geometry import assemble_scene
-    from bibim_tpu.ops.raster import triangle_setup
+    from bibim_tpu.ops.geometry import assemble_scene_planar
+    from bibim_tpu.ops.raster import triangle_setup_planar
     from bibim_tpu.pipeline import (
         FrameParams,
         RenderSettings,
@@ -86,17 +86,14 @@ def main():
         render_frame, settings=settings),
         data, view_block, frame_params, mats, overlay, iters=10)
 
-    soup = timeit("assemble_scene", jax.jit(
-        functools.partial(assemble_scene, material_ids=None)),
+    soup = timeit("assemble_scene (planar)", jax.jit(
+        functools.partial(assemble_scene_planar, material_ids=None)),
         data.batches, view, proj)
-    print(f"tris: {soup.tris.shape[0]}")
-    setup = timeit("triangle_setup", jax.jit(
-        lambda c, t: triangle_setup(c, t, WIDTH, HEIGHT, sequential=True)),
-        soup.clip, soup.tris)
-    rec = timeit("build_record_table", jax.jit(
-        lambda s: fused.build_record_table(
-            s, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
-            soup.color, soup.mat_id, sequential=True)), setup)
+    print(f"tris: {soup.num_triangles}")
+    setup = timeit("triangle_setup (planar)", jax.jit(
+        lambda c: triangle_setup_planar(c, WIDTH, HEIGHT)), soup.clip)
+    rec = timeit("build_record_table (planar)", jax.jit(
+        fused.build_record_table_planar), setup, soup)
     timeit("bin_pairs", jax.jit(
         lambda s: fused.bin_pairs(s, WIDTH, HEIGHT, settings.tile_h,
                                   settings.tile_w, caps["span_cap"], 64,
