@@ -311,7 +311,7 @@ def bench_stretch_4k(report: dict) -> None:
                        enable_shadows=True, enable_ibl=True,
                        span_cap=32, overflow_cap=256,
                        max_candidates=320, raster_passes=2,
-                       shadow_passes=14)
+                       shadow_passes=14, overlay_max_tiles=1024)
     data = scene.scene_data()
 
     import dataclasses

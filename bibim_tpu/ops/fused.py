@@ -255,11 +255,16 @@ def bin_pairs(
         jnp.arange(flat_tile.shape[0] // span_cap, dtype=jnp.int32)[:, None],
         (flat_tile.shape[0] // span_cap, span_cap),
     ).reshape(-1)
-    # Multi-operand stable sort carries the payload through the sort —
-    # sorting an argsort permutation and gathering afterwards costs an
-    # extra P-element gather (~8 ns/row: 80 ms at 10M pairs).
+    # Multi-operand sort carries the payload through the sort — sorting an
+    # argsort permutation and gathering afterwards costs an extra
+    # P-element gather (~8 ns/row: 80 ms at 10M pairs). Sorting UNSTABLY
+    # on BOTH keys is ~40% faster than a stable tile-key sort at 8M pairs
+    # (measured, tools/exp_sort.py) and gives the identical order: live
+    # (tile, tri) pairs are unique, so the total order by (tile, tri) is
+    # deterministic and equals stable-by-tile draw order; equal sentinel
+    # pairs are dead tail entries.
     sorted_tile, sorted_tri = lax.sort(
-        (flat_tile, tri_of_pair), num_keys=1, is_stable=True
+        (flat_tile, tri_of_pair), num_keys=2, is_stable=False
     )
 
     boundaries = jnp.searchsorted(
@@ -794,27 +799,44 @@ def composite_overlay_pallas(
         big_ids >= 0
     ).astype(jnp.float32)[:, None]
 
-    # Live tiles: own candidates, or overlapped by a big (overflow)
-    # triangle's bbox (big records are tested by every listed tile).
+    # Live tiles: own candidates, or possibly covered by a big (overflow)
+    # triangle. Big triangles include near-plane externals whose bbox is
+    # conservatively full-screen (a camera-enclosing light sphere floods
+    # every tile that way), so instead test each tile rectangle against
+    # the triangle's affine edge/w/z planes from its record row: an affine
+    # function's max over a rectangle is at a corner, so
+    # max(A*x0, A*x1) + max(B*y0, B*y1) + C >= 0 is an exact conservative
+    # cover test per edge.
     live = counts > 0
-    if isinstance(setup, PlanarSetup):
-        bx0, by0, bx1, by1 = setup.bbox
-    else:
-        bx0, by0, bx1, by1 = (setup.bbox[:, i] for i in range(4))
-    safe_big = jnp.maximum(big_ids, 0)
+    tcol = (jnp.arange(nt, dtype=jnp.int32) % tiles_x).astype(jnp.float32)
+    trow = (jnp.arange(nt, dtype=jnp.int32) // tiles_x).astype(jnp.float32)
+    x0 = (tcol * tile_w)[:, None]
+    x1 = x0 + tile_w
+    y0 = (trow * tile_h)[:, None]
+    y1 = y0 + tile_h
 
-    def g(a):  # (OC,) big-triangle bboxes
-        return a[safe_big]
-    tcol = jnp.arange(nt, dtype=jnp.int32) % tiles_x
-    trow = jnp.arange(nt, dtype=jnp.int32) // tiles_x
-    inb = (
-        (tcol[:, None] * tile_w <= g(bx1)[None, :])
-        & ((tcol[:, None] + 1) * tile_w > g(bx0)[None, :])
-        & (trow[:, None] * tile_h <= g(by1)[None, :])
-        & ((trow[:, None] + 1) * tile_h > g(by0)[None, :])
-        & (big_ids >= 0)[None, :]
+    def plane_max(a, b, c):  # (NT, OC) max of a*x + b*y + c over the tile
+        return (jnp.maximum(x0 * a[None, :], x1 * a[None, :])
+                + jnp.maximum(y0 * b[None, :], y1 * b[None, :])
+                + c[None, :])
+
+    covers = jnp.broadcast_to((big_ids >= 0)[None, :], (nt, ov.shape[0]))
+    for e in range(3):
+        covers = covers & (
+            plane_max(ov[:, _A + e], ov[:, _B + e], ov[:, _C + e]) >= 0
+        )
+    covers = covers & (
+        plane_max(ov[:, _ZC], ov[:, _ZC + 1], ov[:, _ZC + 2]) >= 0
     )
-    live = live | jnp.any(inb, axis=1)
+    covers = covers & (
+        plane_max(ov[:, _WC], ov[:, _WC + 1], ov[:, _WC + 2]) > 0
+    )
+    covers = covers & (  # somewhere zn <= wn (depth in range)
+        plane_max(ov[:, _WC] - ov[:, _ZC],
+                  ov[:, _WC + 1] - ov[:, _ZC + 1],
+                  ov[:, _WC + 2] - ov[:, _ZC + 2]) >= 0
+    )
+    live = live | jnp.any(covers, axis=1)
 
     neg = jnp.where(live, -jnp.arange(nt, dtype=jnp.int32),
                     jnp.int32(-(1 << 30)))

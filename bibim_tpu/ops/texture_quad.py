@@ -161,20 +161,22 @@ def _blend(qf, tx, ty, ci: int):
     return top * (1.0 - ty) + bot * ty
 
 
+def _rows_to_f32(q) -> jnp.ndarray:
+    """Gathered table rows → f32 channel layout: u8 rows cast directly;
+    int32-packed rows unpack their little-endian byte lanes (exact)."""
+    if q.dtype == jnp.int32:
+        parts = [((q >> (8 * b)) & 0xFF).astype(jnp.float32)
+                 for b in range(4)]
+        return jnp.stack(parts, axis=-1).reshape(q.shape[0], -1)
+    return q.astype(jnp.float32)
+
+
 def sample_table_xla(table: QuadTable, u, v) -> dict:
     """One row-gather per pixel + dense tap-slice blend (large tables)."""
     shape = u.shape
     idx, tx, ty = _footprint(u.reshape(-1), v.reshape(-1),
                              table.height, table.width)
-    q = table.quads[idx]  # (N, 4*C) u8 or (N, C) i32-packed
-    if q.dtype == jnp.int32:
-        # Little-endian byte lanes → channel planes (exact u8 recovery).
-        parts = [((q >> (8 * b)) & 0xFF).astype(jnp.float32)
-                 for b in range(4)]
-        q = jnp.stack(parts, axis=-1).reshape(q.shape[0], -1)
-    else:
-        q = q.astype(jnp.float32)
-    q = q * (1.0 / 255.0)
+    q = _rows_to_f32(table.quads[idx]) * (1.0 / 255.0)
     cpad = q.shape[1] // 4
     w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
     w01 = (tx * (1.0 - ty))[:, None]
@@ -398,7 +400,9 @@ def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
                      tile_w: int) -> dict:
     """Trilinear sample: 2 gathers/pixel + dense blends (planar)."""
     shape = u.shape
-    cpad = table.quads.shape[1] // 4
+    cpad = table.quads.shape[1] * (
+        4 if table.quads.dtype == jnp.int32 else 1
+    ) // 4
     levels = len(table.heights)
     lod = quad_lod_planar(u, v, tile_h, tile_w,
                           table.heights[0], table.widths[0])
@@ -432,7 +436,7 @@ def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
         x0i = jnp.remainder(x0.astype(jnp.int32), wi)
         y0i = jnp.remainder(y0.astype(jnp.int32), hi)
         idx = off + y0i * wi + x0i
-        q = table.quads[idx].astype(jnp.float32) * (1.0 / 255.0)
+        q = _rows_to_f32(table.quads[idx]) * (1.0 / 255.0)
         w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
         w01 = (tx * (1.0 - ty))[:, None]
         w10 = ((1.0 - tx) * ty)[:, None]
@@ -528,7 +532,9 @@ def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
     """Trilinear sample with per-pixel material routing: still 2 gathers
     per pixel — material selection is unrolled static geometry selects."""
     shape = u.shape
-    cpad = table.quads.shape[1] // 4
+    cpad = table.quads.shape[1] * (
+        4 if table.quads.dtype == jnp.int32 else 1
+    ) // 4
     n_mats = len(table.heights)
 
     def sel_by_mat(values):
@@ -574,9 +580,7 @@ def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
         hi = h.astype(jnp.int32)
         x0i = jnp.remainder(x0.astype(jnp.int32), wi)
         y0i = jnp.remainder(y0.astype(jnp.int32), hi)
-        q = table.quads[off + y0i * wi + x0i].astype(jnp.float32) * (
-            1.0 / 255.0
-        )
+        q = _rows_to_f32(table.quads[off + y0i * wi + x0i]) * (1.0 / 255.0)
         w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
         w01 = (tx * (1.0 - ty))[:, None]
         w10 = ((1.0 - tx) * ty)[:, None]

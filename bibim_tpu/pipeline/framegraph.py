@@ -154,6 +154,8 @@ class RenderSettings:
     raster_passes: int = 1  # multi-pass windows for tiles denser than that
     shadow_passes: int | None = None  # shadow-pass windows (None = same)
     overlay_candidates: int = 384  # per-tile capacity for overlay passes
+    overlay_max_tiles: int = 512  # compact overlay grid capacity (tiles
+    # the overlay geometry may touch; raise for 4K / many lights)
     overflow_cap: int = 64  # shared big-triangle list capacity
     span_cap: int = 16  # max tiles a binned triangle may span
     xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
@@ -507,7 +509,9 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
             tile_h=settings.tile_h, tile_w=settings.tile_w,
             max_candidates=settings.overlay_candidates,
             overflow_cap=512,  # near-plane-straddling spheres go conservative
-            span_cap=32, max_tiles=min(256, settings.tiles_x * -(-height // settings.tile_h)),
+            span_cap=32,
+            max_tiles=min(settings.overlay_max_tiles,
+                          settings.tiles_x * -(-height // settings.tile_h)),
         )
     px, _, diag = _raster(
         rec, setup, clip, tris, settings.width, height, settings,

@@ -105,6 +105,12 @@ def main():
     run("overlay_cands=64", overlay_candidates=64, **base)
     run("maxc=64 passes=2 span4 ovl64", max_candidates=64,
         raster_passes=2, span_cap=4, overlay_candidates=64)
+    run("tile_h=16", tile_h=16, **base)
+    run("tile_h=32", tile_h=32, **base)
+    run("tile_h=16 maxc=512", tile_h=16, max_candidates=512,
+        span_cap=base["span_cap"])
+    run("tile_h=32 maxc=1024 span8", tile_h=32, max_candidates=1024,
+        span_cap=8)
 
 
 if __name__ == "__main__":
