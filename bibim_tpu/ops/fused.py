@@ -355,8 +355,10 @@ def _coverage_loop(scratch, px, py, chunk_idx, base, count, carry):
 
 
 def _fused_kernel(
-    # scalar prefetch
-    starts_ref, counts_ref, nbig_ref,
+    # scalar prefetch (all grid-step-indexed; ids maps step → screen tile,
+    # identity for the full pass-0 grid, a compacted live list for dense
+    # extra passes)
+    ids_ref, starts_ref, counts_ref, nbig_ref,
     # inputs
     ov_ref,  # (OC, 128) f32 overflow records, VMEM
     tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
@@ -406,8 +408,9 @@ def _fused_kernel(
 
     scratch = slabs.at[slot]
 
-    row = i // tiles_x
-    col = lax.rem(i, tiles_x)
+    tid = ids_ref[i]
+    row = tid // tiles_x
+    col = lax.rem(tid, tiles_x)
     pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
     px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
     py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
@@ -550,6 +553,7 @@ def raster_fused_pallas(
     interpret: bool = False,
     pair_budget: int = 262144,
     passes: int = 1,
+    dense_tile_cap: int | None = None,  # compact-grid size for passes ≥ 1
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -605,52 +609,84 @@ def raster_fused_pallas(
     body = kernel
     if init_zkey is None:
         init_zkey = jnp.zeros((nt, npx), jnp.int32)
+    if dense_tile_cap is None:
+        dense_tile_cap = min(nt, max(64, nt // 4))
 
     n_out = 1 + len(_OUT_FIELDS)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nt,),
-        in_specs=in_specs,
-        out_specs=[plane_spec] * n_out,
-        scratch_shapes=[
-            pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    call = pl.pallas_call(
-        body,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.int32)]
-        + [jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.float32)]
-        * len(_OUT_FIELDS),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )
+
+    def make_call(k):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(k,),
+            in_specs=in_specs,
+            out_specs=[plane_spec] * n_out,
+            scratch_shapes=[
+                pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
+            + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
+            * len(_OUT_FIELDS),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )
 
     fields = None
     zkey = init_zkey
+    arange_nt = jnp.arange(nt, dtype=jnp.int32)
+    dropped_dense = jnp.int32(0)
     for p in range(passes):
-        starts_p = starts + p * maxc
-        counts_p = jnp.clip(counts - p * maxc, 0, maxc)
         # Big (overflow) triangles are tested in pass 0 only.
         nb_p = n_big if p == 0 else jnp.int32(0)
-        out = call(
-            starts_p, counts_p, nb_p[None], ov, pair_rec,
-            zkey.reshape(nt, tile_h, tile_w),
+        if p == 0:
+            k, ids = nt, arange_nt
+            starts_p = starts
+            counts_p = jnp.minimum(counts, maxc)
+            zk_in = zkey.reshape(nt, tile_h, tile_w)
+        else:
+            # Dense extra passes run on a COMPACT list of the tiles whose
+            # candidates exceed the previous windows (a full grid costs
+            # ~2-5 ms in per-step overhead even when every tile
+            # early-outs). Dead slots recompute the first listed tile —
+            # idempotent under the scatter-back.
+            live = counts > p * maxc
+            k = dense_tile_cap
+            neg = jnp.where(live, -arange_nt, jnp.int32(-(1 << 30)))
+            top, _ = lax.top_k(neg, k)
+            slot_live = top > -(1 << 30)
+            ids = jnp.where(slot_live, -top, 0)
+            ids = jnp.where(slot_live, ids, ids[0])
+            dropped_dense = dropped_dense + jnp.maximum(
+                jnp.sum(live, dtype=jnp.int32) - k, 0
+            )
+            starts_p = starts[ids] + p * maxc
+            counts_p = jnp.clip(counts[ids] - p * maxc, 0, maxc)
+            zk_in = zkey[ids].reshape(k, tile_h, tile_w)
+        out = make_call(k)(
+            ids, starts_p, counts_p, nb_p[None], ov, pair_rec, zk_in
         )
-        zkey = out[0].reshape(nt, npx)
+        zk_new = out[0].reshape(k, npx)
         fields_p = {
-            k: v.reshape(nt, npx) for k, v in zip(_OUT_FIELDS, out[1:])
+            f: v.reshape(k, npx) for f, v in zip(_OUT_FIELDS, out[1:])
         }
-        if fields is None:
-            fields = fields_p
+        if p == 0:
+            zkey, fields = zk_new, fields_p
         else:
             hit = fields_p["idf"] >= 0.5  # pass-p winner beat the chain
+            zkey = zkey.at[ids].set(zk_new)
             fields = {
-                k: jnp.where(hit, fields_p[k], fields[k]) for k in fields
+                f: fields[f].at[ids].set(
+                    jnp.where(hit, fields_p[f], fields[f][ids])
+                )
+                for f in fields
             }
+    diag = diag._replace(dropped_tiles=diag.dropped_tiles + dropped_dense)
     return _pixels_from_fields(fields), zkey, diag
 
 

@@ -194,12 +194,12 @@ def sample_table_xla(table: QuadTable, u, v) -> dict:
     }
 
 
-def _small_kernel(u_ref, v_ref, tex_ref, *out_refs, tile_h, tile_w, rows,
-                  h, w, cpad):
+def _small_kernel(idx_ref, tx_ref, ty_ref, tex_ref, *out_refs, tile_h,
+                  tile_w, rows, cpad):
     npx = tile_h * tile_w
-    u = u_ref[0].reshape(1, npx)
-    v = v_ref[0].reshape(1, npx)
-    idx, tx, ty = _footprint(u, v, h, w)
+    idx = idx_ref[0].reshape(1, npx)
+    tx = tx_ref[0].reshape(1, npx)
+    ty = ty_ref[0].reshape(1, npx)
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == idx
     ).astype(jnp.float32)
@@ -220,23 +220,25 @@ def _small_kernel(u_ref, v_ref, tex_ref, *out_refs, tile_h, tile_w, rows,
         out[0] = _blend(qf, tx, ty, k).reshape(tile_h, tile_w)
 
 
-def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
-                              tile_w: int, interpret: bool = False) -> dict:
-    """Gather-free small-table sampling: one-hot texel select on the MXU.
-
-    ``u``/``v`` are (NT, NPX) planar; returns slot → (NT, NPX) planes."""
-    nt, npx = u.shape
-    rows = table.height * table.width
+def sample_rows_small_pallas(quads: jnp.ndarray, idx, tx, ty,
+                             tile_h: int, tile_w: int, present: tuple,
+                             interpret: bool = False) -> dict:
+    """Gather-free row select + bilinear blend on the MXU for quad tables
+    with ≤ SMALL_ROWS rows. ``idx``/``tx``/``ty`` are (NT, NPX) planar
+    (precomputed footprints — callers handle REPEAT wrap, mip offsets,
+    material routing)."""
+    nt, npx = idx.shape
+    rows = quads.shape[0]
     rows_pad = max(8, -(-rows // 8) * 8)
-    assert table.quads.dtype == jnp.uint8, "MXU path needs u8 tables"
-    texf = table.quads.astype(jnp.float32)  # integer-valued: bf16-exact
+    assert quads.dtype == jnp.uint8, "MXU path needs u8 tables"
+    texf = quads.astype(jnp.float32)  # integer-valued: bf16-exact
     if rows_pad != rows:
         texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))
-    cpad = table.quads.shape[1] // 4
+    cpad = quads.shape[1] // 4
 
     kernel = functools.partial(
         _small_kernel, tile_h=tile_h, tile_w=tile_w, rows=rows_pad,
-        h=table.height, w=table.width, cpad=cpad,
+        cpad=cpad,
     )
     plane_spec = pl.BlockSpec((1, tile_h, tile_w), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -246,27 +248,40 @@ def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
         in_specs=[
             plane_spec,
             plane_spec,
+            plane_spec,
             pl.BlockSpec((rows_pad, 4 * cpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[plane_spec] * len(table.present),
+        out_specs=[plane_spec] * len(present),
         out_shape=[jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.float32)]
-        * len(table.present),
+        * len(present),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
-        u.reshape(nt, tile_h, tile_w),
-        v.reshape(nt, tile_h, tile_w),
+        idx.reshape(nt, tile_h, tile_w),
+        tx.reshape(nt, tile_h, tile_w),
+        ty.reshape(nt, tile_h, tile_w),
         texf,
     )
-    if len(table.present) == 1 and not isinstance(out, (list, tuple)):
+    if len(present) == 1 and not isinstance(out, (list, tuple)):
         out = [out]
     return {
         slot: plane.reshape(nt, npx)
-        for slot, plane in zip(table.present, out)
+        for slot, plane in zip(present, out)
     }
+
+
+def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
+                              tile_w: int, interpret: bool = False) -> dict:
+    """Gather-free small-table sampling: one-hot texel select on the MXU.
+
+    ``u``/``v`` are (NT, NPX) planar; returns slot → (NT, NPX) planes."""
+    idx, tx, ty = _footprint(u, v, table.height, table.width)
+    return sample_rows_small_pallas(table.quads, idx, tx, ty, tile_h,
+                                    tile_w, table.present,
+                                    interpret=interpret)
 
 
 def sample_material(tables: tuple, u, v, tile_h: int = 8, tile_w: int = 128,
@@ -460,11 +475,29 @@ def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
 
 
 def sample_material_mips(tables: tuple, u, v, tile_h: int = 8,
-                         tile_w: int = 128) -> dict:
-    """Sample all slots of a mip-quad material (trilinear) at planar uv."""
+                         tile_w: int = 128,
+                         use_pallas: bool | None = None,
+                         interpret: bool = False) -> dict:
+    """Sample all slots of a mip-quad material (trilinear) at planar uv.
+
+    Single-level small groups (e.g. neutral fallback maps) have no mip
+    chain to interpolate — they route through the gather-free MXU one-hot
+    path instead of paying 2 row gathers per pixel."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
-        out.update(sample_mip_table(table, u, v, tile_h, tile_w))
+        rows = table.quads.shape[0]
+        if (use_pallas and len(table.heights) == 1 and rows <= SMALL_ROWS
+                and table.quads.dtype == jnp.uint8):
+            idx, tx, ty = _footprint(u, v, table.heights[0],
+                                     table.widths[0])
+            out.update(sample_rows_small_pallas(
+                table.quads, idx, tx, ty, tile_h, tile_w, table.present,
+                interpret=interpret,
+            ))
+        else:
+            out.update(sample_mip_table(table, u, v, tile_h, tile_w))
     for slot in SLOTS:
         out.setdefault(slot, jnp.zeros_like(u))
     return out
@@ -603,11 +636,39 @@ def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
 
 
 def sample_material_mips_multi(tables: tuple, mat_id, u, v,
-                               tile_h: int = 8, tile_w: int = 128) -> dict:
-    """Sample merged multi-material mip-quad groups at planar uv."""
+                               tile_h: int = 8, tile_w: int = 128,
+                               use_pallas: bool | None = None,
+                               interpret: bool = False) -> dict:
+    """Sample merged multi-material mip-quad groups at planar uv.
+
+    Groups where every material is single-level and the merged table is
+    small route through the MXU one-hot path (material routing becomes a
+    static-unrolled per-pixel row-offset select — still zero gathers)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
-        out.update(sample_mip_multi(table, mat_id, u, v, tile_h, tile_w))
+        rows = table.quads.shape[0]
+        single = all(len(h) == 1 for h in table.heights)
+        if (use_pallas and single and rows <= SMALL_ROWS
+                and table.quads.dtype == jnp.uint8):
+            idx = tx = ty = None
+            for mi in range(len(table.heights)):
+                i_m, tx_m, ty_m = _footprint(
+                    u, v, table.heights[mi][0], table.widths[mi][0]
+                )
+                i_m = i_m + table.offsets[mi][0]
+                is_m = mat_id == mi
+                idx = i_m if idx is None else jnp.where(is_m, i_m, idx)
+                tx = tx_m if tx is None else jnp.where(is_m, tx_m, tx)
+                ty = ty_m if ty is None else jnp.where(is_m, ty_m, ty)
+            out.update(sample_rows_small_pallas(
+                table.quads, idx, tx, ty, tile_h, tile_w, table.present,
+                interpret=interpret,
+            ))
+        else:
+            out.update(sample_mip_multi(table, mat_id, u, v, tile_h,
+                                        tile_w))
     for slot in SLOTS:
         out.setdefault(slot, jnp.zeros_like(u))
     return out

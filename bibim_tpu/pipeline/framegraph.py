@@ -251,7 +251,8 @@ def _sample_one_material(mats, px: fused.FusedPixels,
         )
     if isinstance(mats, tuple) and mats             and isinstance(mats[0], tq.MipQuadTable):
         return tq.sample_material_mips(
-            mats, u, v, settings.tile_h, settings.tile_w
+            mats, u, v, settings.tile_h, settings.tile_w,
+            use_pallas=_use_pallas(settings),
         )
 
     # Legacy paths work on an (H, W, 2) uv image.
@@ -298,7 +299,8 @@ def _sample_materials(materials, px: fused.FusedPixels,
         # gathers (see merge_mip_quad_materials).
         u, v = px.uv
         return tq.sample_material_mips_multi(
-            materials, px.mat_id, u, v, settings.tile_h, settings.tile_w
+            materials, px.mat_id, u, v, settings.tile_h, settings.tile_w,
+            use_pallas=_use_pallas(settings),
         )
     multi = (
         isinstance(materials, (tuple, list))

@@ -317,3 +317,26 @@ class TestMultiPass:
         for a, b in zip(px_one.uv, px_multi.uv):
             np.testing.assert_allclose(_untile(a)[hit], _untile(b)[hit],
                                        atol=1e-5)
+
+    def test_compact_dense_passes_match_and_count_drops(self, scene_soup,
+                                                        rec_setup):
+        """Extra passes run on a compacted dense-tile grid; a sufficient
+        cap is exact, an insufficient one is counted in dropped_tiles."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, overflow_cap=512, span_cap=128,
+                  interpret=True)
+        px_one, _, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=2048, **kw
+        )
+        px_c, _, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=512, passes=4,
+            dense_tile_cap=24, **kw
+        )
+        assert int(diag.dropped_tiles) == 0
+        np.testing.assert_array_equal(_untile(px_one.tri_id),
+                                      _untile(px_c.tri_id))
+        _, _, diag_small = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=512, passes=4,
+            dense_tile_cap=1, **kw
+        )
+        assert int(diag_small.dropped_tiles) > 0

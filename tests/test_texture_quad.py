@@ -92,3 +92,44 @@ class TestQuadTables:
         np.testing.assert_allclose(np.asarray(out["ao"]),
                                    np.asarray(ref), atol=1e-6)
         assert float(out["ao"][0, 0]) == pytest.approx(0.25, abs=1e-6)
+
+
+class TestSmallMipRouting:
+    """Single-level small mip groups route through the MXU one-hot path
+    (no gathers); output must match the gather path exactly."""
+
+    def _mip_maps(self):
+        alb = [RNG.integers(0, 256, (32, 32, 1), np.uint8),
+               RNG.integers(0, 256, (16, 16, 1), np.uint8)]
+        neutral = RNG.integers(0, 256, (4, 4, 1), np.uint8)
+        return {"alb_r": alb, "metallic": [neutral]}
+
+    def test_single_level_small_matches_gather(self, uv_planes):
+        tables = tq.build_mip_quad_tables(self._mip_maps())
+        u, v = uv_planes
+        ref = tq.sample_material_mips(tables, u, v, use_pallas=False)
+        fast = tq.sample_material_mips(tables, u, v, use_pallas=True,
+                                       interpret=True)
+        for slot in ("alb_r", "metallic"):
+            np.testing.assert_allclose(np.asarray(fast[slot]),
+                                       np.asarray(ref[slot]), atol=1e-6)
+
+    def test_multi_material_single_level_small(self, uv_planes):
+        m0 = tq.build_mip_quad_tables({"metallic": [np.full((4, 4, 1), 10,
+                                                            np.uint8)]})
+        m1 = tq.build_mip_quad_tables({"metallic": [np.full((8, 8, 1), 200,
+                                                            np.uint8)]})
+        merged = tq.merge_mip_quad_materials((m0, m1))
+        u, v = uv_planes
+        mat_id = (jnp.arange(u.size, dtype=jnp.int32) % 2).reshape(u.shape)
+        ref = tq.sample_material_mips_multi(merged, mat_id, u, v,
+                                            use_pallas=False)
+        fast = tq.sample_material_mips_multi(merged, mat_id, u, v,
+                                             use_pallas=True,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(fast["metallic"]),
+                                   np.asarray(ref["metallic"]), atol=1e-6)
+        got = np.asarray(fast["metallic"]).ravel()
+        want = np.where(np.arange(got.size) % 2 == 0, 10 / 255.0,
+                        200 / 255.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
