@@ -72,7 +72,9 @@ def bench_shaderball(report: dict) -> float:
 
     scene = ShaderBallScene()
     cam = FreeLookCamera()
-    settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image")
+    settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
+                          live_tile_cap=1024)  # 780 covered tiles at
+    # this camera (validated: _validate reports any overflow)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
@@ -206,7 +208,8 @@ def bench_cube(report: dict) -> None:
                      exposure=jnp.float32(1.0))
     s = RenderSettings(width=w, height=h, outputs="image",
                        batch_material_ids=scene.material_ids,
-                       show_gizmo=False, show_lights=False)
+                       show_gizmo=False, show_lights=False,
+                       live_tile_cap=384)  # 248 covered tiles
 
     import dataclasses
 
@@ -255,7 +258,8 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     # up the one-hot resolve (skip_empty makes the extra passes cheap).
     s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                        show_gizmo=False, show_lights=False,
-                       max_candidates=320, raster_passes=7, span_cap=8)
+                       max_candidates=320, raster_passes=7, span_cap=8,
+                       live_tile_cap=768)  # 569 covered tiles
 
     import dataclasses
 
@@ -311,7 +315,8 @@ def bench_stretch_4k(report: dict) -> None:
                        enable_shadows=True, enable_ibl=True,
                        span_cap=32, overflow_cap=256,
                        max_candidates=320, raster_passes=2,
-                       shadow_passes=14, overlay_max_tiles=1024)
+                       shadow_passes=14, overlay_max_tiles=1024,
+                       live_tile_cap=4096)  # ~38% tile coverage at 4K
     data = scene.scene_data()
 
     import dataclasses

@@ -160,6 +160,13 @@ class RenderSettings:
     span_cap: int = 16  # max tiles a binned triangle may span
     xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
     pair_budget: int = 262144  # static cap on live (triangle, tile) pairs
+    # Coverage-compacted shading: sample materials + light only the screen
+    # tiles the raster actually covered (sampling is gather-rate-bound, so
+    # cost scales with coverage, not resolution). None = every tile
+    # (always exact). A finite cap is a validated capacity like the rest:
+    # frames whose covered-tile count exceeds it report the overflow in
+    # BinDiag.dropped_tiles (bench configs pin caps with zero drops).
+    live_tile_cap: int | None = None
     # Scenes built via batch_from_mesh are de-indexed (triangle list is a
     # global arange), letting corner fetches be reshapes instead of
     # gathers. Set False for hand-built DrawBatches with shared vertices.
@@ -337,6 +344,22 @@ def _scene_record_table(soup, setup, settings: RenderSettings):
         setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
         soup.color, soup.mat_id, sequential=settings.sequential_tris,
     )
+
+
+def _planar_materials(m) -> bool:
+    """True when the material binding samples planar (NT, NPX) planes
+    shape-agnostically (quad tables); the legacy MaterialTextures /
+    MaterialMips image-space paths do not."""
+    if isinstance(m, (MaterialTextures, MaterialMips)):
+        return False
+    if isinstance(m, (tuple, list)):
+        if not m:
+            return False
+        if isinstance(m[0], (tq.QuadTable, tq.MipQuadTable,
+                             tq.MipQuadMulti)):
+            return True
+        return all(_planar_materials(x) for x in m)
+    return False
 
 
 def _use_planar(scene: SceneData, settings: RenderSettings) -> bool:
@@ -741,6 +764,55 @@ def render_frame(
         scene, view_block, settings
     )
     diags = [diag]
+
+    # Coverage-compacted shading: the gather-rate-bound sampling + GGX
+    # stages only run for the tiles the raster actually covered; the LDR
+    # planes scatter back before overlay composition (background tiles are
+    # exactly zero through tonemap + sRGB). Disabled for debug outputs.
+    nt_full = px.tri_id.shape[0]
+    compact_ids = None
+    can_compact = (
+        settings.live_tile_cap is not None
+        and settings.live_tile_cap < nt_full
+        and settings.gbuffer_viz == GBufferViz.RENDERED_SCENE
+        and not settings.show_tbn
+        and settings.shading != "flat"
+        # Legacy image-space material bindings round-trip through (H, W)
+        # images and cannot shade compact planes.
+        and _planar_materials(materials)
+    )
+    if can_compact and settings.outputs != "image":
+        # Debug outputs shade at full rate, but still report whether this
+        # frame would overflow the cap — so bench/validation runs (which
+        # use outputs="full") verify the production cap honestly.
+        live = jnp.any(px.tri_id >= 0, axis=1)
+        diags.append(fused.BinDiag(
+            dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
+            dropped_pairs=jnp.int32(0),
+            dropped_tiles=jnp.maximum(
+                jnp.sum(live, dtype=jnp.int32) - settings.live_tile_cap, 0
+            ),
+        ))
+    if can_compact and settings.outputs == "image":
+        live = jnp.any(px.tri_id >= 0, axis=1)
+        k = settings.live_tile_cap
+        arange_nt = jnp.arange(nt_full, dtype=jnp.int32)
+        neg = jnp.where(live, -arange_nt, jnp.int32(-(1 << 30)))
+        top, _ = jax.lax.top_k(neg, k)
+        slot_live = top > -(1 << 30)
+        ids = jnp.where(slot_live, -top, 0)
+        # Dead slots re-shade the first listed tile (idempotent under the
+        # scatter-back).
+        compact_ids = jnp.where(slot_live, ids, ids[0])
+        diags.append(fused.BinDiag(
+            dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
+            dropped_pairs=jnp.int32(0),
+            dropped_tiles=jnp.maximum(
+                jnp.sum(live, dtype=jnp.int32) - k, 0
+            ),
+        ))
+        px = jax.tree_util.tree_map(lambda p: p[compact_ids], px)
+
     valid = px.tri_id >= 0
 
     gb = {}
@@ -835,6 +907,13 @@ def render_frame(
         tone_map(c, frame_params.enable_tone_mapping, frame_params.exposure)
         for c in hdr3
     )
+
+    if compact_ids is not None:
+        npx_c = ldr3[0].shape[1]
+        ldr3 = tuple(
+            jnp.zeros((nt_full, npx_c), c.dtype).at[compact_ids].set(c)
+            for c in ldr3
+        )
 
     view_proj = m3.matmul(view_block.proj, view_block.view)
 

@@ -112,6 +112,45 @@ class TestRenderFrame:
             np.asarray(out_d["ldr"]), np.asarray(out_f["ldr"]), atol=1e-5
         )
 
+    def test_live_tile_cap_matches_full_shading(self):
+        """Coverage-compacted shading equals the full path when the cap
+        holds every covered tile (and is a validated capacity when not)."""
+        import dataclasses
+
+        from bibim_tpu.ops import texture_quad as tq
+
+        def flat(val):
+            return np.full((4, 4, 1), val, np.uint8)
+
+        mats = tq.build_quad_tables({
+            "alb_r": flat(200), "alb_g": flat(120), "alb_b": flat(80),
+            "nrm_x": flat(128), "nrm_y": flat(128), "nrm_z": flat(255),
+            "metallic": flat(0), "roughness": flat(128), "ao": flat(255),
+            "height": flat(0),
+        })
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, outputs="image", **SMALL)
+        full = render_frame(scene, _view(), _fp(1), mats, None, s)
+        nt = (H // 8) * (W // 128)
+        compact = render_frame(
+            scene, _view(), _fp(1), mats, None,
+            dataclasses.replace(s, live_tile_cap=nt - 1),
+        )
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(compact["image"]))
+        # Validation path: full outputs shade uncompacted but report the
+        # would-be overflow of the production cap.
+        out_ok = render_frame(
+            scene, _view(), _fp(1), mats, None,
+            dataclasses.replace(s, live_tile_cap=nt - 1, outputs="full"),
+        )
+        assert int(out_ok["bin_diag"].dropped_tiles) == 0
+        out_small = render_frame(
+            scene, _view(), _fp(1), mats, None,
+            dataclasses.replace(s, live_tile_cap=1, outputs="full"),
+        )
+        assert int(out_small["bin_diag"].dropped_tiles) > 0
+
     def test_forward_viz_shows_cleared_gbuffer(self):
         """In forward mode nothing writes the G-buffer attachments, so a
         visualization request shows the cleared (black) planes — the
