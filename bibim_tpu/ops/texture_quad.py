@@ -100,11 +100,13 @@ def build_quad_tables(maps: dict) -> tuple:
         quads = np.concatenate([t00, t01, t10, t11], axis=-1).reshape(
             h * w, 4 * cpad
         )
-        if h * w > SMALL_ROWS:
-            # Gather-table rows as int32 lanes (4 bytes/lane): measured
-            # ~7% faster than u8 rows at 1080p (narrower lane footprint);
-            # bytes unpack exactly after the gather. Small tables stay u8
-            # for the MXU one-hot path.
+        if h * w >= (1 << 16):
+            # Big gather tables store rows as int32 lanes (4 bytes/lane):
+            # measured ~7% faster than u8 rows at 1080p (narrower lane
+            # footprint); bytes unpack exactly after the gather. Mid-size
+            # tables stay u8 — the unpack's interleave relayout costs more
+            # than the gather saves when the table isn't in the slow
+            # row-count regime (and small tables feed the MXU path).
             quads = np.ascontiguousarray(quads).view(np.int32)
         tables.append(
             QuadTable(
