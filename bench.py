@@ -72,9 +72,10 @@ def bench_shaderball(report: dict) -> float:
 
     scene = ShaderBallScene()
     cam = FreeLookCamera()
+    # 780 covered tiles at this camera; caps validated (_validate
+    # reports any overflow as dropped_tiles).
     settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                          live_tile_cap=1024)  # 780 covered tiles at
-    # this camera (validated: _validate reports any overflow)
+                              live_tile_cap=1024, raster_tile_cap=1152)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
@@ -209,7 +210,8 @@ def bench_cube(report: dict) -> None:
     s = RenderSettings(width=w, height=h, outputs="image",
                        batch_material_ids=scene.material_ids,
                        show_gizmo=False, show_lights=False,
-                       live_tile_cap=384)  # 248 covered tiles
+                       live_tile_cap=384,  # 248 covered tiles
+                       raster_tile_cap=448)
 
     import dataclasses
 
@@ -254,12 +256,13 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
     # Dense distant instances: the worst tile holds ~2.1k candidates;
-    # seven depth-chained 320-candidate windows cover it without blowing
-    # up the one-hot resolve (skip_empty makes the extra passes cheap).
+    # three depth-chained 1024-candidate windows cover it (extra passes
+    # run on a compacted dense-tile grid; settings from tools/exp_c4.py).
     s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                        show_gizmo=False, show_lights=False,
-                       max_candidates=320, raster_passes=7, span_cap=8,
-                       live_tile_cap=768)  # 569 covered tiles
+                       max_candidates=1024, raster_passes=3, span_cap=4,
+                       live_tile_cap=768,  # 569 covered tiles
+                       raster_tile_cap=896)  # bin-live ~= covered here
 
     import dataclasses
 
@@ -316,7 +319,8 @@ def bench_stretch_4k(report: dict) -> None:
                        span_cap=32, overflow_cap=256,
                        max_candidates=320, raster_passes=2,
                        shadow_passes=14, overlay_max_tiles=1024,
-                       live_tile_cap=4096)  # ~38% tile coverage at 4K
+                       live_tile_cap=4096,  # ~38% tile coverage at 4K
+                       raster_tile_cap=4608)
     data = scene.scene_data()
 
     import dataclasses

@@ -554,6 +554,7 @@ def raster_fused_pallas(
     pair_budget: int = 262144,
     passes: int = 1,
     dense_tile_cap: int | None = None,  # compact-grid size for passes ≥ 1
+    raster_tile_cap: int | None = None,  # compact-grid size for pass 0
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -644,7 +645,21 @@ def raster_fused_pallas(
     for p in range(passes):
         # Big (overflow) triangles are tested in pass 0 only.
         nb_p = n_big if p == 0 else jnp.int32(0)
-        if p == 0:
+        if p == 0 and raster_tile_cap is not None and raster_tile_cap <= nt:
+            # Pass-0 compaction: only tiles that can have geometry — own
+            # candidates or conservative big-triangle cover — get a grid
+            # step; the rest keep clear/init values through the
+            # scatter-back (a mostly-empty full grid costs ~2.4 µs/step).
+            live0 = (counts > 0) | _big_cover_mask(
+                ov, big_ids, nt, tiles_x, tile_h, tile_w
+            )
+            k = raster_tile_cap
+            ids, dropped0 = _compact_tile_list(live0, k)
+            dropped_dense = dropped_dense + dropped0
+            starts_p = starts[ids]
+            counts_p = jnp.minimum(counts[ids], maxc)
+            zk_in = zkey[ids].reshape(k, tile_h, tile_w)
+        elif p == 0:
             k, ids = nt, arange_nt
             starts_p = starts
             counts_p = jnp.minimum(counts, maxc)
@@ -675,7 +690,15 @@ def raster_fused_pallas(
         fields_p = {
             f: v.reshape(k, npx) for f, v in zip(_OUT_FIELDS, out[1:])
         }
-        if p == 0:
+        if p == 0 and k < nt:
+            # Unlisted tiles keep clear/init depth (masked like the
+            # kernel's own writes) and miss-valued (zero) fields.
+            zkey = (zkey & _LOW3).at[ids].set(zk_new)
+            fields = {
+                f: jnp.zeros((nt, npx), jnp.float32).at[ids].set(fields_p[f])
+                for f in fields_p
+            }
+        elif p == 0:
             zkey, fields = zk_new, fields_p
         else:
             hit = fields_p["idf"] >= 0.5  # pass-p winner beat the chain
@@ -688,6 +711,62 @@ def raster_fused_pallas(
             }
     diag = diag._replace(dropped_tiles=diag.dropped_tiles + dropped_dense)
     return _pixels_from_fields(fields), zkey, diag
+
+
+
+def _big_cover_mask(ov: jnp.ndarray, big_ids: jnp.ndarray, nt: int,
+                    tiles_x: int, tile_h: int, tile_w: int) -> jnp.ndarray:
+    """(NT,) conservative mask of tiles possibly covered by any big
+    (overflow) triangle. Big triangles include near-plane externals whose
+    bbox is conservatively full-screen, so instead each tile rectangle is
+    tested against the triangle's affine edge/w/z planes from its record
+    row: an affine function's max over a rectangle is at a corner, so
+    max(A*x0, A*x1) + max(B*y0, B*y1) + C >= 0 is an exact conservative
+    cover test per plane."""
+    tcol = (jnp.arange(nt, dtype=jnp.int32) % tiles_x).astype(jnp.float32)
+    trow = (jnp.arange(nt, dtype=jnp.int32) // tiles_x).astype(jnp.float32)
+    x0 = (tcol * tile_w)[:, None]
+    x1 = x0 + tile_w
+    y0 = (trow * tile_h)[:, None]
+    y1 = y0 + tile_h
+
+    def plane_max(a, b, c):  # (NT, OC) max of a*x + b*y + c over the tile
+        return (jnp.maximum(x0 * a[None, :], x1 * a[None, :])
+                + jnp.maximum(y0 * b[None, :], y1 * b[None, :])
+                + c[None, :])
+
+    covers = jnp.broadcast_to((big_ids >= 0)[None, :], (nt, ov.shape[0]))
+    for e in range(3):
+        covers = covers & (
+            plane_max(ov[:, _A + e], ov[:, _B + e], ov[:, _C + e]) >= 0
+        )
+    covers = covers & (
+        plane_max(ov[:, _ZC], ov[:, _ZC + 1], ov[:, _ZC + 2]) >= 0
+    )
+    covers = covers & (
+        plane_max(ov[:, _WC], ov[:, _WC + 1], ov[:, _WC + 2]) > 0
+    )
+    covers = covers & (  # somewhere zn <= wn (depth in range)
+        plane_max(ov[:, _WC] - ov[:, _ZC],
+                  ov[:, _WC + 1] - ov[:, _ZC + 1],
+                  ov[:, _WC + 2] - ov[:, _ZC + 2]) >= 0
+    )
+    return jnp.any(covers, axis=1)
+
+
+def _compact_tile_list(live: jnp.ndarray, k: int):
+    """Compact a (NT,) liveness mask to k tile ids (dead slots duplicate
+    the first listed tile — idempotent under recompute + scatter-back).
+    Returns (ids (k,), dropped count)."""
+    nt = live.shape[0]
+    neg = jnp.where(live, -jnp.arange(nt, dtype=jnp.int32),
+                    jnp.int32(-(1 << 30)))
+    top, _ = lax.top_k(neg, k)
+    slot_live = top > -(1 << 30)
+    ids = jnp.where(slot_live, -top, 0)
+    ids = jnp.where(slot_live, ids, ids[0])
+    dropped = jnp.maximum(jnp.sum(live, dtype=jnp.int32) - k, 0)
+    return ids, dropped
 
 
 def _overlay_kernel(
@@ -836,57 +915,13 @@ def composite_overlay_pallas(
     ).astype(jnp.float32)[:, None]
 
     # Live tiles: own candidates, or possibly covered by a big (overflow)
-    # triangle. Big triangles include near-plane externals whose bbox is
-    # conservatively full-screen (a camera-enclosing light sphere floods
-    # every tile that way), so instead test each tile rectangle against
-    # the triangle's affine edge/w/z planes from its record row: an affine
-    # function's max over a rectangle is at a corner, so
-    # max(A*x0, A*x1) + max(B*y0, B*y1) + C >= 0 is an exact conservative
-    # cover test per edge.
-    live = counts > 0
-    tcol = (jnp.arange(nt, dtype=jnp.int32) % tiles_x).astype(jnp.float32)
-    trow = (jnp.arange(nt, dtype=jnp.int32) // tiles_x).astype(jnp.float32)
-    x0 = (tcol * tile_w)[:, None]
-    x1 = x0 + tile_w
-    y0 = (trow * tile_h)[:, None]
-    y1 = y0 + tile_h
-
-    def plane_max(a, b, c):  # (NT, OC) max of a*x + b*y + c over the tile
-        return (jnp.maximum(x0 * a[None, :], x1 * a[None, :])
-                + jnp.maximum(y0 * b[None, :], y1 * b[None, :])
-                + c[None, :])
-
-    covers = jnp.broadcast_to((big_ids >= 0)[None, :], (nt, ov.shape[0]))
-    for e in range(3):
-        covers = covers & (
-            plane_max(ov[:, _A + e], ov[:, _B + e], ov[:, _C + e]) >= 0
-        )
-    covers = covers & (
-        plane_max(ov[:, _ZC], ov[:, _ZC + 1], ov[:, _ZC + 2]) >= 0
-    )
-    covers = covers & (
-        plane_max(ov[:, _WC], ov[:, _WC + 1], ov[:, _WC + 2]) > 0
-    )
-    covers = covers & (  # somewhere zn <= wn (depth in range)
-        plane_max(ov[:, _WC] - ov[:, _ZC],
-                  ov[:, _WC + 1] - ov[:, _ZC + 1],
-                  ov[:, _WC + 2] - ov[:, _ZC + 2]) >= 0
-    )
-    live = live | jnp.any(covers, axis=1)
-
-    neg = jnp.where(live, -jnp.arange(nt, dtype=jnp.int32),
-                    jnp.int32(-(1 << 30)))
+    # triangle (conservative per-tile edge-plane test; see
+    # _big_cover_mask).
+    live = (counts > 0) | _big_cover_mask(ov, big_ids, nt, tiles_x,
+                                          tile_h, tile_w)
     k_top = min(max_tiles, nt)
-    top, _ = lax.top_k(neg, k_top)
-    slot_live = top > -(1 << 30)
-    ids = jnp.where(slot_live, -top, 0)
-    # Dead slots re-process the first listed tile (idempotent duplicates —
-    # the scatter below then writes identical values).
-    ids = jnp.where(slot_live, ids, ids[0])
-    n_live_total = jnp.sum(live, dtype=jnp.int32)
-    diag = diag._replace(
-        dropped_tiles=jnp.maximum(n_live_total - k_top, 0)
-    )
+    ids, dropped = _compact_tile_list(live, k_top)
+    diag = diag._replace(dropped_tiles=dropped)
 
     starts_c = starts[ids]
     counts_c = counts[ids]

@@ -167,6 +167,10 @@ class RenderSettings:
     # frames whose covered-tile count exceeds it report the overflow in
     # BinDiag.dropped_tiles (bench configs pin caps with zero drops).
     live_tile_cap: int | None = None
+    # Compact pass-0 raster grid: only tiles with candidates or
+    # conservative big-triangle cover get a kernel step (None = full
+    # grid). Another validated capacity (BinDiag.dropped_tiles).
+    raster_tile_cap: int | None = None
     # Scenes built via batch_from_mesh are de-indexed (triangle list is a
     # global arange), letting corner fetches be reshapes instead of
     # gathers. Set False for hand-built DrawBatches with shared vertices.
@@ -212,7 +216,7 @@ def _q16(x, enable: bool):
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
             skip_empty=True, overflow_cap=None, passes=None,
-            viewport=None):
+            viewport=None, main_pass=False):
     """``viewport`` = (full_frame_height, y_origin) for band rendering: the
     Pallas path consumes band-rebased records (shift_record_table_y), the
     XLA fallback re-derives its own setup from clip and needs the band
@@ -229,6 +233,8 @@ def _raster(rec_table, setup, clip, tris, width, height,
             init_zkey=init_zkey, skip_empty=skip_empty,
             pair_budget=settings.pair_budget,
             passes=passes,
+            raster_tile_cap=(settings.raster_tile_cap if main_pass
+                             else None),
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
@@ -394,7 +400,8 @@ def _assemble_and_raster(scene, view_block, settings: RenderSettings):
         else:
             clip, tris = planar_compat_clip(psoup)
         px, zkey, diag = _raster(
-            rec_table, setup, clip, tris, width, height, settings
+            rec_table, setup, clip, tris, width, height, settings,
+            main_pass=True,
         )
         return px, zkey, diag, None, psoup
     soup = assemble_scene(
@@ -405,7 +412,8 @@ def _assemble_and_raster(scene, view_block, settings: RenderSettings):
                            sequential=settings.sequential_tris)
     rec_table = _scene_record_table(soup, setup, settings)
     px, zkey, diag = _raster(
-        rec_table, setup, soup.clip, soup.tris, width, height, settings
+        rec_table, setup, soup.clip, soup.tris, width, height, settings,
+        main_pass=True,
     )
     return px, zkey, diag, soup, None
 

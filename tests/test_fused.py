@@ -340,3 +340,25 @@ class TestMultiPass:
             dense_tile_cap=1, **kw
         )
         assert int(diag_small.dropped_tiles) > 0
+
+    def test_compact_pass0_matches_full_grid(self, scene_soup, rec_setup):
+        """Pass-0 compaction (raster_tile_cap) is exact when the cap holds
+        every bin-live tile; unlisted tiles stay clear."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, overflow_cap=512, span_cap=128,
+                  max_candidates=2048, interpret=True)
+        px_full, zk_full, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, **kw
+        )
+        nt = zk_full.shape[0]
+        px_c, zk_c, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, raster_tile_cap=nt, **kw
+        )
+        assert int(diag.dropped_tiles) == 0
+        np.testing.assert_array_equal(_untile(px_full.tri_id),
+                                      _untile(px_c.tri_id))
+        np.testing.assert_array_equal(np.asarray(zk_full),
+                                      np.asarray(zk_c))
+        hit = _untile(px_full.tri_id) >= 0
+        np.testing.assert_allclose(_untile(px_full.depth)[hit],
+                                   _untile(px_c.depth)[hit], atol=1e-6)
