@@ -42,8 +42,11 @@ SLOTS = (
     "metallic", "roughness", "ao", "height",
 )
 
-# Tables with at most this many texel rows use the MXU one-hot path.
-SMALL_ROWS = 1024
+# Tables with at most this many texel rows use the MXU one-hot path
+# (one-hot select cost grows linearly with rows; the XLA gather it
+# replaces is flat ~8 ns/pixel — crossover is well above 2048 rows,
+# which covers the IBL products and every fallback map).
+SMALL_ROWS = 2048
 
 
 class QuadTable(NamedTuple):
