@@ -55,9 +55,20 @@ def build_mip_pyramid(level0: np.ndarray, max_levels: int | None = None) -> list
 
 
 def save_png(path: str | os.PathLike, rgba_or_rgb: np.ndarray) -> None:
-    """Write an (H, W, 3|4) uint8 array as PNG (host output path)."""
+    """Write an (H, W, 3|4) uint8 array as PNG (host output path).
+
+    Prefers the native libpng writer (low compression level — the
+    swapchain-present analog for the interactive loop); falls back to
+    PIL when the native library isn't built."""
     arr = np.asarray(rgba_or_rgb)
     if arr.dtype != np.uint8:
         arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    try:
+        from bibim_tpu import native
+
+        if arr.ndim == 3 and native.write_png(str(path), arr):
+            return
+    except Exception:  # noqa: BLE001 - native lib optional
+        pass
     Image.fromarray(arr).save(path)

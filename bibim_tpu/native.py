@@ -44,6 +44,13 @@ def _load_lib():
             lib.bibim_decode_batch.restype = ctypes.c_int
             lib.bibim_free_image.argtypes = [ctypes.POINTER(_DecodedImage)]
             lib.bibim_native_version.restype = ctypes.c_char_p
+            if hasattr(lib, "bibim_write_png"):
+                lib.bibim_write_png.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.bibim_write_png.restype = ctypes.c_int
             return lib
     raise ImportError("libbibim_native.so not built (run `make -C native`)")
 
@@ -80,3 +87,19 @@ def decode_batch_rgba8(paths: list[str], max_threads: int = 64) -> list[np.ndarr
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     _lib.bibim_decode_batch(c_paths, n, arr, max_threads)
     return [(_to_array(arr[i]) if arr[i].pixels else None) for i in range(n)]
+
+
+def write_png(path: str, image: np.ndarray, compress_level: int = 1) -> bool:
+    """Encode an (H, W, 3|4) uint8 array as PNG via the native writer
+    (the swapchain-present analog; libpng at a low compression level is
+    several times faster than the Python encoder at 1080p). Returns False
+    if the library lacks the writer (rebuild native/) or on IO failure."""
+    if not hasattr(_lib, "bibim_write_png"):
+        return False
+    arr = np.ascontiguousarray(image)
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"need (H, W, 3|4) uint8, got {arr.shape} {arr.dtype}")
+    h, w, c = arr.shape
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return bool(_lib.bibim_write_png(path.encode(), ptr, w, h, c,
+                                     compress_level))

@@ -199,6 +199,51 @@ void bibim_free_image(DecodedImage* img) {
   img->pixels = nullptr;
 }
 
+// Encode a tightly-packed RGB8/RGBA8 buffer as a PNG file. The frame-output
+// path of the interactive loop (the swapchain-present analog): libpng at a
+// low compression level is several times faster than the Python encoder on
+// 1080p frames. Returns 1 on success.
+int bibim_write_png(const char* path, const uint8_t* pixels, int width,
+                    int height, int channels, int compress_level) {
+  if (channels != 3 && channels != 4) return 0;
+  FILE* f = fopen(path, "wb");
+  if (!f) return 0;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    fclose(f);
+    return 0;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return 0;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return 0;
+  }
+  png_init_io(png, f);
+  if (compress_level < 0) compress_level = 1;
+  png_set_compression_level(png, compress_level);
+  png_set_IHDR(png, info, (png_uint_32)width, (png_uint_32)height, 8,
+               channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_RGBA,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  const size_t stride = (size_t)width * channels;
+  for (int y = 0; y < height; ++y) {
+    png_write_row(png, const_cast<png_bytep>(pixels + y * stride));
+  }
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return 1;
+}
+
 const char* bibim_native_version() { return "bibim_native 0.1.0"; }
 
 }  // extern "C"
