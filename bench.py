@@ -318,7 +318,8 @@ def bench_stretch_4k(report: dict) -> None:
                        enable_shadows=True, enable_ibl=True,
                        span_cap=32, overflow_cap=256,
                        max_candidates=320, raster_passes=2,
-                       shadow_passes=14, overlay_max_tiles=1024,
+                       shadow_candidates=2048, shadow_passes=3,
+                       overlay_max_tiles=1024,
                        live_tile_cap=4096,  # ~38% tile coverage at 4K
                        raster_tile_cap=4608)
     data = scene.scene_data()

@@ -328,16 +328,20 @@ class MipQuadTable(NamedTuple):
     flat. Level geometry is static (python ints) so per-pixel level
     selection is an unrolled vector select — no index tables, no gathers."""
 
-    quads: jnp.ndarray  # (total_rows, 4*C) uint8
+    quads: jnp.ndarray  # (total_rows, 4*C) u8, or (total_rows, 13*C)
+    # when ``paired`` (own 2x2 quad + parent-level 3x3 block)
     heights: tuple  # per-level, static
     widths: tuple
     offsets: tuple  # per-level flat row offset, static
     present: tuple
+    paired: bool = False  # rows carry the parent block: a trilinear
+    # sample costs ONE row gather instead of two
 
 
 jax.tree_util.register_pytree_node(
     MipQuadTable,
-    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present)),
+    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present,
+                            t.paired)),
     lambda aux, ch: MipQuadTable(ch[0], *aux),
 )
 
@@ -356,8 +360,9 @@ def build_mip_quad_tables(mip_maps: dict) -> tuple:
         present = tuple(sorted(slot_mips, key=SLOTS.index))
         cpad = _ceil4(len(present))
         levels = len(next(iter(slot_mips.values())))
+        paired = levels > 1
         heights, widths, offsets, parts = [], [], [], []
-        off = 0
+        texs = []
         for li in range(levels):
             any_level = next(iter(slot_mips.values()))[li]
             h, w = int(any_level.shape[0]), int(any_level.shape[1])
@@ -365,14 +370,33 @@ def build_mip_quad_tables(mip_maps: dict) -> tuple:
             for k, slot in enumerate(present):
                 img = slot_mips[slot][li]
                 tex[:, :, k] = img[:, :, 0] if img.ndim == 3 else img
+            texs.append(tex)
+        off = 0
+        for li, tex in enumerate(texs):
+            h, w = tex.shape[:2]
             t01 = np.roll(tex, -1, axis=1)
             t10 = np.roll(tex, -1, axis=0)
             t11 = np.roll(t01, -1, axis=0)
-            parts.append(
-                np.concatenate([tex, t01, t10, t11], axis=-1).reshape(
-                    h * w, 4 * cpad
-                )
-            )
+            own = np.concatenate([tex, t01, t10, t11], axis=-1)
+            if paired:
+                # Parent-level 3x3 block anchored at ((y-1)>>1, (x-1)>>1)
+                # per child texel: the parent bilinear footprint of any
+                # sub-texel position within the child texel lies inside
+                # it, so a trilinear sample needs only THIS row.
+                if li + 1 < levels:
+                    par = texs[li + 1]
+                    h2, w2 = par.shape[:2]
+                    ay = ((np.arange(h) - 1) >> 1)[:, None]
+                    ax = ((np.arange(w) - 1) >> 1)[None, :]
+                    blocks = [
+                        par[(ay + j) % h2, (ax + i) % w2]
+                        for j in range(3) for i in range(3)
+                    ]
+                    pblk = np.concatenate(blocks, axis=-1)
+                else:  # last level: frac is forced to 0, block unused
+                    pblk = np.zeros((h, w, 9 * cpad), np.uint8)
+                own = np.concatenate([own, pblk], axis=-1)
+            parts.append(own.reshape(h * w, -1))
             heights.append(h)
             widths.append(w)
             offsets.append(off)
@@ -384,6 +408,7 @@ def build_mip_quad_tables(mip_maps: dict) -> tuple:
                 widths=tuple(widths),
                 offsets=tuple(offsets),
                 present=present,
+                paired=paired,
             )
         )
     return tuple(tables)
@@ -416,13 +441,74 @@ def quad_lod_planar(u, v, tile_h: int, tile_w: int, tex_h: int,
     return jnp.maximum(lod, 0.0)
 
 
+
+def _sample_paired(quads, cpad, h, w, off, uf, vf, frac):
+    """ONE-gather trilinear: rows are [own 2x2 quad (4C) | parent 3x3
+    block (9C)]. ``h``/``w``/``off`` are the selected level's dims/offset
+    as flat planes; ``frac`` is the level blend (0 at the last level —
+    its stored parent block is zeros)."""
+    fx = uf * w - 0.5
+    fy = vf * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    x0i = jnp.remainder(x0.astype(jnp.int32), wi)
+    y0i = jnp.remainder(y0.astype(jnp.int32), hi)
+    q = _rows_to_f32(quads[off + y0i * wi + x0i]) * (1.0 / 255.0)
+
+    w00 = ((1.0 - tx) * (1.0 - ty))[:, None]
+    w01 = (tx * (1.0 - ty))[:, None]
+    w10 = ((1.0 - tx) * ty)[:, None]
+    w11 = (tx * ty)[:, None]
+    own = (q[:, 0:cpad] * w00 + q[:, cpad:2 * cpad] * w01
+           + q[:, 2 * cpad:3 * cpad] * w10 + q[:, 3 * cpad:4 * cpad] * w11)
+
+    # Parent footprint recomputed from uv; its 2x2 taps always lie inside
+    # the stored 3x3 block anchored at ((x0-1)>>1, (y0-1)>>1).
+    w2 = jnp.maximum(wi // 2, 1).astype(jnp.float32)
+    h2 = jnp.maximum(hi // 2, 1).astype(jnp.float32)
+    fx2 = uf * w2 - 0.5
+    fy2 = vf * h2 - 0.5
+    x02 = jnp.floor(fx2)
+    y02 = jnp.floor(fy2)
+    tx2 = fx2 - x02
+    ty2 = fy2 - y02
+    dx1 = (jnp.clip(x02.astype(jnp.int32)
+                    - ((x0.astype(jnp.int32) - 1) >> 1), 0, 1) == 1)[:, None]
+    dy1 = (jnp.clip(y02.astype(jnp.int32)
+                    - ((y0.astype(jnp.int32) - 1) >> 1), 0, 1) == 1)[:, None]
+    base = 4 * cpad
+
+    def p(j, i):
+        c0 = base + (j * 3 + i) * cpad
+        return q[:, c0:c0 + cpad]
+
+    def tap(jj, ii):
+        return jnp.where(
+            dy1,
+            jnp.where(dx1, p(jj + 1, ii + 1), p(jj + 1, ii)),
+            jnp.where(dx1, p(jj, ii + 1), p(jj, ii)),
+        )
+
+    par = (tap(0, 0) * ((1.0 - tx2) * (1.0 - ty2))[:, None]
+           + tap(0, 1) * (tx2 * (1.0 - ty2))[:, None]
+           + tap(1, 0) * ((1.0 - tx2) * ty2)[:, None]
+           + tap(1, 1) * (tx2 * ty2)[:, None])
+    fr = frac[:, None]
+    return own * (1.0 - fr) + par * fr
+
+
 def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
                      tile_w: int) -> dict:
-    """Trilinear sample: 2 gathers/pixel + dense blends (planar)."""
+    """Trilinear sample (planar): ONE gather/pixel for paired tables,
+    two for the legacy layout."""
     shape = u.shape
-    cpad = table.quads.shape[1] * (
+    row = table.quads.shape[1] * (
         4 if table.quads.dtype == jnp.int32 else 1
-    ) // 4
+    )
     levels = len(table.heights)
     lod = quad_lod_planar(u, v, tile_h, tile_w,
                           table.heights[0], table.widths[0])
@@ -431,6 +517,28 @@ def sample_mip_table(table: MipQuadTable, u, v, tile_h: int,
 
     uf = u.reshape(-1)
     vf = v.reshape(-1)
+
+    if table.paired:
+        cpad = row // 13
+        frac = jnp.where(l0 == levels - 1, 0.0, frac)
+        lsel = l0.reshape(-1)
+        h = w = off = None
+        for li in range(levels):
+            is_l = lsel == li
+            h = jnp.where(is_l, float(table.heights[li]),
+                          1.0 if h is None else h)
+            w = jnp.where(is_l, float(table.widths[li]),
+                          1.0 if w is None else w)
+            off = jnp.where(is_l, table.offsets[li],
+                            0 if off is None else off)
+        out = _sample_paired(table.quads, cpad, h, w, off, uf, vf,
+                             frac.reshape(-1))
+        return {
+            slot: out[:, k].reshape(shape)
+            for k, slot in enumerate(table.present)
+        }
+
+    cpad = row // 4
 
     def sample_level(lsel):
         lsel = jnp.clip(lsel, 0, levels - 1).reshape(-1)
@@ -514,16 +622,18 @@ class MipQuadMulti(NamedTuple):
     gathers: the material id only selects (static, unrolled) level
     geometry + offsets. Built by :func:`merge_mip_quad_materials`."""
 
-    quads: jnp.ndarray  # (total_rows, 4*C) uint8
+    quads: jnp.ndarray  # (total_rows, 4*C) u8 (13*C when paired)
     heights: tuple  # [mat][level], static
     widths: tuple
     offsets: tuple  # [mat][level] flat row offsets, static
     present: tuple
+    paired: bool = False  # see MipQuadTable.paired
 
 
 jax.tree_util.register_pytree_node(
     MipQuadMulti,
-    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present)),
+    lambda t: ((t.quads,), (t.heights, t.widths, t.offsets, t.present,
+                            t.paired)),
     lambda aux, ch: MipQuadMulti(ch[0], *aux),
 )
 
@@ -545,6 +655,13 @@ def merge_mip_quad_materials(materials: tuple) -> tuple:
     merged = []
     for present in sorted(keys):
         tabs = [bp[present] for bp in by_present]
+        paired = {t.paired for t in tabs}
+        if len(paired) != 1:
+            raise ValueError(
+                f"slot group {present}: cannot merge single-level and "
+                "multi-level materials (paired row layouts differ) — give "
+                "every material the same mip chain depth"
+            )
         heights, widths, offsets, parts = [], [], [], []
         base = 0
         for t in tabs:
@@ -560,6 +677,7 @@ def merge_mip_quad_materials(materials: tuple) -> tuple:
                 widths=tuple(widths),
                 offsets=tuple(offsets),
                 present=present,
+                paired=paired.pop(),
             )
         )
     return tuple(merged)
@@ -595,6 +713,30 @@ def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
 
     uf, vf = u.reshape(-1), v.reshape(-1)
     matf = mat_id.reshape(-1)
+
+    if table.paired:
+        cpad = table.quads.shape[1] * (
+            4 if table.quads.dtype == jnp.int32 else 1
+        ) // 13
+        frac = jnp.where(l0 == max_level, 0.0, frac)
+        lsel = l0.reshape(-1)
+        h = w = off = None
+        for mi in range(n_mats):
+            is_m = matf == mi
+            for li in range(len(table.heights[mi])):
+                is_ml = is_m & (lsel == li)
+                h = jnp.where(is_ml, float(table.heights[mi][li]),
+                              1.0 if h is None else h)
+                w = jnp.where(is_ml, float(table.widths[mi][li]),
+                              1.0 if w is None else w)
+                off = jnp.where(is_ml, table.offsets[mi][li],
+                                0 if off is None else off)
+        out = _sample_paired(table.quads, cpad, h, w, off, uf, vf,
+                             frac.reshape(-1))
+        return {
+            slot: out[:, k].reshape(shape)
+            for k, slot in enumerate(table.present)
+        }
 
     def sample_level(lsel):
         lsel = jnp.minimum(lsel, max_level).reshape(-1)

@@ -153,6 +153,9 @@ class RenderSettings:
     max_candidates: int = 320  # per-tile candidate capacity (main pass)
     raster_passes: int = 1  # multi-pass windows for tiles denser than that
     shadow_passes: int | None = None  # shadow-pass windows (None = same)
+    shadow_candidates: int | None = None  # shadow per-tile capacity
+    # (None = max_candidates); light-view projections concentrate the
+    # scene into few tiles, so fewer+fatter windows beat many thin ones
     overlay_candidates: int = 384  # per-tile capacity for overlay passes
     overlay_max_tiles: int = 512  # compact overlay grid capacity (tiles
     # the overlay geometry may touch; raise for 4K / many lights)
@@ -686,6 +689,7 @@ def _shadow_visibility(soup, px, lights, settings: RenderSettings):
     )
     px_l, _, sh_diag = _raster(
         rec_l, setup_l, clip_l, soup.tris, size, size, settings,
+        cap=settings.shadow_candidates,
         passes=settings.shadow_passes or settings.raster_passes,
     )
     tiles_x = -(-size // settings.tile_w)
@@ -735,6 +739,7 @@ def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
         clip, tris = planar_compat_clip(zero_soup)
     px_l, _, sh_diag = _raster(
         rec_l, setup_l, clip, tris, size, size, settings,
+        cap=settings.shadow_candidates,
         passes=settings.shadow_passes or settings.raster_passes,
     )
     tiles_x = -(-size // settings.tile_w)

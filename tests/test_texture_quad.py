@@ -133,3 +133,52 @@ class TestSmallMipRouting:
         want = np.where(np.arange(got.size) % 2 == 0, 10 / 255.0,
                         200 / 255.0)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPairedTrilinear:
+    """Paired mip rows (one gather per trilinear sample) must reproduce
+    per-level bilinear sampling blended by the LOD fraction exactly —
+    including REPEAT wrap and the clamped last level."""
+
+    def test_matches_per_level_blend(self, uv_planes):
+        mips = [RNG.integers(0, 256, (s, s, 1), np.uint8)
+                for s in (32, 16, 8)]
+        tables = tq.build_mip_quad_tables({"alb_r": mips})
+        assert len(tables) == 1 and tables[0].paired
+        u, v = uv_planes
+        got = tq.sample_mip_table(tables[0], u, v, 4, 256)
+
+        lvl = [tq.build_quad_tables({"alb_r": m})[0] for m in mips]
+        lod = tq.quad_lod_planar(u, v, 4, 256, 32, 32)
+        l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, 2)
+        frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)
+        frac = jnp.where(l0 == 2, 0.0, frac)
+        s = [tq.sample_table_xla(t, u, v)["alb_r"] for t in lvl]
+
+        def sel(ls):
+            out = s[0]
+            for li in (1, 2):
+                out = jnp.where(ls == li, s[li], out)
+            return out
+
+        want = sel(l0) * (1.0 - frac) + sel(jnp.minimum(l0 + 1, 2)) * frac
+        np.testing.assert_allclose(np.asarray(got["alb_r"]),
+                                   np.asarray(want), atol=1e-5)
+
+    def test_multi_material_paired(self, uv_planes):
+        m0 = tq.build_mip_quad_tables(
+            {"ao": [np.full((16, 16, 1), 40, np.uint8),
+                    np.full((8, 8, 1), 40, np.uint8)]})
+        m1 = tq.build_mip_quad_tables(
+            {"ao": [np.full((32, 32, 1), 200, np.uint8),
+                    np.full((16, 16, 1), 200, np.uint8)]})
+        merged = tq.merge_mip_quad_materials((m0, m1))
+        assert merged[0].paired
+        u, v = uv_planes
+        mat_id = (jnp.arange(u.size, dtype=jnp.int32) % 2).reshape(u.shape)
+        out = tq.sample_material_mips_multi(merged, mat_id, u, v,
+                                            use_pallas=False)
+        got = np.asarray(out["ao"]).ravel()
+        want = np.where(np.arange(got.size) % 2 == 0, 40 / 255.0,
+                        200 / 255.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -124,3 +124,50 @@ def test_full_frame_on_tpu(tpu_backend):
     img = np.asarray(out["image"])
     assert (tri >= 0).mean() > 0.3  # ball + ground plane cover the frame
     assert img[tri >= 0].mean() > 20  # lit content, not black
+
+
+def test_compact_paths_compiled_match_full(tpu_backend):
+    """Compiled compact grids (pass-0 raster, coverage-compacted shading,
+    compact overlay) produce the identical image to the full-grid path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, make_overlay_resources,
+        material_quads_from_set, render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = material_quads_from_set(create_pbr_material_set(),
+                                   scene.selected_material)
+    overlay = make_overlay_resources()
+    s = RenderSettings(width=W, height=H, outputs="image",
+                       max_candidates=1024, span_cap=64, overflow_cap=256)
+    nt = (H // TH) * TX
+    full = render_frame(scene.scene_data(), vb, fp, mats, overlay, s)
+    compact = render_frame(
+        scene.scene_data(), vb, fp, mats, overlay,
+        dataclasses.replace(s, live_tile_cap=nt - 8,
+                            raster_tile_cap=nt - 4),
+    )
+    a = np.asarray(jax.device_get(full["image"])).astype(np.int32)
+    b = np.asarray(jax.device_get(compact["image"])).astype(np.int32)
+    # Compiled fusions differ between the two graphs (FMA contraction),
+    # so allow golden-image-style numeric noise — never coverage changes.
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+    assert (diff > 0).any(axis=-1).mean() < 0.02
