@@ -262,7 +262,8 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
                        show_gizmo=False, show_lights=False,
                        max_candidates=1024, raster_passes=3, span_cap=4,
                        live_tile_cap=768,  # 569 covered tiles
-                       raster_tile_cap=896)  # bin-live ~= covered here
+                       raster_tile_cap=896,  # bin-live ~= covered here
+                       pair_budget=131072)  # ~131k live pairs, validated
 
     import dataclasses
 

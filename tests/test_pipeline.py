@@ -151,6 +151,33 @@ class TestRenderFrame:
         )
         assert int(out_small["bin_diag"].dropped_tiles) > 0
 
+    def test_live_tile_cap_forward_path(self):
+        """Compacted shading composes with the true forward path."""
+        import dataclasses
+
+        from bibim_tpu.ops import texture_quad as tq
+
+        def flat(val):
+            return np.full((4, 4, 1), val, np.uint8)
+
+        mats = tq.build_quad_tables({
+            "alb_r": flat(180), "alb_g": flat(90), "alb_b": flat(60),
+            "nrm_x": flat(128), "nrm_y": flat(128), "nrm_z": flat(255),
+            "metallic": flat(10), "roughness": flat(100), "ao": flat(255),
+            "height": flat(0),
+        })
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, outputs="image",
+                           deferred=False, **SMALL)
+        nt = (H // 8) * (W // 128)
+        full = render_frame(scene, _view(), _fp(1), mats, None, s)
+        compact = render_frame(
+            scene, _view(), _fp(1), mats, None,
+            dataclasses.replace(s, live_tile_cap=nt - 1),
+        )
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(compact["image"]))
+
     def test_forward_viz_shows_cleared_gbuffer(self):
         """In forward mode nothing writes the G-buffer attachments, so a
         visualization request shows the cleared (black) planes — the

@@ -74,17 +74,17 @@ def main():
         dt = (time.perf_counter() - t0) / 10 * 1e3
         print(f"{tag:42s} {dt:8.2f} ms  drops={drops}", flush=True)
 
-    run("bench current (320c x 7p span8)", max_candidates=320,
-        raster_passes=7, span_cap=8)
-    run("1024c x 3p span8", max_candidates=1024, raster_passes=3,
-        span_cap=8)
-    run("1024c x 3p span8 dense256", max_candidates=1024, raster_passes=3,
-        span_cap=8)
-    run("768c x 3p span8", max_candidates=768, raster_passes=3, span_cap=8)
-    run("512c x 5p span8", max_candidates=512, raster_passes=5, span_cap=8)
-    run("320c x 7p span4", max_candidates=320, raster_passes=7, span_cap=4)
-    run("1024c x 3p span4", max_candidates=1024, raster_passes=3,
+    bench = dict(max_candidates=1024, raster_passes=3, span_cap=4,
+                 raster_tile_cap=896)
+    run("bench (1024c x 3p span4 rcap896)", **bench)
+    run("flat shading (no sample/GGX)", shading="flat", **bench)
+    run("pair_budget 131072", pair_budget=131072, **bench)
+    run("no raster_tile_cap", max_candidates=1024, raster_passes=3,
         span_cap=4)
+    run("span2", max_candidates=1024, raster_passes=3, span_cap=2,
+        raster_tile_cap=896)
+    run("2 passes", max_candidates=1024, raster_passes=2, span_cap=4,
+        raster_tile_cap=896)
 
 
 if __name__ == "__main__":
