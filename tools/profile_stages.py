@@ -86,19 +86,30 @@ def main():
         render_frame, settings=settings),
         data, view_block, frame_params, mats, overlay, iters=10)
 
-    soup = timeit("assemble_scene (planar)", jax.jit(
-        functools.partial(assemble_scene_planar, material_ids=None)),
-        data.batches, view, proj)
-    print(f"tris: {soup.num_triangles}")
-    setup = timeit("triangle_setup (planar)", jax.jit(
-        lambda c: triangle_setup_planar(c, WIDTH, HEIGHT)), soup.clip)
-    rec = timeit("build_record_table (planar)", jax.jit(
-        fused.build_record_table_planar), setup, soup)
+    # Geometry stages jitted TOGETHER (standalone planar-soup outputs hit
+    # pathological XLA output layouts at 625k tris); rec+setup are the
+    # real intermediates the frame materializes.
+    @jax.jit
+    def geom(batches):
+        psoup = assemble_scene_planar(batches, view, proj, None)
+        s = triangle_setup_planar(psoup.clip, WIDTH, HEIGHT)
+        return fused.build_record_table_planar(s, psoup), s
+
+    rec, setup = timeit("assemble+setup+record (planar)", geom,
+                        data.batches)
+    print(f"tris: {rec.shape[0]}")
     timeit("bin_pairs", jax.jit(
         lambda s: fused.bin_pairs(s, WIDTH, HEIGHT, settings.tile_h,
                                   settings.tile_w, caps["span_cap"], 64,
                                   caps["max_candidates"],
                                   pair_budget=settings.pair_budget)), setup)
+    sorted_tri, *_ = jax.jit(
+        lambda s: fused.bin_pairs(s, WIDTH, HEIGHT, settings.tile_h,
+                                  settings.tile_w, caps["span_cap"], 64,
+                                  caps["max_candidates"],
+                                  pair_budget=settings.pair_budget))(setup)
+    timeit("pair record gather", jax.jit(
+        lambda r, st: r[st]), rec, sorted_tri)
     out = timeit("raster_fused (bin+DMA+kernel)", jax.jit(
         lambda r, s: fused.raster_fused_pallas(
             r, s, WIDTH, HEIGHT, max_candidates=caps["max_candidates"],
