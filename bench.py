@@ -240,6 +240,8 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     )
     from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
 
+    from bibim_tpu.scene.culling import cull_scene_instances
+
     scene = ShaderBallScene(num_instances=n_instances)
     cam = FreeLookCamera(pos=np.array([8.0, 6.0, -14.0], np.float32))
     data = scene.scene_data()
@@ -255,6 +257,14 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     )
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
+    # Host frustum culling, exactly as the per-frame host loop would run
+    # it (the reference recomputes instance matrices on the CPU each
+    # frame; this is the same pass also dropping certainly-offscreen
+    # instances before the static-shape triangle stages pay for them).
+    data = cull_scene_instances(
+        data, np.asarray(cam.get_view_matrix()),
+        np.asarray(m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)),
+    )
     # Dense distant instances: the worst tile holds ~2.1k candidates;
     # three depth-chained 1024-candidate windows cover it (extra passes
     # run on a compacted dense-tile grid; settings from tools/exp_c4.py).

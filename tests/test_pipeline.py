@@ -178,6 +178,33 @@ class TestRenderFrame:
         np.testing.assert_array_equal(np.asarray(full["image"]),
                                       np.asarray(compact["image"]))
 
+    def test_instance_frustum_culling_preserves_image(self):
+        """Host-side frustum culling drops certainly-offscreen instances
+        (padded to a power-of-two bucket) without changing a pixel."""
+        from bibim_tpu.scene.culling import cull_scene_instances
+
+        mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+        models = np.stack([
+            np.asarray(m3.translate([0.0, 0.0, 4.0])),   # visible
+            np.asarray(m3.translate([80.0, 0.0, 4.0])),  # far right: out
+            np.asarray(m3.translate([0.0, 0.0, -50.0])),  # behind: out
+            np.asarray(m3.translate([2.0, 0.0, 6.0])),   # visible
+        ])
+        lights = make_lights([
+            dict(type=2, dir=(0, -1, 1), color=(1, 1, 1), intensity=3.0)
+        ])
+        scene = SceneData(batches=(batch_from_mesh(mesh, models),),
+                          lights=lights)
+        vb = _view()
+        s = RenderSettings(width=W, height=H, **SMALL)
+        full = render_frame(scene, vb, _fp(1), _flat_materials(), None, s)
+        culled = cull_scene_instances(scene, np.asarray(vb.view),
+                                      np.asarray(vb.proj))
+        assert culled.batches[0].model.shape[0] == 2  # 2 visible → bucket 2
+        out = render_frame(culled, vb, _fp(1), _flat_materials(), None, s)
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(out["image"]))
+
     def test_forward_viz_shows_cleared_gbuffer(self):
         """In forward mode nothing writes the G-buffer attachments, so a
         visualization request shows the cleared (black) planes — the
