@@ -672,14 +672,8 @@ def raster_fused_pallas(
             # idempotent under the scatter-back.
             live = counts > p * maxc
             k = dense_tile_cap
-            neg = jnp.where(live, -arange_nt, jnp.int32(-(1 << 30)))
-            top, _ = lax.top_k(neg, k)
-            slot_live = top > -(1 << 30)
-            ids = jnp.where(slot_live, -top, 0)
-            ids = jnp.where(slot_live, ids, ids[0])
-            dropped_dense = dropped_dense + jnp.maximum(
-                jnp.sum(live, dtype=jnp.int32) - k, 0
-            )
+            ids, dropped_p = _compact_tile_list(live, k)
+            dropped_dense = dropped_dense + dropped_p
             starts_p = starts[ids] + p * maxc
             counts_p = jnp.clip(counts[ids] - p * maxc, 0, maxc)
             zk_in = zkey[ids].reshape(k, tile_h, tile_w)

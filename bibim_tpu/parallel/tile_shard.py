@@ -51,6 +51,7 @@ from bibim_tpu.pipeline.framegraph import (
     _pbr_hdr,
     _render_gizmo,
     _scene_record_table,
+    _use_pallas,
     _use_planar,
     _q16,
 )
@@ -169,12 +170,8 @@ def render_frame_sharded(
             rec = fused.shift_record_table_y(
                 fused.build_record_table_planar(setup, psoup), y0
             )
-            use_pal = settings.raster == "pallas" or (
-                settings.raster == "auto"
-                and jax.default_backend() == "tpu"
-            )
             clip = tris = None
-            if not use_pal:
+            if not _use_pallas(settings):
                 clip, tris = planar_compat_clip(psoup)
         else:
             soup = assemble_scene(scene.batches, view_block.view,

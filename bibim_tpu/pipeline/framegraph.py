@@ -808,21 +808,14 @@ def render_frame(
         ))
     if can_compact and settings.outputs == "image":
         live = jnp.any(px.tri_id >= 0, axis=1)
-        k = settings.live_tile_cap
-        arange_nt = jnp.arange(nt_full, dtype=jnp.int32)
-        neg = jnp.where(live, -arange_nt, jnp.int32(-(1 << 30)))
-        top, _ = jax.lax.top_k(neg, k)
-        slot_live = top > -(1 << 30)
-        ids = jnp.where(slot_live, -top, 0)
         # Dead slots re-shade the first listed tile (idempotent under the
         # scatter-back).
-        compact_ids = jnp.where(slot_live, ids, ids[0])
+        compact_ids, dropped = fused._compact_tile_list(
+            live, settings.live_tile_cap
+        )
         diags.append(fused.BinDiag(
             dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
-            dropped_pairs=jnp.int32(0),
-            dropped_tiles=jnp.maximum(
-                jnp.sum(live, dtype=jnp.int32) - k, 0
-            ),
+            dropped_pairs=jnp.int32(0), dropped_tiles=dropped,
         ))
         px = jax.tree_util.tree_map(lambda p: p[compact_ids], px)
 

@@ -9,10 +9,17 @@ shapes, so off-screen instances cost full price unless the host trims
 the instance list.
 
 Static-shape discipline: the surviving count is padded up to a power-of-
-two bucket with degenerate (all-zero) model matrices — their vertices
-land at clip (0,0,0,0) and fail the rasterizer's validity test — so a
+two bucket with degenerate (all-zero) model matrices — every vertex of a
+pad collapses to the projected world origin, so its triangles are
+zero-area and fail the rasterizer's det > 0 front-face test — and a
 moving camera only recompiles when the bucket changes (log2 many
 specializations, like swapchain rebuilds on resize).
+
+CAVEAT — shadows: culling uses the CAMERA frustum. An instance outside
+the view can still cast a visible shadow; when rendering with
+``enable_shadows``, either skip culling or cull against the union of the
+camera frustum and the light's sweep of the visible volume. The bench
+configs that cull render with shadows disabled.
 """
 
 from __future__ import annotations
@@ -29,13 +36,28 @@ def _next_bucket(n: int) -> int:
     return b
 
 
+_BOUNDS_CACHE: dict[int, tuple] = {}
+
+
+def _local_bounds(batch: DrawBatch, pad: float):
+    """Mesh-local AABB, cached per vertex buffer — computing it fresh
+    would device->host transfer the whole vertex array every frame."""
+    key = id(batch.positions)
+    hit = _BOUNDS_CACHE.get(key)
+    if hit is None:
+        pos = np.asarray(batch.positions)
+        hit = (pos.min(axis=0), pos.max(axis=0))
+        if len(_BOUNDS_CACHE) > 256:
+            _BOUNDS_CACHE.clear()
+        _BOUNDS_CACHE[key] = hit
+    return hit[0] - pad, hit[1] + pad
+
+
 def visible_instances(batch: DrawBatch, view_proj: np.ndarray,
                       pad: float = 1e-3) -> np.ndarray:
     """(I,) bool — False only when the instance's transformed AABB is
     certainly outside the frustum (conservative plane rejection)."""
-    pos = np.asarray(batch.positions)
-    lo = pos.min(axis=0) - pad
-    hi = pos.max(axis=0) + pad
+    lo, hi = _local_bounds(batch, pad)
     corners = np.stack(
         [
             np.where(np.arange(8) & 1, hi[0], lo[0]),
@@ -73,8 +95,9 @@ def cull_batch(batch: DrawBatch, view_proj: np.ndarray) -> DrawBatch:
     new_inv = np.zeros((bucket, 4, 4), np.float32)
     new_model[:n] = model[keep]
     new_inv[:n] = inv[keep]
-    # Degenerate pads: zero model → clip (0,0,0,0) → culled by setup
-    # validity; identity inverse keeps the normal matrix finite.
+    # Degenerate pads: a zero model collapses all vertices onto the
+    # projected world origin → zero-area triangles fail det > 0; the
+    # identity inverse keeps the normal matrix finite.
     new_inv[n:] = np.eye(4, dtype=np.float32)
     return batch._replace(model=new_model, inv_model=new_inv)
 

@@ -96,6 +96,9 @@ def check_bin_diag(diag, where: str = "frame") -> None:
     tiles = int(getattr(diag, "dropped_tiles", 0))
     bb_assert(
         tiles == 0,
-        f"{where}: {tiles} overlay-covered tiles beyond the compact "
-        "overlay grid — raise composite_overlay_pallas max_tiles",
+        f"{where}: {tiles} live tiles beyond a compact-grid capacity — "
+        "raise whichever cap this frame exceeds: "
+        "RenderSettings.live_tile_cap (shaded-coverage tiles), "
+        "raster_tile_cap (pass-0 bin-live tiles), overlay_max_tiles "
+        "(overlay-covered tiles), or dense_tile_cap (extra-pass tiles)",
     )
