@@ -49,6 +49,8 @@ from bibim_tpu.pipeline.framegraph import (
     _materialize_gbuffer_planes,
     _raster,
     _pbr_hdr,
+    _shadow_map_from_soup,
+    _shadow_map_planar,
     _render_gizmo,
     _scene_record_table,
     _use_pallas,
@@ -91,20 +93,18 @@ def render_frame_sharded(
     materials,
     settings: RenderSettings,
     overlay: OverlayResources | None = None,
+    ibl=None,
 ):
     """Render one frame with the framebuffer bands sharded over ``mesh``.
 
     Returns an (H, W, 3) uint8 image whose rows are sharded over the mesh
-    axis (device_get assembles it on the host)."""
+    axis (device_get assembles it on the host). Shadows build their
+    (band-independent) light-view map once outside the shard_map; IBL
+    ambient is per-pixel and shades band-locally."""
     if settings.shading != "pbr":
         raise NotImplementedError(
             "render_frame_sharded shards the deferred PBR path; flat "
             "shading scenes are single-chip-cheap — render them unsharded"
-        )
-    if settings.enable_shadows or settings.enable_ibl:
-        raise NotImplementedError(
-            "shadows/IBL are not wired into the band-sharded path yet — "
-            "render single-chip or disable them"
         )
     from bibim_tpu.pipeline.framegraph import GBufferViz
 
@@ -142,19 +142,40 @@ def render_frame_sharded(
 
     band_settings = settings
 
-    in_specs = [P(), P(), P(), P()]
-    args = [scene, view_block, frame_params, materials]
+    # Shadow map: light-view depth is band-independent — build once from
+    # the full scene and replicate into every band.
+    smap = None
+    if settings.enable_shadows and scene.lights.num_lights > 0:
+        if _use_planar(scene, settings):
+            psoup_full = assemble_scene_planar(
+                scene.batches, view_block.view, view_block.proj,
+                settings.batch_material_ids,
+            )
+            smap, _sh_diag = _shadow_map_planar(psoup_full, scene.lights,
+                                                settings)
+        else:
+            soup_full = assemble_scene(
+                scene.batches, view_block.view, view_block.proj,
+                settings.batch_material_ids,
+            )
+            smap, _sh_diag = _shadow_map_from_soup(soup_full, scene.lights,
+                                                   settings)
+
+    extras = {}
     if gz is not None:
-        in_specs.append(P())
-        args.append(gz)
+        extras["gz"] = gz
+    if smap is not None:
+        extras["smap"] = smap
+    if settings.enable_ibl and ibl is not None:
+        extras["ibl"] = ibl
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=tuple(in_specs),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(axis_name, None, None),
     )
-    def band_fn(scene, view_block, frame_params, materials, *rest):
+    def band_fn(scene, view_block, frame_params, materials, extras):
         k = lax.axis_index(axis_name)
         y0 = (k * band_h).astype(jnp.float32)
 
@@ -192,15 +213,40 @@ def render_frame_sharded(
         )
 
         band_view = _band_view(band_settings, band_h)
+        light_vis = None
+        if "smap" in extras:
+            from bibim_tpu.ops import shadow as sh
+
+            light_vis = {
+                settings.shadow_light: sh.shadow_factor(
+                    extras["smap"], px.world, settings.shadow_bias
+                )
+            }
         if settings.deferred:
             g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
                 px, materials, view_block, band_view
             )
+            ambient = None
+            if "ibl" in extras:
+                from bibim_tpu.ops.ibl import ibl_ambient
+
+                view_dir = tuple(
+                    view_block.view_pos[c] - g_pos[c] for c in range(3)
+                )
+                ambient = ibl_ambient(
+                    extras["ibl"], g_nrm, view_dir, g_alb, g_mrah[0],
+                    g_mrah[1], g_mrah[2], settings.tile_h, settings.tile_w,
+                    use_pallas=_use_pallas(settings),
+                )
+                ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
             hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
-                            scene.lights, view_block)
+                            scene.lights, view_block,
+                            light_vis=light_vis, ambient=ambient)
         else:
             hdr3, valid = _forward_hdr(px, materials, scene.lights,
-                                       view_block, band_view)
+                                       view_block, band_view,
+                                       light_vis=light_vis,
+                                       ibl=extras.get("ibl"))
         hdr3 = _q16(hdr3, settings.quantize_fp16)
         ldr3 = tuple(
             tone_map(c, frame_params.enable_tone_mapping,
@@ -221,9 +267,9 @@ def render_frame_sharded(
             fused.untile(c, width, band_h, tiles_x, th, settings.tile_w)
             for c in ldr3
         ]
-        if rest:
+        if "gz" in extras:
             gz_band = lax.dynamic_slice(
-                rest[0], (k * band_h, 0, 0), (band_h, width, 4)
+                extras["gz"], (k * band_h, 0, 0), (band_h, width, 4)
             )
             gz_hit = gz_band[..., 3:4] > 0.5
             stacked = jnp.stack(imgs, axis=-1)
@@ -236,7 +282,8 @@ def render_frame_sharded(
             imgs = [jnp.clip(c, 0.0, 1.0) for c in imgs]
         return to_u8(jnp.stack(imgs, axis=-1))
 
-    out = jax.jit(band_fn)(*args)
+    out = jax.jit(band_fn)(scene, view_block, frame_params, materials,
+                           extras)
     return out[: settings.height]
 
 

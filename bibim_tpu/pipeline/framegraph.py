@@ -664,9 +664,9 @@ def _composite_tbn(ldr3_img, soup, depth_img, view_proj,
     return tuple(ldr[..., c] for c in range(3))
 
 
-def _shadow_visibility(soup, px, lights, settings: RenderSettings):
-    """Depth-only light pass through the same fused raster → planar PCF
-    visibility for the shadow-casting light (ops/shadow.py)."""
+def _shadow_map_from_soup(soup, lights, settings: RenderSettings):
+    """Depth-only light pass through the same fused raster → ShadowMap
+    (band-independent; ops/shadow.py)."""
     from bibim_tpu.ops import shadow as sh
 
     size = settings.shadow_size
@@ -695,12 +695,19 @@ def _shadow_visibility(soup, px, lights, settings: RenderSettings):
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
                              settings.tile_h, settings.tile_w)
-    smap = sh.build_shadow_map(depth_img, lvp, size)
+    return sh.build_shadow_map(depth_img, lvp, size), sh_diag
+
+
+def _shadow_visibility(soup, px, lights, settings: RenderSettings):
+    """Shadow map + planar PCF visibility for the shadow-casting light."""
+    from bibim_tpu.ops import shadow as sh
+
+    smap, sh_diag = _shadow_map_from_soup(soup, lights, settings)
     return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
 
-def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
-    """Corner-planar :func:`_shadow_visibility` (dense (T,) light-space
+def _shadow_map_planar(psoup, lights, settings: RenderSettings):
+    """Corner-planar :func:`_shadow_map_from_soup` (dense (T,) light-space
     transform + planar setup/record build)."""
     from bibim_tpu.ops import shadow as sh
     from bibim_tpu.ops.geometry import PlanarSoup
@@ -745,7 +752,13 @@ def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
                              settings.tile_h, settings.tile_w)
-    smap = sh.build_shadow_map(depth_img, lvp, size)
+    return sh.build_shadow_map(depth_img, lvp, size), sh_diag
+
+
+def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
+    from bibim_tpu.ops import shadow as sh
+
+    smap, sh_diag = _shadow_map_planar(psoup, lights, settings)
     return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
 

@@ -317,6 +317,36 @@ class TestShardedRendering:
             np.asarray(single["image"]), np.asarray(sharded)
         )
 
+    def test_sharded_shadows_and_ibl_match_single(self):
+        """Shadow map builds once outside the shard_map; IBL shades
+        band-locally — sharded output matches single-chip."""
+        import jax
+        from bibim_tpu.ops.ibl import make_ibl
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+        from bibim_tpu.scene.lights import make_lights
+
+        n = min(4, len(jax.devices()))
+        mesh_obj = generate_uv_sphere_mesh(1.0, 12, 8)
+        model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+        lights = make_lights([
+            dict(type=2, dir=(0.3, -1, 0.5), color=(1, 1, 1), intensity=3.0)
+        ])
+        scene = SceneData(batches=(batch_from_mesh(mesh_obj, model),),
+                          lights=lights)
+        ibl = make_ibl()
+        settings = RenderSettings(width=W, height=H, xla_cap=256,
+                                  enable_shadows=True, enable_ibl=True,
+                                  shadow_size=128)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              None, settings, ibl=ibl)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                       _flat_materials(), settings, ibl=ibl)
+        a = np.asarray(single["image"]).astype(int)
+        b = np.asarray(sharded).astype(int)
+        mismatch = (a != b).any(axis=-1)
+        assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
+
     def test_sharded_pads_non_divisible_heights(self):
         import jax
         from bibim_tpu.parallel import make_device_mesh, render_frame_sharded

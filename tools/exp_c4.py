@@ -36,6 +36,12 @@ def main():
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
     )
+    from bibim_tpu.scene.culling import cull_scene_instances
+    data = cull_scene_instances(
+        data, np.asarray(cam.get_view_matrix()),
+        np.asarray(m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)))
+    print("instances after cull:",
+          [b.model.shape[0] for b in data.batches], flush=True)
     vb = ViewBlock(view=jnp.asarray(cam.get_view_matrix()),
                    proj=m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0),
                    view_pos=jnp.asarray(cam.pos),
@@ -75,16 +81,18 @@ def main():
         print(f"{tag:42s} {dt:8.2f} ms  drops={drops}", flush=True)
 
     bench = dict(max_candidates=1024, raster_passes=3, span_cap=4,
-                 raster_tile_cap=896)
-    run("bench (1024c x 3p span4 rcap896)", **bench)
-    run("flat shading (no sample/GGX)", shading="flat", **bench)
-    run("pair_budget 131072", pair_budget=131072, **bench)
-    run("no raster_tile_cap", max_candidates=1024, raster_passes=3,
-        span_cap=4)
-    run("span2", max_candidates=1024, raster_passes=3, span_cap=2,
-        raster_tile_cap=896)
+                 raster_tile_cap=896, pair_budget=131072)
+    run("bench (1024c x 3p span4 rcap896 pb128k)", **bench)
     run("2 passes", max_candidates=1024, raster_passes=2, span_cap=4,
-        raster_tile_cap=896)
+        raster_tile_cap=896, pair_budget=131072)
+    run("1 pass 2048c", max_candidates=2048, raster_passes=1, span_cap=4,
+        raster_tile_cap=896, pair_budget=131072)
+    run("1 pass 1024c", max_candidates=1024, raster_passes=1, span_cap=4,
+        raster_tile_cap=896, pair_budget=131072)
+    run("pb 65536", max_candidates=1024, raster_passes=3, span_cap=4,
+        raster_tile_cap=896, pair_budget=65536)
+    run("rcap 640", max_candidates=1024, raster_passes=3, span_cap=4,
+        raster_tile_cap=640, pair_budget=131072)
 
 
 if __name__ == "__main__":
