@@ -72,10 +72,10 @@ def bench_shaderball(report: dict) -> float:
 
     scene = ShaderBallScene()
     cam = FreeLookCamera()
-    # 780 covered tiles at this camera; caps validated (_validate
-    # reports any overflow as dropped_tiles).
+    # 780 covered / ~900 bin-live tiles at this camera; caps validated
+    # (_validate reports any overflow as dropped_tiles; tools/exp_c3.py).
     settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                              live_tile_cap=1024, raster_tile_cap=1152)
+                              live_tile_cap=896, raster_tile_cap=1024)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
