@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shadow-map the first light (stretch capability)")
     p.add_argument("--ibl", action="store_true",
                    help="procedural-sky split-sum IBL ambient (stretch)")
+    p.add_argument("--cull", action="store_true",
+                   help="host frustum-culling of instances each frame "
+                        "(power-of-two buckets; skip with --shadows - "
+                        "off-screen casters still shadow the view)")
     p.add_argument("--max-candidates", type=int, default=None,
                    help="per-tile raster capacity override")
     p.add_argument("--events", default=None,
@@ -253,8 +257,15 @@ def main(argv=None) -> int:
             view_pos=jnp.asarray(cam.pos),
             enable_normal_map=jnp.int32(1 if args.normal_map else 0),
         )
+        data = scene.scene_data()
+        if args.cull and not args.shadows:
+            from bibim_tpu.scene.culling import cull_scene_instances
+
+            data = cull_scene_instances(
+                data, np.asarray(cam.get_view_matrix()), np.asarray(proj)
+            )
         out = render_frame(
-            scene.scene_data(), view_block, frame_params, mats, overlay,
+            data, view_block, frame_params, mats, overlay,
             settings, ibl=ibl_maps,
         )
         write(readback.submit(out["image"]))
