@@ -146,20 +146,27 @@ def render_frame_sharded(
     # the full scene and replicate into every band.
     smap = None
     if settings.enable_shadows and scene.lights.num_lights > 0:
-        if _use_planar(scene, settings):
-            psoup_full = assemble_scene_planar(
-                scene.batches, view_block.view, view_block.proj,
-                settings.batch_material_ids,
-            )
-            smap, _sh_diag = _shadow_map_planar(psoup_full, scene.lights,
-                                                settings)
-        else:
+        use_planar = _use_planar(scene, settings)
+
+        @jax.jit  # one dispatch for the whole map build (CLAUDE.md rule 5)
+        def build_smap(batches, view, proj, lights):
+            if use_planar:
+                psoup_full = assemble_scene_planar(
+                    batches, view, proj, settings.batch_material_ids
+                )
+                return _shadow_map_planar(psoup_full, lights, settings)
             soup_full = assemble_scene(
-                scene.batches, view_block.view, view_block.proj,
-                settings.batch_material_ids,
+                batches, view, proj, settings.batch_material_ids
             )
-            smap, _sh_diag = _shadow_map_from_soup(soup_full, scene.lights,
-                                                   settings)
+            return _shadow_map_from_soup(soup_full, lights, settings)
+
+        smap, sh_diag = build_smap(scene.batches, view_block.view,
+                                   view_block.proj, scene.lights)
+        # The sharded API returns only the image, so surface caster drops
+        # here instead of silently losing shadow geometry (CLAUDE.md).
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        check_bin_diag(sh_diag, where="sharded shadow pass")
 
     extras = {}
     if gz is not None:

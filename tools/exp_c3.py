@@ -50,7 +50,7 @@ def main():
         import dataclasses
 
         base = dict(width=WIDTH, height=HEIGHT, outputs="image",
-                    live_tile_cap=1024, raster_tile_cap=1152)
+                    live_tile_cap=896, raster_tile_cap=1024)
         s = RenderSettings(**{**base, **kw})
         fn = functools.partial(render_frame, settings=s)
         sv = dataclasses.replace(s, outputs="full")
@@ -68,10 +68,9 @@ def main():
         dt = (time.perf_counter() - t0) / 20 * 1e3
         print(f"{tag:44s} {dt:8.2f} ms  drops={drops}", flush=True)
 
-    run("bench (live1024 rcap1152)")
-    run("live 896", live_tile_cap=896)
-    run("rcap 1024", raster_tile_cap=1024)
-    run("live 896 rcap 1024", live_tile_cap=896, raster_tile_cap=1024)
+    run("bench (live896 rcap1024)")
+    run("live 1024", live_tile_cap=1024)
+    run("rcap 1152", raster_tile_cap=1152)
     run("overlay cands 128", overlay_candidates=128)
     run("no gizmo", show_gizmo=False)
     run("pair_budget 163840", pair_budget=163840)

@@ -36,12 +36,6 @@ def main():
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
     )
-    from bibim_tpu.scene.culling import cull_scene_instances
-    data = cull_scene_instances(
-        data, np.asarray(cam.get_view_matrix()),
-        np.asarray(m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)))
-    print("instances after cull:",
-          [b.model.shape[0] for b in data.batches], flush=True)
     vb = ViewBlock(view=jnp.asarray(cam.get_view_matrix()),
                    proj=m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0),
                    view_pos=jnp.asarray(cam.pos),
@@ -49,6 +43,12 @@ def main():
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
     data = scene.scene_data()
+    from bibim_tpu.scene.culling import cull_scene_instances
+    data = cull_scene_instances(
+        data, np.asarray(cam.get_view_matrix()),
+        np.asarray(m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)))
+    print("instances after cull:",
+          [b.model.shape[0] for b in data.batches], flush=True)
     print(f"device: {jax.devices()[0]}", flush=True)
 
     def run(tag, **kw):
