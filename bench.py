@@ -75,7 +75,9 @@ def bench_shaderball(report: dict) -> float:
     # 780 covered / ~900 bin-live tiles at this camera; caps validated
     # (_validate reports any overflow as dropped_tiles; tools/exp_c3.py).
     settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                              live_tile_cap=896, raster_tile_cap=1024)
+                              live_tile_cap=896, raster_tile_cap=1024,
+                              overlay_candidates=256, overlay_max_tiles=384,
+                              pair_budget=163840)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)

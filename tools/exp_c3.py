@@ -71,9 +71,10 @@ def main():
     run("bench (live896 rcap1024)")
     run("live 1024", live_tile_cap=1024)
     run("rcap 1152", raster_tile_cap=1152)
-    run("overlay cands 128", overlay_candidates=128)
-    run("no gizmo", show_gizmo=False)
+    run("overlay cands 256", overlay_candidates=256)
+    run("span8 oc128", span_cap=8, overflow_cap=128)
     run("pair_budget 163840", pair_budget=163840)
+    run("overlay tiles 384", overlay_max_tiles=384)
 
 
 if __name__ == "__main__":
