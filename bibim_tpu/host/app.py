@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,7 @@ from bibim_tpu.scene.shaderball import ShaderBallScene
 from bibim_tpu.scene.triangle import TriangleScene
 from bibim_tpu.utils.log import log_info
 from bibim_tpu.utils.timing import Stopwatch
+from bibim_tpu.utils.profiling import FrameStats
 
 VIZ_NAMES = {
     "position": GBufferViz.POSITION,
@@ -85,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shadow-map the first light (stretch capability)")
     p.add_argument("--ibl", action="store_true",
                    help="procedural-sky split-sum IBL ambient (stretch)")
+    p.add_argument("--no-write", action="store_true",
+                   help="render without PNG output or full-frame egress "
+                        "(sustained render-loop throughput; frames sync "
+                        "on one dependent pixel)")
     p.add_argument("--cull", action="store_true",
                    help="host frustum-culling of instances each frame "
                         "(power-of-two buckets; skip with --shadows - "
@@ -228,11 +234,15 @@ def main(argv=None) -> int:
 
     readback = DoubleBufferedReadback(depth=2)
     clock = Stopwatch()
+    stats = FrameStats()
     written = 0
 
     def write(img: np.ndarray | None):
         nonlocal written
         if img is None:
+            return
+        if args.no_write:
+            written += 1
             return
         path = (
             args.out
@@ -268,10 +278,26 @@ def main(argv=None) -> int:
             data, view_block, frame_params, mats, overlay,
             settings, ibl=ibl_maps,
         )
-        write(readback.submit(out["image"]))
+        if args.no_write:
+            # Full-frame device→host egress is a property of the link,
+            # not the renderer (the remote tunnel moves the 6 MB
+            # framebuffer at ~1 MB/s; a local TPU host DMAs it in ~ms).
+            # Sync on one dependent pixel; through the remote tunnel the
+            # loop is host-latency-bound (~45 ms of per-frame RTTs on
+            # top of the ~12 ms device frame) — on a local TPU host the
+            # same loop is device-bound.
+            np.asarray(jax.device_get(out["image"][:1, :1, :1]))
+            written += 1
+        else:
+            write(readback.submit(out["image"]))
+        stats.tick()
 
     for img in readback.flush():
         write(img)
+    if args.no_write and args.frames > 1:
+        log_info("sustained loop: {:.1f} ms/frame ({:.1f} fps) over {} "
+                 "frames", stats.ms_per_frame, stats.fps, written)
+        return 0
     log_info("wrote {} frame(s) to {}", written, args.out)
     return 0
 
