@@ -178,6 +178,31 @@ class TestRenderFrame:
         np.testing.assert_array_equal(np.asarray(full["image"]),
                                       np.asarray(compact["image"]))
 
+    def test_random_cameras_render_finite(self):
+        """Random poses (including inside-geometry / near-plane-straddling
+        views) must render finite images with zero capacity drops."""
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        rng = np.random.default_rng(11)
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, outputs="full", **SMALL)
+        for trial in range(6):
+            cam = FreeLookCamera(
+                pos=rng.uniform(-3, 6, 3).astype(np.float32),
+                yaw=float(rng.uniform(0, 360)),
+                pitch=float(rng.uniform(-80, 80)),
+            )
+            vb = ViewBlock(
+                view=jnp.asarray(cam.get_view_matrix()),
+                proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+                view_pos=jnp.asarray(cam.pos),
+                enable_normal_map=jnp.int32(0),
+            )
+            out = render_frame(scene, vb, _fp(1), _flat_materials(),
+                               None, s)
+            assert np.isfinite(np.asarray(out["hdr"])).all(), trial
+            check_bin_diag(out["bin_diag"], where=f"random cam {trial}")
+
     def test_instance_frustum_culling_preserves_image(self):
         """Host-side frustum culling drops certainly-offscreen instances
         (padded to a power-of-two bucket) without changing a pixel."""
