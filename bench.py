@@ -115,21 +115,19 @@ def bench_shaderball(report: dict) -> float:
 
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
-    from bibim_tpu.ops.geometry import assemble_scene
-    from bibim_tpu.ops.raster import triangle_setup
+    from bibim_tpu.ops.geometry import assemble_scene_planar
+    from bibim_tpu.ops.raster import triangle_setup_planar
 
     @jax.jit
     def geom(batches, view, proj):
-        soup = assemble_scene(batches, view, proj, None)
-        setup = triangle_setup(soup.clip, soup.tris, WIDTH, HEIGHT)
-        rec = fused.build_record_table(
-            setup, soup.tris, soup.uv, soup.normal, soup.tangent,
-            soup.world, soup.color, soup.mat_id,
-        )
+        psoup = assemble_scene_planar(batches, view, proj, None)
+        setup = triangle_setup_planar(psoup.clip, WIDTH, HEIGHT)
+        rec = fused.build_record_table_planar(setup, psoup)
         return fused.raster_fused_pallas(
             rec, setup, WIDTH, HEIGHT,
             tile_h=settings.tile_h, tile_w=settings.tile_w,
             max_candidates=settings.max_candidates,
+            raster_tile_cap=settings.raster_tile_cap,
         )
 
     px, _, _ = geom(data.batches, view_block.view, view_block.proj)
