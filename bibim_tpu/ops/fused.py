@@ -354,6 +354,33 @@ def _coverage_loop(scratch, px, py, chunk_idx, base, count, carry):
     )
 
 
+def _resolve_winner(scratch, best_cand, rows, npx):
+    """One-hot MXU resolve: broadcast the winning candidate's full record
+    row to every pixel. The one-hot select must be f32-exact, but the
+    default f32 matmul truncates inputs to bf16 — splitting the table into
+    three bf16-exact parts (8 mantissa bits each) and summing the three
+    default-precision products is exact for a 0/1 RHS and measured ~2x
+    cheaper than precision=HIGHEST. Returns (128, NPX): row j = resolved
+    record channel j."""
+    oh = (
+        lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == best_cand
+    ).astype(jnp.float32)
+    t = scratch[:, :]
+    hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = t - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+
+    def dot(part):
+        return lax.dot_general(
+            part, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(hi) + dot(mid) + dot(lo)
+
+
 def _fused_kernel(
     # scalar prefetch (all grid-step-indexed; ids maps step → screen tile,
     # identity for the full pass-0 grid, a compacted live list for dense
@@ -419,10 +446,8 @@ def _fused_kernel(
     def run(base, count, carry):
         return _coverage_loop(scratch, px, py, chunk_idx, base, count, carry)
 
-    if init_ref is None:
-        init_key = jnp.zeros((1, npx), jnp.int32)  # depth 0.0 bits = clear
-    else:
-        init_key = init_ref[0].reshape(1, npx) & _LOW3
+    # The driver always materializes an init plane (zeros = clear).
+    init_key = init_ref[0].reshape(1, npx) & _LOW3
     carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
     carry = run(0, nb, carry)
     tile_dma(i, slot).wait()
@@ -431,29 +456,7 @@ def _fused_kernel(
     zkey_out[0] = best_key.reshape(tile_h, tile_w)
 
     def resolve():
-        oh = (
-            lax.broadcasted_iota(jnp.int32, (oc + maxc, npx), 0) == best_cand
-        ).astype(jnp.float32)
-        # One-hot select on the MXU must be f32-exact, but the default f32
-        # matmul truncates inputs to bf16. Splitting the table into three
-        # bf16-exact parts (8 mantissa bits each) and summing the three
-        # default-precision products is exact for a 0/1 RHS and measured
-        # ~2x cheaper than precision=HIGHEST.
-        t = scratch[:, :]
-        hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-        rem = t - hi
-        mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = rem - mid
-
-        def dot(part):
-            return lax.dot_general(
-                part, oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        recT = dot(hi) + dot(mid) + dot(lo)
-        # (128, NPX): row j = resolved record channel j
+        recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
 
         def r(j):
             return recT[j : j + 1, :]  # (1, NPX)
@@ -562,6 +565,13 @@ def raster_fused_pallas(
     ``init_zkey`` continues over an existing depth buffer (the analog of a
     later subpass drawing depth-tested against the same depth attachment,
     main.cpp:128-171).
+
+    Known knife-edge vs the reference's pure draw-order rule: overflow
+    ("big") triangles are depth-tested before a tile's binned candidates
+    on BOTH backends, so an exact depth tie between a big triangle drawn
+    later and a small one drawn earlier resolves to the small one (the
+    reference, with no big/small split, would pick the later draw). This
+    requires a bit-exact z tie across the split — unobserved in practice.
 
     ``passes`` > 1 handles tiles denser than ``max_candidates`` without
     inflating the one-hot resolve: pass p covers candidate window
@@ -828,23 +838,7 @@ def _overlay_kernel(
 
     @pl.when(any_hit)
     def _():
-        oh = (
-            lax.broadcasted_iota(jnp.int32, (oc + maxc, npx), 0) == best_cand
-        ).astype(jnp.float32)
-        t = scratch[:, :]
-        hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-        rem = t - hi
-        mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = rem - mid
-
-        def dot(part):
-            return lax.dot_general(
-                part, oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        recT = dot(hi) + dot(mid) + dot(lo)
+        recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
 
         def r(j):
             return recT[j : j + 1, :]
@@ -974,16 +968,22 @@ def raster_fused_xla(
     viewport_height: int | None = None,
     y_origin=0,
     diag_caps: tuple | None = None,
+    span_cap: int = 16,
+    overflow_cap: int = 64,
 ):
     """XLA fallback with identical outputs (CPU tests / non-TPU backends).
 
     Uses ops.raster.rasterize for the visibility pass, then gathers whole
-    record rows per pixel (pixel-rate gathers are fine on CPU). For band
-    rendering pass the full-frame ``viewport_height`` + traced ``y_origin``
-    and a shift_record_table_y-rebased ``rec_table``. ``diag_caps`` =
-    (span_cap, overflow_cap, max_candidates) reports the drops the Pallas
-    path's binning would incur with those capacities, so CPU tests can
-    validate TPU capacity settings."""
+    record rows per pixel (pixel-rate gathers are fine on CPU).
+    ``span_cap``/``overflow_cap`` feed this path's OWN binning (must match
+    the Pallas call's configuration or the oracle can drop different
+    geometry). For band rendering pass the full-frame ``viewport_height``
+    + traced ``y_origin`` and a shift_record_table_y-rebased
+    ``rec_table``. ``diag_caps`` = (span_cap, overflow_cap,
+    max_candidates[, pair_budget]) reports the drops the Pallas path's
+    binning would incur with those capacities, so CPU tests can validate
+    TPU capacity settings; the fallback's own cap/overflow drops are
+    always counted on top (no silent geometry loss on any backend)."""
     from bibim_tpu.ops.raster import VisibilityBuffer, rasterize
 
     tiles_x = -(-width // tile_w)
@@ -1003,7 +1003,8 @@ def raster_fused_xla(
 
     vis = rasterize(clip, tris, width, height, tile_h=tile_h,
                     tile_w=tile_w, cap=cap, init=init,
-                    viewport_height=viewport_height, y_origin=y_origin)
+                    viewport_height=viewport_height, y_origin=y_origin,
+                    span_cap=span_cap, overflow_cap=overflow_cap)
     hit = vis.tri_id >= 0
     rec_px = rec_table[jnp.maximum(vis.tri_id, 0)]  # (H, W, 128)
     rec_px = rec_px * hit.astype(jnp.float32)[..., None]
@@ -1050,17 +1051,29 @@ def raster_fused_xla(
     zkey = tile_plane(
         (zbits & _LOW3).astype(jnp.int32), tiles_x, tiles_y, tile_h, tile_w, 0
     )
+    # This path's OWN capacity drops (same bbox/span model as its
+    # binning; the shared-cap big prefix makes dropped_cap a slight
+    # under-count in the rare big+dense-tile overlap, never an
+    # over-count of healthy frames).
+    *_, own_diag, _, _ = bin_pairs(
+        setup, width, height, tile_h, tile_w, span_cap, overflow_cap, cap
+    )
+    diag = BinDiag(
+        dropped_overflow=own_diag.dropped_overflow,
+        dropped_cap=own_diag.dropped_cap,
+        dropped_pairs=jnp.int32(0),
+    )
     if diag_caps is not None:
-        span_cap, overflow_cap, maxc = diag_caps
-        *_, diag, _, _ = bin_pairs(
-            setup, width, height, tile_h, tile_w, span_cap,
-            overflow_cap, maxc,
+        p_span, p_overflow, p_maxc = diag_caps[:3]
+        p_budget = diag_caps[3] if len(diag_caps) > 3 else None
+        *_, pdiag, _, _ = bin_pairs(
+            setup, width, height, tile_h, tile_w, p_span,
+            p_overflow, p_maxc, pair_budget=p_budget,
         )
-    else:
         diag = BinDiag(
-            dropped_overflow=jnp.int32(0),
-            dropped_cap=jnp.int32(0),
-            dropped_pairs=jnp.int32(0),
+            dropped_overflow=diag.dropped_overflow + pdiag.dropped_overflow,
+            dropped_cap=diag.dropped_cap + pdiag.dropped_cap,
+            dropped_pairs=pdiag.dropped_pairs,
         )
     return _pixels_from_fields(fields), zkey, diag
 

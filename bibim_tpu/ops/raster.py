@@ -354,6 +354,8 @@ def rasterize(
     init: VisibilityBuffer | None = None,
     viewport_height: int | None = None,
     y_origin=0,
+    span_cap: int = 16,
+    overflow_cap: int = 64,
 ) -> VisibilityBuffer:
     """Rasterize triangles to a visibility buffer (plain-XLA path).
 
@@ -372,7 +374,8 @@ def rasterize(
         band_height=height,
     )
     ids, _counts, tiles_y, tiles_x = bin_triangles(
-        setup, width, height, tile_h, tile_w, cap
+        setup, width, height, tile_h, tile_w, cap,
+        span_cap=span_cap, overflow_cap=overflow_cap,
     )
     nt = tiles_y * tiles_x
 

@@ -219,20 +219,23 @@ def _q16(x, enable: bool):
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
             skip_empty=True, overflow_cap=None, passes=None,
-            viewport=None, main_pass=False):
+            viewport=None, main_pass=False, span_cap=None):
     """``viewport`` = (full_frame_height, y_origin) for band rendering: the
     Pallas path consumes band-rebased records (shift_record_table_y), the
     XLA fallback re-derives its own setup from clip and needs the band
-    explicitly."""
+    explicitly. Both backends share one capacity model (span/overflow
+    overrides apply to the fallback's own binning AND its diag)."""
     if passes is None:
         passes = settings.raster_passes if cap is None else 1
+    span = span_cap or settings.span_cap
+    ov = overflow_cap or settings.overflow_cap
     if _use_pallas(settings):
         return fused.raster_fused_pallas(
             rec_table, setup, width, height,
             tile_h=settings.tile_h, tile_w=settings.tile_w,
             max_candidates=cap or settings.max_candidates,
-            overflow_cap=overflow_cap or settings.overflow_cap,
-            span_cap=settings.span_cap,
+            overflow_cap=ov,
+            span_cap=span,
             init_zkey=init_zkey, skip_empty=skip_empty,
             pair_budget=settings.pair_budget,
             passes=passes,
@@ -245,9 +248,9 @@ def _raster(rec_table, setup, clip, tris, width, height,
         cap=settings.xla_cap, init_zkey=init_zkey,
         viewport_height=viewport[0] if viewport else None,
         y_origin=viewport[1] if viewport else 0,
-        diag_caps=(settings.span_cap,
-                   overflow_cap or settings.overflow_cap,
-                   (cap or settings.max_candidates) * passes),
+        span_cap=span, overflow_cap=ov,
+        diag_caps=(span, ov, (cap or settings.max_candidates) * passes,
+                   settings.pair_budget),
     )
 
 
@@ -553,6 +556,7 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
         rec, setup, clip, tris, settings.width, height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
         overflow_cap=512,  # near-plane-straddling spheres go conservative
+        span_cap=32,  # matches the compact overlay kernel's binning
         viewport=(settings.height, y0) if band is not None else None,
     )
     hit = px.tri_id >= 0
