@@ -60,29 +60,16 @@ from bibim_tpu.pipeline.framegraph import (
 from bibim_tpu.scene.scene import SceneData
 
 
-def _band_raster(rec_band, setup, clip, tris, width, band_h, settings,
-                 y0, cap=None, init_zkey=None, skip_empty=False):
-    """Raster a band: Pallas path uses the y-rebased records directly; the
-    XLA fallback additionally needs the full-frame viewport for its own
-    setup pass."""
-    if settings.raster == "pallas" or (
-        settings.raster == "auto" and jax.default_backend() == "tpu"
-    ):
-        return fused.raster_fused_pallas(
-            rec_band, setup, width, band_h,
-            tile_h=settings.tile_h, tile_w=settings.tile_w,
-            max_candidates=cap or settings.max_candidates,
-            overflow_cap=settings.overflow_cap,
-            span_cap=settings.span_cap,
-            init_zkey=init_zkey, skip_empty=skip_empty,
-            pair_budget=settings.pair_budget,
-        )
-    return fused.raster_fused_xla(
-        rec_band, setup, clip, tris, width, band_h,
-        tile_h=settings.tile_h, tile_w=settings.tile_w,
-        cap=settings.xla_cap, init_zkey=init_zkey,
-        viewport_height=settings.height, y_origin=y0,
-    )
+def _band_cap(cap: int | None, n: int, band_nt: int) -> int | None:
+    """Scale a frame-level compact-grid capacity to one of ``n`` bands.
+
+    Coverage is rarely uniform across bands, so the per-band share gets a
+    slack margin; the psum'd BinDiag still validates the result (a skewed
+    camera that overflows the scaled cap fails loudly, exactly like the
+    single-chip caps)."""
+    if cap is None:
+        return None
+    return min(-(-cap // n) + 8 + band_nt // 8, band_nt)
 
 
 def render_frame_sharded(
@@ -94,13 +81,23 @@ def render_frame_sharded(
     settings: RenderSettings,
     overlay: OverlayResources | None = None,
     ibl=None,
+    check: bool = True,
+    return_diag: bool = False,
 ):
     """Render one frame with the framebuffer bands sharded over ``mesh``.
 
     Returns an (H, W, 3) uint8 image whose rows are sharded over the mesh
     axis (device_get assembles it on the host). Shadows build their
     (band-independent) light-view map once outside the shard_map; IBL
-    ambient is per-pixel and shades band-locally."""
+    ambient is per-pixel and shades band-locally.
+
+    Capacity diagnostics from every band (main raster + band compaction +
+    overlay composite) are psum'd over the mesh axis; with ``check`` the
+    frame hard-fails on any dropped geometry (the multi-chip path has no
+    debug outputs, so silent drops would otherwise be invisible —
+    CLAUDE.md invariant; reference analog: the validation layer's
+    hard-assert, render.cpp:191). ``return_diag`` returns (image, BinDiag)
+    for callers that want to inspect instead."""
     if settings.shading != "pbr":
         raise NotImplementedError(
             "render_frame_sharded shards the deferred PBR path; flat "
@@ -140,7 +137,17 @@ def render_frame_sharded(
         gz = jnp.zeros((h_pad, width, 4), jnp.float32)
         gz = gz.at[0:ey, width - ex :].set(patch)
 
-    band_settings = settings
+    import dataclasses
+
+    band_nt = settings.tiles_x * (band_h // th)
+    # Bands get the single-chip perf machinery at band scale: pass-0 grid
+    # compaction + coverage-compacted shading, with frame-level caps
+    # scaled to a band's share (validated by the psum'd diagnostics).
+    band_settings = dataclasses.replace(
+        settings, raster_tile_cap=_band_cap(settings.raster_tile_cap, n,
+                                            band_nt)
+    )
+    band_live_cap = _band_cap(settings.live_tile_cap, n, band_nt)
 
     # Shadow map: light-view depth is band-independent — build once from
     # the full scene and replicate into every band.
@@ -180,7 +187,7 @@ def render_frame_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=P(axis_name, None, None),
+        out_specs=(P(axis_name, None, None), P()),
     )
     def band_fn(scene, view_block, frame_params, materials, extras):
         k = lax.axis_index(axis_name)
@@ -214,10 +221,29 @@ def render_frame_sharded(
                 _scene_record_table(soup, setup, settings), y0
             )
             clip, tris = soup.clip, soup.tris
-        px, zkey, _diag = _raster(
+        px, zkey, diag = _raster(
             rec, setup, clip, tris, width, band_h,
-            band_settings, viewport=(settings.height, y0),
+            band_settings, viewport=(settings.height, y0), main_pass=True,
         )
+        diags = [diag]
+
+        # Band-local coverage compaction (the single-chip live_tile_cap
+        # machinery): sampling + GGX run only on the band's covered tiles.
+        from bibim_tpu.pipeline.framegraph import _planar_materials
+
+        nt_band = px.tri_id.shape[0]
+        compact_ids = None
+        if (band_live_cap is not None and band_live_cap < nt_band
+                and _planar_materials(materials)):
+            live = jnp.any(px.tri_id >= 0, axis=1)
+            compact_ids, dropped = fused._compact_tile_list(
+                live, band_live_cap
+            )
+            diags.append(fused.BinDiag(
+                dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
+                dropped_pairs=jnp.int32(0), dropped_tiles=dropped,
+            ))
+            px = jax.tree_util.tree_map(lambda p: p[compact_ids], px)
 
         band_view = _band_view(band_settings, band_h)
         light_vis = None
@@ -261,13 +287,21 @@ def render_frame_sharded(
             for c in hdr3
         )
 
+        if compact_ids is not None:
+            npx_c = ldr3[0].shape[1]
+            ldr3 = tuple(
+                jnp.zeros((nt_band, npx_c), c.dtype).at[compact_ids].set(c)
+                for c in ldr3
+            )
+
         if settings.show_lights and overlay is not None \
                 and scene.lights.num_lights > 0:
             view_proj = m3.matmul(view_block.proj, view_block.view)
-            ldr3, _sp_diag = _composite_light_spheres(
+            ldr3, sp_diag = _composite_light_spheres(
                 ldr3, zkey, scene.lights, overlay, view_proj, band_settings,
                 band=(band_h, y0),
             )
+            diags.append(sp_diag)
 
         tiles_x = band_settings.tiles_x
         imgs = [
@@ -287,11 +321,31 @@ def render_frame_sharded(
             imgs = [srgb_encode(c) for c in imgs]
         else:
             imgs = [jnp.clip(c, 0.0, 1.0) for c in imgs]
-        return to_u8(jnp.stack(imgs, axis=-1))
 
-    out = jax.jit(band_fn)(scene, view_block, frame_params, materials,
-                           extras)
-    return out[: settings.height]
+        total = fused.BinDiag(
+            dropped_overflow=sum(d.dropped_overflow for d in diags),
+            dropped_cap=sum(d.dropped_cap for d in diags),
+            dropped_pairs=sum(d.dropped_pairs for d in diags),
+            dropped_tiles=sum(
+                jnp.asarray(getattr(d, "dropped_tiles", 0), jnp.int32)
+                for d in diags
+            ),
+        )
+        total = jax.tree_util.tree_map(
+            lambda x: lax.psum(x, axis_name), total
+        )
+        return to_u8(jnp.stack(imgs, axis=-1)), total
+
+    out, diag = jax.jit(band_fn)(scene, view_block, frame_params,
+                                 materials, extras)
+    img = out[: settings.height]
+    if check:
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        check_bin_diag(diag, where="sharded frame")
+    if return_diag:
+        return img, diag
+    return img
 
 
 def _band_view(settings: RenderSettings, band_h: int) -> RenderSettings:

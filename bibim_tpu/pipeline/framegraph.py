@@ -245,7 +245,10 @@ def _raster(rec_table, setup, clip, tris, width, height,
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
         tile_h=settings.tile_h, tile_w=settings.tile_w,
-        cap=settings.xla_cap, init_zkey=init_zkey,
+        # The fallback must bin with at least the pass's requested
+        # capacity (e.g. shadow_candidates on a light-concentrated grid),
+        # or it drops geometry the Pallas path would keep.
+        cap=max(settings.xla_cap, cap or 0), init_zkey=init_zkey,
         viewport_height=viewport[0] if viewport else None,
         y_origin=viewport[1] if viewport else 0,
         span_cap=span, overflow_cap=ov,

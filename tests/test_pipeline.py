@@ -372,6 +372,74 @@ class TestShardedRendering:
         mismatch = (a != b).any(axis=-1)
         assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
 
+    def test_sharded_overflow_reports_drops(self):
+        """A deliberately-overflowing sharded scene must fail loudly: the
+        per-band BinDiag counts are psum'd and checked (VERDICT r1 item 2 —
+        no silent geometry loss on the multi-chip path)."""
+        import jax
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+
+        n = min(4, len(jax.devices()))
+        scene = _sphere_scene()
+        # pair_budget far below the sphere's live (tile, triangle) pairs.
+        settings = RenderSettings(width=W, height=H, xla_cap=256,
+                                  pair_budget=8)
+        mesh = make_device_mesh(n)
+        with pytest.raises(AssertionError, match="pair"):
+            render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                 _flat_materials(), settings)
+        # return_diag surfaces the counts without raising.
+        img, diag = render_frame_sharded(mesh, scene, _view(), _fp(1),
+                                         _flat_materials(), settings,
+                                         check=False, return_diag=True)
+        assert int(diag.dropped_pairs) > 0
+        assert np.asarray(img).shape == (H, W, 3)
+
+    def test_sharded_band_compaction_matches_single(self):
+        """live_tile_cap engages the band-local coverage compaction (the
+        single-chip perf machinery at band scale, VERDICT r1 item 3) and
+        stays bit-identical to the single-chip compacted frame."""
+        import jax
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+        from bibim_tpu.parallel.tile_shard import _band_cap
+
+        n = min(4, len(jax.devices()))
+        w2, h2 = 1024, 128
+        scene = _sphere_scene()
+        maps = {
+            "alb_r": np.full((4, 4, 1), 200, np.uint8),
+            "alb_g": np.full((4, 4, 1), 120, np.uint8),
+            "alb_b": np.full((4, 4, 1), 80, np.uint8),
+            "roughness": np.full((4, 4, 1), 128, np.uint8),
+            "ao": np.full((4, 4, 1), 255, np.uint8),
+        }
+        mats = tq.build_quad_tables(maps)
+        settings = RenderSettings(width=w2, height=h2, xla_cap=256,
+                                  live_tile_cap=40, outputs="image")
+        # The scaled band cap must actually be below the band tile count,
+        # or this test exercises nothing.
+        band_nt = settings.tiles_x * (-(-h2 // n) // settings.tile_h)
+        assert _band_cap(40, n, band_nt) < band_nt
+        view = ViewBlock(
+            view=_view().view,
+            proj=m3.perspective(60.0, w2 / h2, 0.1, 1000.0),
+            view_pos=_view().view_pos,
+            enable_normal_map=jnp.int32(0),
+        )
+        single = render_frame(scene, view, _fp(1), mats, None, settings)
+        mesh = make_device_mesh(n)
+        sharded = render_frame_sharded(mesh, scene, view, _fp(1), mats,
+                                       settings)
+        # Band-rebased records associate the depth/edge constants
+        # differently (C + B*y0), so a handful of silhouette pixels may
+        # flip by 1 LSB — same tolerance as the overlay sharded test.
+        a = np.asarray(single["image"]).astype(int)
+        b = np.asarray(sharded).astype(int)
+        mismatch = (a != b).any(axis=-1)
+        assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
+        assert np.abs(a - b).max() <= 1
+
     def test_sharded_pads_non_divisible_heights(self):
         import jax
         from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
