@@ -70,14 +70,15 @@ def bench_shaderball(report: dict) -> float:
     )
     from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
 
+    from bibim_tpu.pipeline.autotune import autotune_settings
+
     scene = ShaderBallScene()
     cam = FreeLookCamera()
-    # 780 covered / ~900 bin-live tiles at this camera; caps validated
-    # (_validate reports any overflow as dropped_tiles; tools/exp_c3.py).
-    settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                              live_tile_cap=896, raster_tile_cap=1024,
-                              overlay_candidates=256, overlay_max_tiles=384,
-                              pair_budget=163840)
+    # Capacities are DERIVED from a probe of this scene + camera
+    # (pipeline.autotune) — no hand-pinned caps; _validate still asserts
+    # the derivation dropped nothing.
+    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
+                          overlay_candidates=256, overlay_max_tiles=384)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
@@ -93,6 +94,7 @@ def bench_shaderball(report: dict) -> float:
         enable_tone_mapping=jnp.int32(1), exposure=jnp.float32(1.0)
     )
     data = scene.scene_data()
+    settings, _probe = autotune_settings(data, view_block, base)
 
     import dataclasses
 
@@ -135,11 +137,14 @@ def bench_shaderball(report: dict) -> float:
     # as render_frame does, so the parts attribute the real frame cost
     # (standalone stages still overlap less than the fused schedule, so
     # the sum can slightly exceed the whole — but no stage can exceed it).
+    live_cap = settings.live_tile_cap or (settings.tiles_x
+                                          * settings.tiles_y)
+
     @jax.jit
     def compact_px(batches, view, proj):
         px, _, _ = geom(batches, view, proj)
         live = jnp.any(px.tri_id >= 0, axis=1)
-        ids, _ = fused._compact_tile_list(live, settings.live_tile_cap)
+        ids, _ = fused._compact_tile_list(live, live_cap)
         return jax.tree_util.tree_map(lambda p: p[ids], px)
 
     px_c = compact_px(data.batches, view_block.view, view_block.proj)
@@ -234,11 +239,12 @@ def bench_cube(report: dict) -> None:
     )
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
-    s = RenderSettings(width=w, height=h, outputs="image",
-                       batch_material_ids=scene.material_ids,
-                       show_gizmo=False, show_lights=False,
-                       live_tile_cap=384,  # 248 covered tiles
-                       raster_tile_cap=448)
+    from bibim_tpu.pipeline.autotune import autotune_settings
+
+    base = RenderSettings(width=w, height=h, outputs="image",
+                          batch_material_ids=scene.material_ids,
+                          show_gizmo=False, show_lights=False)
+    s, _ = autotune_settings(data, vb, base)
 
     import dataclasses
 
@@ -292,15 +298,14 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
         data, np.asarray(cam.get_view_matrix()),
         np.asarray(m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)),
     )
-    # Dense distant instances: the worst tile holds ~2.1k candidates;
-    # three depth-chained 1024-candidate windows cover it (extra passes
-    # run on a compacted dense-tile grid; settings from tools/exp_c4.py).
-    s = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                       show_gizmo=False, show_lights=False,
-                       max_candidates=1024, raster_passes=3, span_cap=4,
-                       live_tile_cap=768,  # 569 covered tiles
-                       raster_tile_cap=896,  # bin-live ~= covered here
-                       pair_budget=131072)  # ~131k live pairs, validated
+    # Dense distant instances: the probe measures the worst tile's ~2.1k
+    # candidates and derives depth-chained 1024-candidate windows plus a
+    # tight span_cap (the hand-swept tools/exp_c4.py winner, now derived).
+    from bibim_tpu.pipeline.autotune import autotune_settings
+
+    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
+                          show_gizmo=False, show_lights=False)
+    s, _ = autotune_settings(data, vb, base)
 
     import dataclasses
 
@@ -349,18 +354,18 @@ def bench_stretch_4k(report: dict) -> None:
     )
     fp = FrameParams(enable_tone_mapping=jnp.int32(1),
                      exposure=jnp.float32(1.0))
-    # 4K: silhouette triangles span 4x more tiles (span_cap/overflow up),
-    # and the light-view shadow raster concentrates the ball into dense
-    # tiles (multi-pass windows, same as config 4).
-    s = RenderSettings(width=w, height=h, outputs="image",
-                       enable_shadows=True, enable_ibl=True,
-                       span_cap=32, overflow_cap=256,
-                       max_candidates=320, raster_passes=2,
-                       shadow_candidates=2048, shadow_passes=3,
-                       overlay_max_tiles=1024,
-                       live_tile_cap=4096,  # ~38% tile coverage at 4K
-                       raster_tile_cap=4608)
+    # 4K: main-camera capacities are probed+derived; the light-view
+    # shadow raster has its own concentration profile (hand-set windows —
+    # the probe only sees the main camera).
+    from bibim_tpu.pipeline.autotune import autotune_settings
+
+    base = RenderSettings(width=w, height=h, outputs="image",
+                          enable_shadows=True, enable_ibl=True,
+                          span_cap=32,
+                          shadow_candidates=2048, shadow_passes=3,
+                          overlay_max_tiles=1024)
     data = scene.scene_data()
+    s, _ = autotune_settings(data, vb, base)
 
     import dataclasses
 

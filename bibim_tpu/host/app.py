@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tonemap", action="store_true")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--tbn", action="store_true")
+    p.add_argument("--hud", action="store_true",
+                   help="burn an FPS/camera stats line into the frame "
+                        "(ImGui-overlay analog)")
     p.add_argument("--no-gizmo", action="store_true")
     p.add_argument("--no-lights", action="store_true")
     p.add_argument("--no-srgb", action="store_true")
@@ -189,6 +192,7 @@ def main(argv=None) -> int:
         show_lights=not args.no_lights,
         show_gizmo=not args.no_gizmo,
         show_tbn=args.tbn,
+        show_hud=args.hud,
         srgb_output=not args.no_srgb,
         enable_shadows=args.shadows,
         enable_ibl=args.ibl,
@@ -237,6 +241,23 @@ def main(argv=None) -> int:
     stats = FrameStats()
     written = 0
 
+    hud_geom = None
+    if args.hud:
+        from bibim_tpu.host.hud import build_hud_geometry
+
+        hud_geom = build_hud_geometry(width, height)
+
+    def hud_payload():
+        if hud_geom is None:
+            return None
+        from bibim_tpu.host.hud import hud_text_mask
+
+        text = (f"{stats.fps:5.1f} FPS  POS {cam.pos[0]:.1f} "
+                f"{cam.pos[1]:.1f} {cam.pos[2]:.1f}  YAW {cam.yaw:.0f} "
+                f"PITCH {cam.pitch:.0f}")
+        return (hud_geom, jnp.asarray(hud_text_mask(text,
+                                                    hud_geom.max_chars)))
+
     def write(img: np.ndarray | None):
         nonlocal written
         if img is None:
@@ -276,7 +297,7 @@ def main(argv=None) -> int:
             )
         out = render_frame(
             data, view_block, frame_params, mats, overlay,
-            settings, ibl=ibl_maps,
+            settings, ibl=ibl_maps, hud=hud_payload(),
         )
         if args.no_write:
             # Full-frame device→host egress is a property of the link,

@@ -28,6 +28,7 @@ class UiState:
     enable_normal_map: bool = False  # Settings checkboxes (main.cpp:1305-1316)
     enable_tone_mapping: bool = False
     enable_tbn: bool = False
+    show_hud: bool = False  # in-frame stats text (ImGui-overlay analog)
     exposure: float = 1.0  # slider 0.1..10
     selected_material: int = 1  # Material Selector (scene.cpp:141-151)
     mesh_path: str = ""  # --scene mesh asset (MeshScene)

@@ -108,6 +108,11 @@ class Session:
         self.readback = DoubleBufferedReadback(depth=self.readback_depth)
         self.stats = FrameStats()
         self._last_cursor_down = False
+        # Adaptive capacities (pipeline.autotune): derived caps per scene
+        # binding, re-probed (monotonically raised) when a completed
+        # frame's diagnostics report drops.
+        self._tuned: dict = {}
+        self._pending_diags: list = []
 
     # -- resource binding ---------------------------------------------------
 
@@ -156,11 +161,32 @@ class Session:
             x, y = ev["cursor"]
             self.input.update_cursor(int(x), int(y))
         if "set" in ev:
-            for k, v in ev["set"].items():
+            fields = dict(ev["set"])
+            if "size" in fields:
+                w, h = fields.pop("size")
+                self.resize(int(w), int(h))
+            for k, v in fields.items():
                 if not hasattr(self.ui, k):
                     raise ValueError(f"unknown ui field {k!r}")
                 setattr(self.ui, k, v)
             self.ui.clamp()
+
+    def resize(self, width: int, height: int) -> None:
+        """Live resize mid-loop — the swapchain-recreation analog
+        (onWindowResize, main.cpp:1042-1070): RenderSettings is the jit
+        key, so the next frame recompiles at the new extent (the pipeline
+        rebuild); size-derived host state (HUD geometry, probed caps) is
+        invalidated. Frames already in flight at the old size drain
+        through the readback unchanged."""
+        if (width, height) == (self.width, self.height):
+            return
+        self.width, self.height = width, height
+        self._hud_geom = None
+        # Probed capacities are resolution-specific; _tune_key includes
+        # the size, so stale entries are unreachable — drop them anyway.
+        self._tuned.clear()
+        log_info("resized to {}x{} (reloadable resources rebuild on next "
+                 "frame)", width, height)
 
     def _update_camera(self, dt: float) -> None:
         """main.cpp:1237-1262: drag rotates, WASD moves."""
@@ -174,7 +200,7 @@ class Session:
 
     # -- frame --------------------------------------------------------------
 
-    def settings(self) -> RenderSettings:
+    def _base_settings(self) -> RenderSettings:
         return RenderSettings(
             width=self.width,
             height=self.height,
@@ -182,9 +208,82 @@ class Session:
             shading="flat" if self.ui.scene == "gizmo" else "pbr",
             gbuffer_viz=VIZ_BY_NAME[self.ui.gbuffer_viz],
             show_tbn=self.ui.enable_tbn,
+            show_hud=self.ui.show_hud,
             batch_material_ids=getattr(self.scene, "material_ids", None),
-            outputs="image",
+            # Production compacted shading + the capacity scalars for the
+            # drop watcher (they ride the existing readback sync).
+            outputs="image+diag",
         )
+
+    def _tune_key(self):
+        return (self.ui.scene, self.ui.num_instances, self.width,
+                self.height)
+
+    def settings(self) -> RenderSettings:
+        """The live loop runs with autotuned capacities (the bench-speed
+        machinery: pass-0 grid compaction + coverage-compacted shading),
+        derived from a one-off probe of the bound scene (VERDICT r1 items
+        4/6: interactive frames must not run untuned)."""
+        import dataclasses
+
+        base = self._base_settings()
+        tuned = self._tuned.get(self._tune_key())
+        if tuned is not None:
+            base = dataclasses.replace(base, **tuned)
+        return base
+
+    def _retune(self, scene_data, view_block) -> None:
+        """(Re-)derive adaptive caps for the current scene + camera; caps
+        only ever grow (elementwise max with the previous derivation) so
+        a camera oscillating across a bucket edge cannot thrash."""
+        from bibim_tpu.pipeline.autotune import autotune_settings
+
+        derived, probe = autotune_settings(
+            scene_data, view_block, self._base_settings()
+        )
+        caps = {
+            "max_candidates": derived.max_candidates,
+            "raster_passes": derived.raster_passes,
+            "overflow_cap": derived.overflow_cap,
+            "pair_budget": derived.pair_budget,
+            "live_tile_cap": derived.live_tile_cap,
+            "raster_tile_cap": derived.raster_tile_cap,
+            # span_cap is a routing choice, not a validated capacity
+            # (triangles beyond it go to the overflow list, whose cap IS
+            # validated) — always take the fresh derivation.
+            "span_cap": derived.span_cap,
+        }
+        old = self._tuned.get(self._tune_key())
+        if old is not None:
+            for k, v in caps.items():
+                if k == "span_cap":
+                    continue
+                if old[k] is None or v is None:
+                    caps[k] = None  # None = uncapped; never shrink to a cap
+                else:
+                    caps[k] = max(old[k], v)
+        self._tuned[self._tune_key()] = caps
+        log_info("autotuned caps for {}: {} (probe: {} covered tiles, "
+                 "{} pairs, worst tile {})", self.ui.scene, caps,
+                 probe.covered_tiles, probe.total_pairs,
+                 probe.max_candidates)
+
+    def _hud(self):
+        """Per-frame HUD payload: cached static cell geometry + the lit
+        mask for this frame's stats line (FPS + camera pose — the debug
+        text the reference shows in its ImGui windows)."""
+        if not self.ui.show_hud:
+            return None
+        from bibim_tpu.host.hud import build_hud_geometry, hud_text_mask
+
+        if getattr(self, "_hud_geom", None) is None:
+            self._hud_geom = build_hud_geometry(self.width, self.height)
+        p = self.camera.pos
+        text = (f"{self.stats.fps:5.1f} FPS  POS {p[0]:.1f} {p[1]:.1f} "
+                f"{p[2]:.1f}  YAW {self.camera.yaw:.0f} "
+                f"PITCH {self.camera.pitch:.0f}")
+        mask = hud_text_mask(text, self._hud_geom.max_chars)
+        return (self._hud_geom, jnp.asarray(mask))
 
     def render(self, dt: float = 1 / 60):
         """One loop iteration: camera ← input, scene update, dispatch.
@@ -207,12 +306,31 @@ class Session:
             ),
             exposure=jnp.float32(self.ui.exposure),
         )
+        data = scene.scene_data()
+        if self._tune_key() not in self._tuned:
+            self._retune(data, view_block)
         out = render_frame(
-            scene.scene_data(), view_block, frame_params, self.materials(),
-            self.overlay(), self.settings(),
+            data, view_block, frame_params, self.materials(),
+            self.overlay(), self.settings(), hud=self._hud(),
         )
         self.stats.tick()
-        return self.readback.submit(out["image"])
+        img = self.readback.submit(out["image"])
+        self._pending_diags.append((out.get("bin_diag"), data, view_block))
+        if img is not None:
+            diag, d_data, d_view = self._pending_diags.pop(0)
+            if diag is not None and any(
+                int(np.asarray(leaf)) > 0
+                for leaf in (diag.dropped_overflow, diag.dropped_cap,
+                             diag.dropped_pairs, diag.dropped_tiles)
+            ):
+                # A completed frame overflowed a derived cap: raise the
+                # buckets from a fresh probe at that camera. The frame
+                # itself is the one-frame glitch the margin didn't cover;
+                # subsequent frames render complete again.
+                log_info("frame reported dropped geometry — re-probing "
+                         "capacities")
+                self._retune(d_data, d_view)
+        return img
 
     def run_script(self, events, n_frames: int, dt: float = 1 / 60):
         """Replay a recorded event stream over ``n_frames`` frames and

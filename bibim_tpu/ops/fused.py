@@ -360,12 +360,15 @@ def _resolve_winner(scratch, best_cand, rows, npx):
     default f32 matmul truncates inputs to bf16 — splitting the table into
     three bf16-exact parts (8 mantissa bits each) and summing the three
     default-precision products is exact for a 0/1 RHS and measured ~2x
-    cheaper than precision=HIGHEST. Returns (128, NPX): row j = resolved
-    record channel j."""
+    cheaper than precision=HIGHEST. Only the _USED=59 record channels are
+    resolved (lane-sliced to 64): the padding columns are zeros, and
+    halving the matmul N dim halves the resolve FLOPs — the dominant term
+    of the kernel's MXU cost at production capacities. Returns (64, NPX):
+    row j = resolved record channel j (j < 64)."""
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == best_cand
     ).astype(jnp.float32)
-    t = scratch[:, :]
+    t = scratch[:, :64]
     hi = t.astype(jnp.bfloat16).astype(jnp.float32)
     rem = t - hi
     mid = rem.astype(jnp.bfloat16).astype(jnp.float32)

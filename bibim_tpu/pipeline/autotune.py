@@ -1,0 +1,249 @@
+"""Adaptive capacity derivation — measure a frame, set the caps.
+
+Every compaction in the pipeline is a *validated capacity* (CLAUDE.md):
+``max_candidates × passes``, ``pair_budget``, ``live_tile_cap``,
+``raster_tile_cap``, ``overflow_cap``. Round 1 pinned them per benchmark
+config from offline sweeps; this module derives them from the scene +
+camera instead:
+
+1. :func:`probe_frame_caps` runs ONE jitted probe (the production binning
+   pass, uncapped, plus optionally the raster for exact coverage) and
+   reads the frame's true demands: worst-tile candidate count, live
+   (tile, triangle) pairs, bin-live and covered tile counts, overflow
+   triangles.
+2. :func:`derive_settings` turns the measured demands into capacities
+   with a safety margin, rounded up to coarse buckets (~3% granularity)
+   so nearby cameras share a jit specialization — the RenderSettings-
+   as-pipeline-key model (framegraph docstring) with machine-chosen keys.
+
+The caps stay validated: a camera move past the margin overflows a cap,
+the BinDiag check fails loudly (or the session's drop watcher re-probes),
+and the next bucket recompiles — the TPU analog of Vulkan pipeline
+recreation on resize (/root/reference/src/main.cpp:1042-1070).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bibim_tpu.ops import fused
+from bibim_tpu.ops.geometry import assemble_scene, assemble_scene_planar
+from bibim_tpu.ops.raster import triangle_setup, triangle_setup_planar
+
+
+class CapProbe(NamedTuple):
+    """One frame's measured capacity demands (host ints)."""
+
+    n_tiles: int  # total screen tiles
+    bin_tiles: int  # tiles with binned candidates or big-triangle cover
+    covered_tiles: int  # raster-covered tiles (== bin_tiles when the
+    # probe skipped the raster)
+    max_candidates: int  # worst tile's candidate count
+    total_pairs: int  # live (tile, triangle) pairs
+    n_big: int  # triangles routed to the shared overflow list
+    # Per candidate span_cap (4/8/16): how many triangles would route to
+    # the overflow list, and the live pairs among the rest. The sort input
+    # is T × span_cap slots, so the smallest span_cap whose overflow list
+    # stays modest wins (tools/exp_raster.py: span 16 sorts 625k dead
+    # slots for 17k live pairs on the headline frame).
+    span_big: tuple = ()  # ((span, n_big, pairs), ...)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "measure_coverage")
+)
+def _probe_jit(scene, view_block, settings, measure_coverage):
+    from bibim_tpu.pipeline.framegraph import (
+        _assemble_and_raster,
+        _use_planar,
+    )
+
+    width, height = settings.width, settings.height
+    if _use_planar(scene, settings):
+        psoup = assemble_scene_planar(
+            scene.batches, view_block.view, view_block.proj,
+            settings.batch_material_ids,
+        )
+        setup = triangle_setup_planar(psoup.clip, width, height)
+    else:
+        soup = assemble_scene(
+            scene.batches, view_block.view, view_block.proj,
+            settings.batch_material_ids,
+        )
+        setup = triangle_setup(soup.clip, soup.tris, width, height,
+                               sequential=settings.sequential_tris)
+
+    n_tris = setup.valid.shape[0]
+    # Uncapped binning: huge max_candidates/overflow so nothing clamps;
+    # span_cap stays at the production setting (it defines the
+    # small/big-triangle split the capacities are measured against).
+    (_, starts, counts, big_ids, n_big, _, tiles_y, tiles_x) = (
+        fused.bin_pairs(
+            setup, width, height, settings.tile_h, settings.tile_w,
+            span_cap=settings.span_cap,
+            overflow_cap=max(64, min(n_tris, 1 << 14)),
+            max_candidates=1 << 22, pair_budget=None,
+        )
+    )
+    nt = tiles_y * tiles_x
+    # Pass-0 grid liveness includes conservative big-triangle cover (the
+    # 100× ground plane rasterizes from the overflow list, not the bins —
+    # raster_tile_cap must budget for those tiles too). Build the 15
+    # raster-coefficient record columns the cover test reads.
+    def splane(name, k):
+        v = getattr(setup, name)
+        return v[k] if isinstance(v, tuple) else v[:, k]
+
+    big_valid = big_ids >= 0
+    bidx = jnp.maximum(big_ids, 0)
+    coef_cols = [
+        splane(name, k)[bidx]
+        for name in ("edge_a", "edge_b", "edge_c", "z_coef", "w_coef")
+        for k in range(3)
+    ]
+    ov = jnp.stack(coef_cols, axis=-1) * big_valid.astype(jnp.float32)[
+        :, None
+    ]
+    ov = jnp.pad(ov, ((0, 0), (0, fused.REC_CH - ov.shape[1])))
+    live0 = (counts > 0) | fused._big_cover_mask(
+        ov, big_ids, nt, tiles_x, settings.tile_h, settings.tile_w
+    )
+    bin_live = jnp.sum(live0.astype(jnp.int32))
+    # Span distribution for deriving span_cap (tile-span area per
+    # triangle, same formula as bin_pairs).
+    if hasattr(setup.bbox, "shape"):
+        bx0, by0, bx1, by1 = (setup.bbox[:, i] for i in range(4))
+    else:
+        bx0, by0, bx1, by1 = setup.bbox
+    area = ((bx1 // settings.tile_w) - (bx0 // settings.tile_w) + 1) * (
+        (by1 // settings.tile_h) - (by0 // settings.tile_h) + 1
+    )
+    span_stats = {}
+    for k in (4, 8, 16):
+        big_k = setup.valid & (area > k)
+        span_stats[f"span{k}_big"] = jnp.sum(big_k.astype(jnp.int32))
+        span_stats[f"span{k}_pairs"] = jnp.sum(
+            jnp.where(setup.valid & (area <= k), area, 0)
+        )
+
+    out = {
+        "bin_tiles": bin_live,
+        "max_candidates": jnp.max(counts),
+        "total_pairs": jnp.sum(counts),
+        "n_big": n_big,
+        "covered_tiles": bin_live,
+        **span_stats,
+    }
+    if measure_coverage:
+        # Exact shaded coverage needs the raster (a one-off probe cost);
+        # run the production frame's main pass with open capacities.
+        open_settings = dataclasses.replace(
+            settings,
+            max_candidates=1024, raster_passes=8, span_cap=settings.span_cap,
+            overflow_cap=512, pair_budget=1 << 21,
+            live_tile_cap=None, raster_tile_cap=None,
+            xla_cap=max(settings.xla_cap, 2048),
+        )
+        px, _, _, _, _ = _assemble_and_raster(scene, view_block,
+                                              open_settings)
+        out["covered_tiles"] = jnp.sum(
+            jnp.any(px.tri_id >= 0, axis=1).astype(jnp.int32)
+        )
+    return out
+
+
+def probe_frame_caps(scene, view_block, settings,
+                     measure_coverage: bool = True) -> CapProbe:
+    """Measure one frame's capacity demands (one probe jit; cached per
+    scene shape). ``measure_coverage=False`` skips the raster and uses
+    bin-live tiles as the coverage bound (conservative, cheaper)."""
+    out = _probe_jit(scene, view_block, settings, measure_coverage)
+    out = {k: int(v) for k, v in out.items()}
+    nt = (-(-settings.width // settings.tile_w)
+          * -(-settings.height // settings.tile_h))
+    return CapProbe(
+        n_tiles=nt,
+        bin_tiles=out["bin_tiles"],
+        covered_tiles=out["covered_tiles"],
+        max_candidates=out["max_candidates"],
+        total_pairs=out["total_pairs"],
+        n_big=out["n_big"],
+        span_big=tuple(
+            (k, out[f"span{k}_big"], out[f"span{k}_pairs"])
+            for k in (4, 8, 16)
+        ),
+    )
+
+
+def _bucket(x: int, floor: int = 64) -> int:
+    """Round up to a coarse grid (granularity ≈ 3% of magnitude) so
+    nearby demands share a jit specialization."""
+    x = max(int(x), 1)
+    g = max(floor, 1 << max(0, x.bit_length() - 5))
+    return -(-x // g) * g
+
+
+def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
+    """RenderSettings with capacities derived from a :class:`CapProbe`.
+
+    ``margin`` is headroom for camera motion between probes; the result
+    is still validated by BinDiag, so an underestimate fails loudly
+    rather than dropping geometry."""
+    mc = _bucket(int(probe.max_candidates * margin), floor=64)
+    passes = 1
+    if mc > 1024:
+        # Dense tiles: depth-chained 1024-candidate windows beat one huge
+        # resolve (config-4 sweep, tools/exp_c4.py).
+        passes = -(-mc // 1024)
+        mc = 1024
+    live = _bucket(int(probe.covered_tiles * margin), floor=64)
+    raster = _bucket(int(probe.bin_tiles * margin), floor=64)
+
+    # span_cap: the sort input is T × span_cap slots, so take the
+    # smallest span whose overflow list stays small (every tile tests all
+    # big triangles, so a fat overflow list taxes the whole grid).
+    span_cap = settings.span_cap
+    n_big = probe.n_big
+    pairs = probe.total_pairs
+    for k, big_k, pairs_k in probe.span_big:
+        if big_k <= max(192, int(probe.n_big * 1.5)):
+            span_cap, n_big, pairs = k, big_k, pairs_k
+            break
+
+    return dataclasses.replace(
+        settings,
+        max_candidates=mc,
+        raster_passes=passes,
+        span_cap=span_cap,
+        overflow_cap=_bucket(int(n_big * margin) + 16, floor=64),
+        pair_budget=_bucket(int(pairs * margin), floor=4096),
+        live_tile_cap=live if live < probe.n_tiles else None,
+        raster_tile_cap=raster if raster < probe.n_tiles else None,
+    )
+
+
+def autotune_settings(scene, view_block, settings, margin: float = 1.25,
+                      measure_coverage: bool = True):
+    """Probe + derive in one call. Returns (settings, probe).
+
+    If the derivation picks a different span_cap, the bin statistics are
+    re-probed at that span (a smaller span reclassifies triangles as
+    "big", and their conservative cover inflates pass-0 grid liveness —
+    bin counts measured at the old span would under-derive
+    raster_tile_cap). Coverage (a raster result) is span-independent and
+    is not re-measured."""
+    probe = probe_frame_caps(scene, view_block, settings,
+                             measure_coverage=measure_coverage)
+    derived = derive_settings(settings, probe, margin=margin)
+    if derived.span_cap != settings.span_cap:
+        base2 = dataclasses.replace(settings, span_cap=derived.span_cap)
+        probe2 = probe_frame_caps(scene, view_block, base2,
+                                  measure_coverage=False)
+        probe = probe2._replace(covered_tiles=probe.covered_tiles)
+        derived = derive_settings(base2, probe, margin=margin)
+    return derived, probe

@@ -142,6 +142,8 @@ class RenderSettings:
     show_lights: bool = True
     show_gizmo: bool = True
     show_tbn: bool = False
+    show_hud: bool = False  # in-frame stats text (pass hud= to
+    # render_frame; the ImGui-overlay analog, main.cpp:172)
     srgb_output: bool = True
     raster: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
     # Triangle-pipeline layout: "auto" uses the corner-planar path for
@@ -566,6 +568,58 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
     return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3)), diag
 
 
+def _composite_hud(ldr3, hud, settings: RenderSettings):
+    """Burn the HUD text cells into the LDR planes (the ImGui-in-subpass-4
+    analog, main.cpp:172): static cell-quad geometry, per-frame lit mask,
+    drawn depth-free (reversed-Z 1.0 vs a cleared depth plane) through the
+    same compact overlay kernel as the light spheres."""
+    geom, mask = hud
+    cx = jnp.asarray(geom.cx)
+    cy = jnp.asarray(geom.cy)
+    m = jnp.asarray(mask, jnp.float32)
+    n = cx.shape[0]
+    # Corners tl/tr/br/bl (y-down, CW); mask 0 collapses the quad to its
+    # center point → zero-area → culled by triangle setup.
+    offx = jnp.asarray([-1.0, 1.0, 1.0, -1.0], jnp.float32) * geom.dx
+    offy = jnp.asarray([-1.0, -1.0, 1.0, 1.0], jnp.float32) * geom.dy
+    x = (cx[:, None] + offx[None, :] * m[:, None]).reshape(-1)
+    y = (cy[:, None] + offy[None, :] * m[:, None]).reshape(-1)
+    ones = jnp.ones_like(x)
+    clip = jnp.stack([x, y, ones, ones], axis=-1)  # z = w = 1: always wins
+    base = (jnp.arange(n, dtype=jnp.int32) * 4)[:, None]
+    tris = jnp.concatenate(
+        [base + jnp.asarray([[0, 1, 3]], jnp.int32),
+         base + jnp.asarray([[1, 2, 3]], jnp.int32)], axis=0
+    )
+    setup = triangle_setup(clip, tris, settings.width, settings.height)
+    zeros2 = jnp.zeros((x.shape[0], 2), jnp.float32)
+    zeros3 = jnp.zeros((x.shape[0], 3), jnp.float32)
+    white = jnp.ones((x.shape[0], 3), jnp.float32)
+    rec = fused.build_record_table(setup, tris, zeros2, zeros3, zeros3,
+                                   zeros3, white)
+    nt = settings.tiles_x * settings.tiles_y
+    npx = settings.tile_h * settings.tile_w
+    clear_key = jnp.zeros((nt, npx), jnp.int32)
+    # Cell quads are a few pixels: span ≤ 4 tiles; one 8×128 tile holds at
+    # most ~220 lit cells of a 2×-scale line (~440 tris) — capacities
+    # below are validated like every other overlay pass (BinDiag).
+    if _use_pallas(settings):
+        return fused.composite_overlay_pallas(
+            rec, setup, ldr3, clear_key, settings.width, settings.height,
+            tile_h=settings.tile_h, tile_w=settings.tile_w,
+            max_candidates=512, overflow_cap=64, span_cap=4,
+            max_tiles=min(64, nt),
+        )
+    px, _, diag = _raster(
+        rec, setup, clip, tris, settings.width, settings.height, settings,
+        cap=512, init_zkey=clear_key, skip_empty=True,
+        overflow_cap=64, span_cap=4,
+    )
+    hit = px.tri_id >= 0
+    return tuple(jnp.where(hit, px.color[c], ldr3[c]) for c in range(3)), \
+        diag
+
+
 def _render_gizmo(view, proj, overlay: OverlayResources,
                   settings: RenderSettings):
     """Render the orientation gizmo into its own ``gizmo_extent``² viewport
@@ -784,6 +838,7 @@ def render_frame(
     overlay: OverlayResources | None,
     settings: RenderSettings,
     ibl=None,
+    hud=None,
 ):
     """Render one frame.
 
@@ -814,7 +869,7 @@ def render_frame(
         # images and cannot shade compact planes.
         and _planar_materials(materials)
     )
-    if can_compact and settings.outputs != "image":
+    if can_compact and settings.outputs == "full":
         # Debug outputs shade at full rate, but still report whether this
         # frame would overflow the cap — so bench/validation runs (which
         # use outputs="full") verify the production cap honestly.
@@ -826,7 +881,7 @@ def render_frame(
                 jnp.sum(live, dtype=jnp.int32) - settings.live_tile_cap, 0
             ),
         ))
-    if can_compact and settings.outputs == "image":
+    if can_compact and settings.outputs != "full":
         live = jnp.any(px.tri_id >= 0, axis=1)
         # Dead slots re-shade the first listed tile (idempotent under the
         # scatter-back).
@@ -950,6 +1005,10 @@ def render_frame(
         )
         diags.append(sp_diag)
 
+    if settings.show_hud and hud is not None:
+        ldr3, hud_diag = _composite_hud(ldr3, hud, settings)
+        diags.append(hud_diag)
+
     # Image-space stages: TBN lines + corner gizmo + output encode.
     ldr3_img = tuple(_untile(c, settings) for c in ldr3)
     if settings.show_tbn and overlay is not None:
@@ -983,6 +1042,11 @@ def render_frame(
         dropped_pairs=sum(d.dropped_pairs for d in diags),
         dropped_tiles=sum(getattr(d, "dropped_tiles", 0) for d in diags),
     )
+    if settings.outputs == "image+diag":
+        # The production frame plus the capacity scalars: what the
+        # interactive session renders so its drop watcher can re-probe
+        # capacities (pipeline.autotune) without debug-rate shading.
+        return {"image": image, "bin_diag": total_diag}
     return {
         "image": image,
         "ldr": jnp.stack(ldr3_img, axis=-1),

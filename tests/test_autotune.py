@@ -1,0 +1,142 @@
+"""Adaptive capacity derivation (pipeline.autotune): probed caps render
+complete frames, bucketing keeps jit keys stable under camera jitter, and
+the session raises caps monotonically."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bibim_tpu import math3d as m3
+from bibim_tpu.assets.meshgen import generate_uv_sphere_mesh
+from bibim_tpu.ops import texture_quad as tq
+from bibim_tpu.pipeline import (
+    FrameParams,
+    RenderSettings,
+    ViewBlock,
+    render_frame,
+)
+from bibim_tpu.pipeline.autotune import (
+    CapProbe,
+    autotune_settings,
+    derive_settings,
+    probe_frame_caps,
+)
+from bibim_tpu.scene import FreeLookCamera
+from bibim_tpu.scene.lights import make_lights
+from bibim_tpu.scene.scene import SceneData, batch_from_mesh
+
+W, H = 256, 128
+
+
+def _scene():
+    mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+    model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+    lights = make_lights(
+        [dict(type=2, dir=(0, -1, 1), color=(1, 1, 1), intensity=3.0)]
+    )
+    return SceneData(batches=(batch_from_mesh(mesh, model),), lights=lights)
+
+
+def _view(pos=None):
+    cam = FreeLookCamera(pos=pos if pos is not None
+                         else np.zeros(3, np.float32))
+    return ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+
+
+def _mats():
+    return tq.build_quad_tables({
+        "alb_r": np.full((4, 4, 1), 200, np.uint8),
+        "roughness": np.full((4, 4, 1), 128, np.uint8),
+        "ao": np.full((4, 4, 1), 255, np.uint8),
+    })
+
+
+class TestAutotune:
+    def test_probe_measures_real_demands(self):
+        probe = probe_frame_caps(_scene(), _view(),
+                                 RenderSettings(width=W, height=H,
+                                                xla_cap=256))
+        assert probe.n_tiles == 32
+        assert 0 < probe.covered_tiles <= probe.bin_tiles <= probe.n_tiles
+        assert probe.max_candidates > 0
+        assert probe.total_pairs >= probe.bin_tiles
+
+    def test_derived_caps_render_without_drops(self):
+        scene = _scene()
+        base = RenderSettings(width=W, height=H, xla_cap=256)
+        tuned, _ = autotune_settings(scene, _view(), base)
+        out = render_frame(
+            scene, _view(), FrameParams(jnp.int32(1), jnp.float32(1.0)),
+            _mats(), None, dataclasses.replace(tuned, outputs="image+diag"),
+        )
+        d = out["bin_diag"]
+        for leaf in (d.dropped_overflow, d.dropped_cap, d.dropped_pairs,
+                     d.dropped_tiles):
+            assert int(np.asarray(leaf)) == 0
+        assert np.asarray(out["image"]).max() > 0
+
+    def test_bucketing_is_jitter_stable(self):
+        """Nearby cameras must derive the SAME settings (shared jit key)."""
+        scene = _scene()
+        base = RenderSettings(width=W, height=H, xla_cap=256)
+        a, _ = autotune_settings(scene, _view(), base)
+        b, _ = autotune_settings(
+            scene, _view(np.array([0.01, 0.005, -0.01], np.float32)), base
+        )
+        assert a == b
+
+    def test_derive_splits_dense_tiles_into_passes(self):
+        base = RenderSettings(width=W, height=H)
+        probe = CapProbe(n_tiles=2025, bin_tiles=1000, covered_tiles=900,
+                         max_candidates=2100, total_pairs=150000, n_big=10)
+        s = derive_settings(base, probe, margin=1.25)
+        assert s.max_candidates == 1024
+        assert s.raster_passes * s.max_candidates >= 2100 * 1.25
+        assert s.live_tile_cap is not None and s.live_tile_cap < 2025
+        assert s.pair_budget >= 150000 * 1.25
+
+    def test_session_retune_is_monotone(self):
+        """Re-probing after drops must never shrink a cap (no thrash)."""
+        from bibim_tpu.host.session import Session
+
+        sess = Session(width=W, height=H)
+        sess.ui.scene = "triangle"
+        data = sess.scene.scene_data()
+        sess._retune(data, _view())
+        first = dict(sess._tuned[sess._tune_key()])
+        # Simulate an earlier, larger derivation surviving a re-probe.
+        bigger = {k: (None if v is None else v * 2)
+                  for k, v in first.items()}
+        sess._tuned[sess._tune_key()] = dict(bigger)
+        sess._retune(data, _view())
+        after = sess._tuned[sess._tune_key()]
+        for k in first:
+            if k == "span_cap":  # routing choice — always re-derived
+                assert after[k] == first[k]
+            elif bigger[k] is None:
+                assert after[k] is None
+            else:
+                assert after[k] >= bigger[k]
+
+    def test_image_diag_outputs_match_image(self):
+        """outputs='image+diag' is the production frame + scalars."""
+        scene = _scene()
+        s = RenderSettings(width=W, height=H, xla_cap=256, outputs="image")
+        out_img = render_frame(
+            scene, _view(), FrameParams(jnp.int32(1), jnp.float32(1.0)),
+            _mats(), None, s,
+        )
+        out_diag = render_frame(
+            scene, _view(), FrameParams(jnp.int32(1), jnp.float32(1.0)),
+            _mats(), None, dataclasses.replace(s, outputs="image+diag"),
+        )
+        np.testing.assert_array_equal(np.asarray(out_img["image"]),
+                                      np.asarray(out_diag["image"]))
+        assert "bin_diag" in out_diag

@@ -281,6 +281,69 @@ class TestOverlays:
         assert red.any() and blue.any()
 
 
+class TestHud:
+    def test_hud_draws_text_pixels(self):
+        """--hud burns white glyph pixels into the frame top-left; the
+        rest of the frame is bit-identical to the HUD-off render."""
+        import dataclasses
+
+        from bibim_tpu.host.hud import build_hud_geometry, hud_text_mask
+
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, **SMALL)
+        base = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                            None, s)
+        geom = build_hud_geometry(W, H, max_chars=8, origin=(2, 2),
+                                  scale=1)
+        mask = hud_text_mask("60.0FPS", geom.max_chars)
+        out = render_frame(
+            scene, _view(), _fp(1), _flat_materials(), None,
+            dataclasses.replace(s, show_hud=True),
+            hud=(geom, jnp.asarray(mask)),
+        )
+        a = np.asarray(base["image"])
+        b = np.asarray(out["image"])
+        text_region = b[:12, :60]
+        assert (text_region == 255).all(axis=-1).any(), "no lit glyph px"
+        # Outside the text line the frame is untouched.
+        np.testing.assert_array_equal(a[20:], b[20:])
+
+    def test_hud_disabled_is_noop(self):
+        """show_hud=False (or hud=None) must be bit-exact with no HUD —
+        the additive-feature invariant (CLAUDE.md)."""
+        import dataclasses
+
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, **SMALL)
+        base = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                            None, s)
+        off = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                           None, dataclasses.replace(s, show_hud=True),
+                           hud=None)
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(off["image"]))
+
+    def test_hud_empty_mask_is_noop(self):
+        """An all-spaces text line lights nothing (degenerate quads)."""
+        import dataclasses
+
+        from bibim_tpu.host.hud import build_hud_geometry, hud_text_mask
+
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, **SMALL)
+        base = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                            None, s)
+        geom = build_hud_geometry(W, H, max_chars=8, origin=(2, 2),
+                                  scale=1)
+        out = render_frame(
+            scene, _view(), _fp(1), _flat_materials(), None,
+            dataclasses.replace(s, show_hud=True),
+            hud=(geom, jnp.asarray(hud_text_mask("        ", 8))),
+        )
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(out["image"]))
+
+
 class TestShardedRendering:
     def test_sharded_matches_single(self):
         import jax

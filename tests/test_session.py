@@ -43,6 +43,30 @@ class TestEventReplay:
         s.render(0.1)
         assert s.camera.pitch == -88.0
 
+    def test_live_resize_mid_script(self):
+        """{"set": {"size": [w, h]}} rebuilds the reloadable resources
+        mid-loop (onWindowResize analog, main.cpp:1042-1070): frames keep
+        coming at the new extent."""
+        script = [
+            {"frame": 2, "set": {"size": [192, 96]}},
+        ]
+        s = _session()
+        frames = list(s.run_script(script, n_frames=4, dt=0.1))
+        assert len(frames) == 4
+        assert frames[0].shape == (64, 128, 3)
+        assert frames[1].shape == (64, 128, 3)
+        assert frames[2].shape == (96, 192, 3)
+        assert frames[3].shape == (96, 192, 3)
+        # content survives the resize (same scene, still rendering)
+        assert frames[3].max() > 0
+
+    def test_hud_in_session_frames(self):
+        """show_hud burns the stats line into session frames."""
+        s = _session(show_hud=True)
+        frames = list(s.run_script([], n_frames=2, dt=0.1))
+        top = frames[-1][:24, :, :]
+        assert (top == 255).all(axis=-1).any()
+
 
 class TestRuntimeSwitching:
     def test_scene_switch_without_restart(self):
