@@ -94,7 +94,7 @@ def bench_shaderball(report: dict) -> float:
         enable_tone_mapping=jnp.int32(1), exposure=jnp.float32(1.0)
     )
     data = scene.scene_data()
-    settings, _probe = autotune_settings(data, view_block, base)
+    settings, _probe = autotune_settings(data, view_block, base, margin=1.05)
 
     import dataclasses
 
@@ -244,7 +244,7 @@ def bench_cube(report: dict) -> None:
     base = RenderSettings(width=w, height=h, outputs="image",
                           batch_material_ids=scene.material_ids,
                           show_gizmo=False, show_lights=False)
-    s, _ = autotune_settings(data, vb, base)
+    s, _ = autotune_settings(data, vb, base, margin=1.05)
 
     import dataclasses
 
@@ -305,7 +305,7 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
 
     base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                           show_gizmo=False, show_lights=False)
-    s, _ = autotune_settings(data, vb, base)
+    s, _ = autotune_settings(data, vb, base, margin=1.05)
 
     import dataclasses
 
@@ -365,7 +365,7 @@ def bench_stretch_4k(report: dict) -> None:
                           shadow_candidates=2048, shadow_passes=3,
                           overlay_max_tiles=1024)
     data = scene.scene_data()
-    s, _ = autotune_settings(data, vb, base)
+    s, _ = autotune_settings(data, vb, base, margin=1.05)
 
     import dataclasses
 

@@ -204,14 +204,17 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     live = _bucket(int(probe.covered_tiles * margin), floor=64)
     raster = _bucket(int(probe.bin_tiles * margin), floor=64)
 
-    # span_cap: the sort input is T × span_cap slots, so take the
-    # smallest span whose overflow list stays small (every tile tests all
-    # big triangles, so a fat overflow list taxes the whole grid).
+    # span_cap: the sort input is T × span_cap slots, so a smaller span
+    # shrinks the sort — but every pass-0 grid tile tests the ENTIRE
+    # overflow list, so each extra big triangle costs ~a candidate on
+    # every live tile. Only shrink the span when it adds almost nothing
+    # to the overflow list (bench r2: span 4 moved ~150 silhouette
+    # triangles to the list and cost more than the sort saved).
     span_cap = settings.span_cap
     n_big = probe.n_big
     pairs = probe.total_pairs
     for k, big_k, pairs_k in probe.span_big:
-        if big_k <= max(192, int(probe.n_big * 1.5)):
+        if k < span_cap and big_k <= max(32, probe.n_big + 16):
             span_cap, n_big, pairs = k, big_k, pairs_k
             break
 
