@@ -48,6 +48,19 @@ SLOTS = (
 # which covers the IBL products and every fallback map).
 SMALL_ROWS = 2048
 
+# Neighborhood-BLOCK tables (opt-in via build_quad_tables
+# block_threshold): one row per BLOCK_B×BLOCK_B texel block holding the
+# (B+1)² wrap-correct neighborhood. The row count drops B²× into the
+# fast gather regime (the 2048² group's gather: ~5.2 → ~2.5 ms on the
+# headline stream), but the 25-tap bilinear blend runs at 4/128-lane
+# occupancy and eats the entire saving — measured production regression
+# 7.84 → 8.47 ms on the sampling stage (BENCH r2; tools/exp_block2.py's
+# prettier numbers were an XLA-DCE artifact). Kept as a tested,
+# documented alternative: it becomes the win iff the blend moves into a
+# full-lane Pallas pass.
+BLOCK_ROWS = None  # opt-in only
+BLOCK_B = 4
+
 
 class QuadTable(NamedTuple):
     """One size-group of packed material maps.
@@ -70,11 +83,33 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class BlockTable(NamedTuple):
+    """Neighborhood-block table for big size-groups: one u8 row per
+    BLOCK_B×BLOCK_B texel block holding its (B+1)² wrap-correct texel
+    neighborhood, channel layout [tap (j,i) row-major] × C, lane-padded
+    to 128 B. Any bilinear footprint whose top-left tap lies in the block
+    is served by ONE row gather; see texture_quad module docstring and
+    tools/exp_block2.py for the measured rationale."""
+
+    blocks: jnp.ndarray  # (H*W/B², 128) uint8
+    height: int
+    width: int
+    present: tuple
+
+
+jax.tree_util.register_pytree_node(
+    BlockTable,
+    lambda t: ((t.blocks,), (t.height, t.width, t.present)),
+    lambda aux, ch: BlockTable(ch[0], *aux),
+)
+
+
 def _ceil4(n: int) -> int:
     return -(-n // 4) * 4
 
 
-def build_quad_tables(maps: dict) -> tuple:
+def build_quad_tables(maps: dict,
+                      block_threshold: int | None = None) -> tuple:
     """Group per-slot (H, W, ≥1)-channel uint8 maps by resolution and pack
     each group into a QuadTable. ``maps`` maps slot name → numpy uint8 array
     (channel 0 used for scalar slots; alb_*/nrm_* take their own channel).
@@ -95,6 +130,10 @@ def build_quad_tables(maps: dict) -> tuple:
         for k, slot in enumerate(present):
             img = slot_imgs[slot]
             tex[:, :, k] = img[:, :, 0] if img.ndim == 3 else img
+        if (block_threshold is not None and h * w > block_threshold
+                and h % BLOCK_B == 0 and w % BLOCK_B == 0):
+            tables.append(_build_block_table(tex, h, w, present, cpad))
+            continue
         # 2×2 wrap-correct neighborhoods via rolls (REPEAT addressing).
         t00 = tex
         t01 = np.roll(tex, -1, axis=1)
@@ -120,6 +159,77 @@ def build_quad_tables(maps: dict) -> tuple:
             )
         )
     return tuple(tables)
+
+
+def _build_block_table(tex: np.ndarray, h: int, w: int, present: tuple,
+                       cpad: int) -> BlockTable:
+    """Pack a (h, w, cpad) texel image into BLOCK_B×BLOCK_B neighborhood
+    rows: tap (j, i) row-major × cpad channels, wrap-correct, lane-padded
+    to a 128-byte multiple."""
+    b = BLOCK_B
+    s = b + 1
+    nby, nbx = h // b, w // b
+    ay = (np.arange(nby) * b)[:, None]
+    ax = (np.arange(nbx) * b)[None, :]
+    taps = [tex[(ay + j) % h, (ax + i) % w]
+            for j in range(s) for i in range(s)]
+    raw = np.concatenate(taps, axis=-1).reshape(nby * nbx, s * s * cpad)
+    pad = (-raw.shape[1]) % 128
+    if pad:
+        raw = np.pad(raw, ((0, 0), (0, pad)))
+    return BlockTable(blocks=jnp.asarray(raw), height=h, width=w,
+                      present=present)
+
+
+def sample_table_block(table: BlockTable, u, v) -> dict:
+    """One block-row gather per pixel + transpose-planar bilinear blend.
+
+    Bit-exact with :func:`sample_table_xla` on the quad layout: the tap
+    accumulation visits (j, i) row-major, so the four live taps add in
+    the oracle's w00, w01, w10, w11 order and the 21 dead taps contribute
+    exact fp zeros. The gathered rows transpose once to planar (lane =
+    pixel) so the 25-tap blend runs at full VPU width (pixel-major
+    (N, C) slices use 4/128 lanes — tools/exp_block2.py measured the
+    planar blend ~0.3 ms cheaper and the whole path 4.4 ms vs 5.2 for
+    the 4.19M-row quad gather)."""
+    shape = u.shape
+    h, w = table.height, table.width
+    b = BLOCK_B
+    s = b + 1
+    nbx = w // b
+    cpad = _ceil4(len(table.present))
+    uf = u.reshape(-1)
+    vf = v.reshape(-1)
+    fx = uf * w - 0.5
+    fy = vf * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.remainder(x0.astype(jnp.int32), w)
+    y0i = jnp.remainder(y0.astype(jnp.int32), h)
+    q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
+    qt = q.T.astype(jnp.float32) * (1.0 / 255.0)  # (128, N) planar
+    lx = x0i % b
+    ly = y0i % b
+    one_m_tx = 1.0 - tx
+    one_m_ty = 1.0 - ty
+    acc = [None] * len(table.present)
+    for j in range(s):
+        wy = (jnp.where(ly == j, one_m_ty, 0.0)
+              + jnp.where(ly + 1 == j, ty, 0.0))[None, :]
+        for i in range(s):
+            wx = (jnp.where(lx == i, one_m_tx, 0.0)
+                  + jnp.where(lx + 1 == i, tx, 0.0))[None, :]
+            wgt = wx * wy
+            for c in range(len(table.present)):
+                row = (j * s + i) * cpad + c
+                term = qt[row:row + 1, :] * wgt
+                acc[c] = term if acc[c] is None else acc[c] + term
+    return {
+        slot: acc[k].reshape(shape)
+        for k, slot in enumerate(table.present)
+    }
 
 
 def pack_material_maps(material_set, index: int) -> dict:
@@ -301,6 +411,9 @@ def sample_material(tables: tuple, u, v, tile_h: int = 8, tile_w: int = 128,
         use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
+        if isinstance(table, BlockTable):
+            out.update(sample_table_block(table, u, v))
+            continue
         rows = table.height * table.width
         if use_pallas and rows <= SMALL_ROWS:
             out.update(

@@ -49,6 +49,7 @@ from bibim_tpu.pipeline.framegraph import (
     _materialize_gbuffer_planes,
     _raster,
     _pbr_hdr,
+    _pbr_ldr_fused,
     _shadow_map_from_soup,
     _shadow_map_planar,
     _render_gizmo,
@@ -272,20 +273,29 @@ def render_frame_sharded(
                     use_pallas=_use_pallas(settings),
                 )
                 ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
-            hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
-                            scene.lights, view_block,
-                            light_vis=light_vis, ambient=ambient)
+            if _use_pallas(settings):
+                ldr3 = _pbr_ldr_fused(
+                    g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
+                    view_block, frame_params, band_view,
+                    light_vis=light_vis, ambient=ambient,
+                )
+                hdr3 = None
+            else:
+                hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
+                                scene.lights, view_block,
+                                light_vis=light_vis, ambient=ambient)
         else:
             hdr3, valid = _forward_hdr(px, materials, scene.lights,
                                        view_block, band_view,
                                        light_vis=light_vis,
                                        ibl=extras.get("ibl"))
-        hdr3 = _q16(hdr3, settings.quantize_fp16)
-        ldr3 = tuple(
-            tone_map(c, frame_params.enable_tone_mapping,
-                     frame_params.exposure)
-            for c in hdr3
-        )
+        if hdr3 is not None:
+            hdr3 = _q16(hdr3, settings.quantize_fp16)
+            ldr3 = tuple(
+                tone_map(c, frame_params.enable_tone_mapping,
+                         frame_params.exposure)
+                for c in hdr3
+            )
 
         if compact_ids is not None:
             npx_c = ldr3[0].shape[1]

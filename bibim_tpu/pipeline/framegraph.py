@@ -268,7 +268,8 @@ def _sample_one_material(mats, px: fused.FusedPixels,
     for the additive mip path (BASELINE config 2) and oracle parity tests.
     """
     u, v = px.uv
-    if isinstance(mats, tuple) and mats and isinstance(mats[0], tq.QuadTable):
+    if isinstance(mats, tuple) and mats \
+            and isinstance(mats[0], (tq.QuadTable, tq.BlockTable)):
         return tq.sample_material(
             mats, u, v, settings.tile_h, settings.tile_w,
             use_pallas=_use_pallas(settings),
@@ -329,7 +330,8 @@ def _sample_materials(materials, px: fused.FusedPixels,
     multi = (
         isinstance(materials, (tuple, list))
         and materials
-        and not isinstance(materials[0], (tq.QuadTable, tq.MipQuadTable))
+        and not isinstance(materials[0], (tq.QuadTable, tq.BlockTable,
+                                          tq.MipQuadTable))
         and not isinstance(materials, (MaterialTextures, MaterialMips))
     )
     if not multi:
@@ -372,7 +374,7 @@ def _planar_materials(m) -> bool:
     if isinstance(m, (tuple, list)):
         if not m:
             return False
-        if isinstance(m[0], (tq.QuadTable, tq.MipQuadTable,
+        if isinstance(m[0], (tq.QuadTable, tq.BlockTable, tq.MipQuadTable,
                              tq.MipQuadMulti)):
             return True
         return all(_planar_materials(x) for x in m)
@@ -507,6 +509,34 @@ def _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid, lights, view_block,
     # Lighting runs on cleared G-buffer in the reference; masked here →
     # clear color black.
     return tuple(jnp.where(valid, c, 0.0) for c in hdr3)
+
+
+def _pbr_ldr_fused(g_pos, g_nrm, g_alb, g_mrah, valid, lights, view_block,
+                   frame_params, settings: RenderSettings,
+                   light_vis=None, ambient=None):
+    """Deferred lighting + RGBA16F quantize + tonemap in ONE Pallas pass
+    (ops/shading_pallas.py): the XLA chain materializes ~20 intermediate
+    planes through HBM; fusing them is worth ~1.4 ms at 1080p. Returns
+    LDR planes directly (the subpass-1 + subpass-3 chain)."""
+    from bibim_tpu.ops.shading_pallas import shade_tonemap_pallas
+
+    vis_plane = None
+    if light_vis:
+        vis_plane = light_vis[settings.shadow_light]
+    # Mosaic has no f16 converts, so the fp16 attachment round-trip and
+    # the tonemap run as one small fused XLA pass after the kernel.
+    hdr3 = shade_tonemap_pallas(
+        g_pos, g_nrm, g_alb, g_mrah[0], g_mrah[1], g_mrah[2], valid,
+        lights, view_block.view_pos, frame_params.enable_tone_mapping,
+        frame_params.exposure, vis_plane=vis_plane,
+        vis_light=settings.shadow_light, ambient=ambient,
+        quantize=False, tonemap=False,
+    )
+    hdr3 = _q16(hdr3, settings.quantize_fp16)
+    return tuple(
+        tone_map(c, frame_params.enable_tone_mapping, frame_params.exposure)
+        for c in hdr3
+    )
 
 
 def _composite_light_spheres(ldr3, zkey, lights: Lights,
@@ -897,6 +927,7 @@ def render_frame(
     valid = px.tri_id >= 0
 
     gb = {}
+    ldr3_fused = None  # set when the fused shade+tonemap kernel ran
     if settings.shading == "flat":
         # Unlit flat-color Lambert in view space (gizmo.frag model) —
         # benchmark config 1 and color-only meshes.
@@ -963,6 +994,16 @@ def render_frame(
                 ),  # gbuffer.frag:32 placeholder
             }
             hdr3 = viz_planes[settings.gbuffer_viz]
+        elif _use_pallas(settings) and settings.outputs != "full":
+            # Production TPU path: lighting + quantize + tonemap fused in
+            # one Pallas pass ("full" debug outputs keep the XLA oracle
+            # chain, which also materializes the hdr intermediate).
+            ldr3_fused = _pbr_ldr_fused(
+                g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
+                view_block, frame_params, settings,
+                light_vis=light_vis, ambient=ambient,
+            )
+            hdr3 = (zero, zero, zero)  # unused (ldr3_fused replaces it)
         else:
             hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
                             scene.lights, view_block,
@@ -983,11 +1024,15 @@ def render_frame(
                      _untile(zero, settings), _untile(zero, settings)], -1),
             }
 
-    hdr3 = _q16(hdr3, settings.quantize_fp16)
-    ldr3 = tuple(
-        tone_map(c, frame_params.enable_tone_mapping, frame_params.exposure)
-        for c in hdr3
-    )
+    if ldr3_fused is not None:
+        ldr3 = ldr3_fused
+    else:
+        hdr3 = _q16(hdr3, settings.quantize_fp16)
+        ldr3 = tuple(
+            tone_map(c, frame_params.enable_tone_mapping,
+                     frame_params.exposure)
+            for c in hdr3
+        )
 
     if compact_ids is not None:
         npx_c = ldr3[0].shape[1]

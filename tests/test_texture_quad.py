@@ -182,3 +182,54 @@ class TestPairedTrilinear:
         want = np.where(np.arange(got.size) % 2 == 0, 40 / 255.0,
                         200 / 255.0)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestBlockTable:
+    def test_block_matches_quad_oracle_bitexact(self, uv_planes):
+        """Neighborhood-block sampling must be BIT-exact with the quad
+        oracle: same tap products, same accumulation order (dead taps add
+        exact zeros)."""
+        rng = np.random.default_rng(3)
+        h = w = 64
+        tex = np.zeros((h, w, 4), np.uint8)
+        tex[:, :, 0] = rng.integers(0, 256, (h, w), np.uint8)
+        tex[:, :, 1] = rng.integers(0, 256, (h, w), np.uint8)
+        maps = {"roughness": tex[:, :, 0:1], "ao": tex[:, :, 1:2]}
+        (quad,) = tq.build_quad_tables(maps)
+        assert isinstance(quad, tq.QuadTable)
+        block = tq._build_block_table(tex, h, w, ("roughness", "ao"), 4)
+        u, v = uv_planes
+        want = tq.sample_table_xla(quad, u, v)
+        got = tq.sample_table_block(block, u, v)
+        for slot in ("roughness", "ao"):
+            np.testing.assert_array_equal(np.asarray(want[slot]),
+                                          np.asarray(got[slot]))
+
+    def test_builder_routes_big_groups_to_block_tables(self):
+        big = np.zeros((2048, 1024, 1), np.uint8)
+        small = np.zeros((16, 16, 1), np.uint8)
+        tables = tq.build_quad_tables({"roughness": big, "ao": small},
+                                      block_threshold=1 << 20)
+        kinds = {type(t).__name__ for t in tables}
+        assert kinds == {"BlockTable", "QuadTable"}
+        bt = [t for t in tables if isinstance(t, tq.BlockTable)][0]
+        assert bt.blocks.shape == (2048 * 1024 // 16, 128)
+        assert bt.blocks.dtype == jnp.uint8
+
+    def test_block_sampling_through_sample_material(self, uv_planes):
+        rng = np.random.default_rng(5)
+        big = rng.integers(0, 256, (2048, 1024, 1), np.uint8)
+        tables = tq.build_quad_tables({"roughness": big},
+                                      block_threshold=1 << 20)
+        u, v = uv_planes
+        out = tq.sample_material(tables, u, v, use_pallas=False)
+        # spot check vs direct bilinear at a few points
+        want = sample_bilinear(
+            jnp.asarray(np.repeat(big, 4, axis=2)),
+            jnp.stack([u.reshape(-1, 1)[:8, 0], v.reshape(-1, 1)[:8, 0]],
+                      axis=-1)[None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["roughness"]).ravel()[:8],
+            np.asarray(want)[0, :, 0], atol=1e-6,
+        )
