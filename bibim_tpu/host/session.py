@@ -248,15 +248,16 @@ class Session:
             "pair_budget": derived.pair_budget,
             "live_tile_cap": derived.live_tile_cap,
             "raster_tile_cap": derived.raster_tile_cap,
-            # span_cap is a routing choice, not a validated capacity
-            # (triangles beyond it go to the overflow list, whose cap IS
-            # validated) — always take the fresh derivation.
+            # span_cap/span_mid_cap are routing choices whose overflow is
+            # separately validated (overflow list / dropped_pairs) —
+            # always take the fresh derivation.
             "span_cap": derived.span_cap,
+            "span_mid_cap": derived.span_mid_cap,
         }
         old = self._tuned.get(self._tune_key())
         if old is not None:
             for k, v in caps.items():
-                if k == "span_cap":
+                if k in ("span_cap", "span_mid_cap"):
                     continue
                 if old[k] is None or v is None:
                     caps[k] = None  # None = uncapped; never shrink to a cap

@@ -200,6 +200,9 @@ def shift_record_table_y(rec_table: jnp.ndarray, y0) -> jnp.ndarray:
     )
 
 
+SPAN_DENSE = 2  # dense expansion slots per triangle in span-class mode
+
+
 def bin_pairs(
     setup: TriangleSetup,
     width: int,
@@ -210,6 +213,7 @@ def bin_pairs(
     overflow_cap: int = 64,
     max_candidates: int = 320,
     pair_budget: int | None = None,
+    span_mid_cap: int | None = None,
 ):
     """Sort-based sparse binning: (triangle, tile) pairs → contiguous
     per-tile [start, count) ranges into one sorted pair list.
@@ -221,6 +225,15 @@ def bin_pairs(
     preserving draw order. Triangles spanning more than span_cap tiles (the
     100× ground plane, near-plane-external tris) go to a shared overflow
     list tested before every tile's own candidates.
+
+    ``span_mid_cap`` enables SPAN-CLASS binning: most triangles cover ≤
+    SPAN_DENSE tiles (the headline frame: 16.7k live pairs in 156k
+    span-16 slots), so every triangle expands only SPAN_DENSE slots and
+    the few spanning (SPAN_DENSE, span_cap] tiles are compacted into a
+    ``span_mid_cap``-triangle list that expands at span_cap. The sorted
+    (tile, tri) pair set — and therefore the raster — is IDENTICAL; the
+    sort input shrinks ~span_cap/2-fold. Mid-list overflow is counted in
+    dropped_pairs (a validated capacity like the rest).
 
     Returns (sorted_tri (P,) int32, starts (NT,), counts (NT,) clamped to
     max_candidates, big_ids (OC,), n_big, diag, tiles_y, tiles_x).
@@ -242,19 +255,71 @@ def bin_pairs(
 
     small = setup.valid & (area <= span_cap)
     big = setup.valid & (area > span_cap)
+    dropped_mid = jnp.int32(0)
 
-    k = jnp.arange(span_cap, dtype=jnp.int32)
-    dx = k[None, :] % span_w[:, None]
-    dy = k[None, :] // span_w[:, None]
-    tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
-    live = small[:, None] & (k[None, :] < area[:, None])
-    tile = jnp.where(live, tile, nt)  # sentinel sorts to the tail
+    if span_mid_cap is not None and span_cap > SPAN_DENSE:
+        t = area.shape[0]
+        # Dense class: every triangle, SPAN_DENSE slots.
+        kd = jnp.arange(SPAN_DENSE, dtype=jnp.int32)
+        dxd = kd[None, :] % span_w[:, None]
+        dyd = kd[None, :] // span_w[:, None]
+        tile_d = (ty0[:, None] + dyd) * tiles_x + (tx0[:, None] + dxd)
+        dense = small & (area <= SPAN_DENSE)
+        live_d = dense[:, None] & (kd[None, :] < area[:, None])
+        tile_d = jnp.where(live_d, tile_d, nt)
+        tri_d = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[:, None], (t, SPAN_DENSE)
+        )
 
-    flat_tile = tile.reshape(-1)
-    tri_of_pair = jnp.broadcast_to(
-        jnp.arange(flat_tile.shape[0] // span_cap, dtype=jnp.int32)[:, None],
-        (flat_tile.shape[0] // span_cap, span_cap),
-    ).reshape(-1)
+        # Mid class: compacted list of triangles spanning
+        # (SPAN_DENSE, span_cap] tiles.
+        mid = small & (area > SPAN_DENSE)
+        negm = jnp.where(mid, -jnp.arange(t, dtype=jnp.int32),
+                         jnp.int32(-(1 << 30)))
+        k_top = min(span_mid_cap, t)
+        topm, _ = lax.top_k(negm, k_top)
+        mid_ids = jnp.where(topm > -(1 << 30), -topm, -1)
+        if k_top < span_mid_cap:
+            mid_ids = jnp.pad(mid_ids, (0, span_mid_cap - k_top),
+                              constant_values=-1)
+        msel = jnp.maximum(mid_ids, 0)
+        mvalid = mid_ids >= 0
+        tx0m = tx0[msel]
+        ty0m = ty0[msel]
+        span_w_m = span_w[msel]
+        area_m = jnp.where(mvalid, area[msel], 0)
+        km = jnp.arange(span_cap, dtype=jnp.int32)
+        dxm = km[None, :] % span_w_m[:, None]
+        dym = km[None, :] // span_w_m[:, None]
+        tile_m = (ty0m[:, None] + dym) * tiles_x + (tx0m[:, None] + dxm)
+        live_m = mvalid[:, None] & (km[None, :] < area_m[:, None])
+        tile_m = jnp.where(live_m, tile_m, nt)
+        tri_m = jnp.broadcast_to(msel[:, None], (span_mid_cap, span_cap))
+
+        flat_tile = jnp.concatenate(
+            [tile_d.reshape(-1), tile_m.reshape(-1)]
+        )
+        tri_of_pair = jnp.concatenate(
+            [tri_d.reshape(-1), tri_m.reshape(-1)]
+        )
+        # Mid triangles beyond the cap lose ALL their pairs — count them.
+        total_mid_pairs = jnp.sum(jnp.where(mid, area, 0))
+        kept_mid_pairs = jnp.sum(area_m)
+        dropped_mid = (total_mid_pairs - kept_mid_pairs).astype(jnp.int32)
+    else:
+        k = jnp.arange(span_cap, dtype=jnp.int32)
+        dx = k[None, :] % span_w[:, None]
+        dy = k[None, :] // span_w[:, None]
+        tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+        live = small[:, None] & (k[None, :] < area[:, None])
+        tile = jnp.where(live, tile, nt)  # sentinel sorts to the tail
+
+        flat_tile = tile.reshape(-1)
+        tri_of_pair = jnp.broadcast_to(
+            jnp.arange(flat_tile.shape[0] // span_cap,
+                       dtype=jnp.int32)[:, None],
+            (flat_tile.shape[0] // span_cap, span_cap),
+        ).reshape(-1)
     # Multi-operand sort carries the payload through the sort — sorting an
     # argsort permutation and gathering afterwards costs an extra
     # P-element gather (~8 ns/row: 80 ms at 10M pairs). Sorting UNSTABLY
@@ -301,7 +366,7 @@ def bin_pairs(
             jnp.sum(big, dtype=jnp.int32) - overflow_cap, 0
         ),
         dropped_cap=jnp.sum(jnp.maximum(counts_raw - max_candidates, 0)),
-        dropped_pairs=dropped_pairs,
+        dropped_pairs=dropped_pairs + dropped_mid,
     )
     return sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x
 
@@ -561,6 +626,7 @@ def raster_fused_pallas(
     passes: int = 1,
     dense_tile_cap: int | None = None,  # compact-grid size for passes ≥ 1
     raster_tile_cap: int | None = None,  # compact-grid size for pass 0
+    span_mid_cap: int | None = None,  # span-class binning (bin_pairs)
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -589,7 +655,8 @@ def raster_fused_pallas(
 
     sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
         bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
-                  maxc * passes, pair_budget=pair_budget)
+                  maxc * passes, pair_budget=pair_budget,
+                  span_mid_cap=span_mid_cap)
     )
     nt = tiles_y * tiles_x
 

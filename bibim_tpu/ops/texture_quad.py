@@ -309,12 +309,19 @@ def sample_table_xla(table: QuadTable, u, v) -> dict:
     }
 
 
-def _small_kernel(idx_ref, tx_ref, ty_ref, tex_ref, *out_refs, tile_h,
+# Tiles per grid step of the small-table MXU kernel: a grid step costs
+# ~2.4 µs in fixed overhead, so per-tile steps dominated at 4K (3200
+# compacted tiles ≈ 8 ms before any math). Batching widens the one-hot
+# matmul's N dim instead — same FLOPs, 1/8 the steps.
+SMALL_TILE_BATCH = 8
+
+
+def _small_kernel(idx_ref, tx_ref, ty_ref, tex_ref, *out_refs, g, tile_h,
                   tile_w, rows, cpad):
-    npx = tile_h * tile_w
-    idx = idx_ref[0].reshape(1, npx)
-    tx = tx_ref[0].reshape(1, npx)
-    ty = ty_ref[0].reshape(1, npx)
+    npx = g * tile_h * tile_w
+    idx = idx_ref[...].reshape(1, npx)
+    tx = tx_ref[...].reshape(1, npx)
+    ty = ty_ref[...].reshape(1, npx)
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == idx
     ).astype(jnp.float32)
@@ -332,7 +339,7 @@ def _small_kernel(idx_ref, tx_ref, ty_ref, tex_ref, *out_refs, tile_h,
         return taps[j : j + 1, :]
 
     for k, out in enumerate(out_refs):
-        out[0] = _blend(qf, tx, ty, k).reshape(tile_h, tile_w)
+        out[...] = _blend(qf, tx, ty, k).reshape(g, tile_h, tile_w)
 
 
 def sample_rows_small_pallas(quads: jnp.ndarray, idx, tx, ty,
@@ -351,15 +358,24 @@ def sample_rows_small_pallas(quads: jnp.ndarray, idx, tx, ty,
         texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))
     cpad = quads.shape[1] // 4
 
+    g = min(SMALL_TILE_BATCH, nt)
+    nt_pad = -(-nt // g) * g
+    if nt_pad != nt:
+        # Padded tiles re-blend row 0 — sliced off below.
+        pad = ((0, nt_pad - nt), (0, 0))
+        idx = jnp.pad(idx, pad)
+        tx = jnp.pad(tx, pad)
+        ty = jnp.pad(ty, pad)
+
     kernel = functools.partial(
-        _small_kernel, tile_h=tile_h, tile_w=tile_w, rows=rows_pad,
+        _small_kernel, g=g, tile_h=tile_h, tile_w=tile_w, rows=rows_pad,
         cpad=cpad,
     )
-    plane_spec = pl.BlockSpec((1, tile_h, tile_w), lambda i: (i, 0, 0),
+    plane_spec = pl.BlockSpec((g, tile_h, tile_w), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nt,),
+        grid=(nt_pad // g,),
         in_specs=[
             plane_spec,
             plane_spec,
@@ -368,22 +384,23 @@ def sample_rows_small_pallas(quads: jnp.ndarray, idx, tx, ty,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[plane_spec] * len(present),
-        out_shape=[jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.float32)]
+        out_shape=[jax.ShapeDtypeStruct((nt_pad, tile_h, tile_w),
+                                        jnp.float32)]
         * len(present),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
-        idx.reshape(nt, tile_h, tile_w),
-        tx.reshape(nt, tile_h, tile_w),
-        ty.reshape(nt, tile_h, tile_w),
+        idx.reshape(nt_pad, tile_h, tile_w),
+        tx.reshape(nt_pad, tile_h, tile_w),
+        ty.reshape(nt_pad, tile_h, tile_w),
         texf,
     )
     if len(present) == 1 and not isinstance(out, (list, tuple)):
         out = [out]
     return {
-        slot: plane.reshape(nt, npx)
+        slot: plane.reshape(nt_pad, npx)[:nt]
         for slot, plane in zip(present, out)
     }
 

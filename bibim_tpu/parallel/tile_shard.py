@@ -288,7 +288,8 @@ def render_frame_sharded(
             hdr3, valid = _forward_hdr(px, materials, scene.lights,
                                        view_block, band_view,
                                        light_vis=light_vis,
-                                       ibl=extras.get("ibl"))
+                                       ibl=extras.get("ibl"),
+                                       fused_shade=_use_pallas(settings))
         if hdr3 is not None:
             hdr3 = _q16(hdr3, settings.quantize_fp16)
             ldr3 = tuple(

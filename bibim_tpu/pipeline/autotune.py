@@ -46,12 +46,14 @@ class CapProbe(NamedTuple):
     max_candidates: int  # worst tile's candidate count
     total_pairs: int  # live (tile, triangle) pairs
     n_big: int  # triangles routed to the shared overflow list
-    # Per candidate span_cap (4/8/16): how many triangles would route to
-    # the overflow list, and the live pairs among the rest. The sort input
-    # is T × span_cap slots, so the smallest span_cap whose overflow list
-    # stays modest wins (tools/exp_raster.py: span 16 sorts 625k dead
-    # slots for 17k live pairs on the headline frame).
+    # Per candidate span_cap (2/4/8/16): how many triangles would route
+    # to the overflow list, and the live pairs among the rest. The sort
+    # input is T × span_cap slots, so the smallest span_cap whose
+    # overflow list stays modest wins (tools/exp_raster.py: span 16 sorts
+    # 625k dead slots for 17k live pairs on the headline frame); the k=2
+    # entry sizes the span-class mid list (fused.SPAN_DENSE).
     span_big: tuple = ()  # ((span, n_big, pairs), ...)
+    n_tris: int = 0
 
 
 @functools.partial(
@@ -124,7 +126,7 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         (by1 // settings.tile_h) - (by0 // settings.tile_h) + 1
     )
     span_stats = {}
-    for k in (4, 8, 16):
+    for k in (2, 4, 8, 16):
         big_k = setup.valid & (area > k)
         span_stats[f"span{k}_big"] = jnp.sum(big_k.astype(jnp.int32))
         span_stats[f"span{k}_pairs"] = jnp.sum(
@@ -132,6 +134,8 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         )
 
     out = {
+        "n_tris": jnp.sum(setup.valid.astype(jnp.int32)) * 0
+        + jnp.int32(n_tris),
         "bin_tiles": bin_live,
         "max_candidates": jnp.max(counts),
         "total_pairs": jnp.sum(counts),
@@ -175,8 +179,9 @@ def probe_frame_caps(scene, view_block, settings,
         n_big=out["n_big"],
         span_big=tuple(
             (k, out[f"span{k}_big"], out[f"span{k}_pairs"])
-            for k in (4, 8, 16)
+            for k in (2, 4, 8, 16)
         ),
+        n_tris=out["n_tris"],
     )
 
 
@@ -214,15 +219,33 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     n_big = probe.n_big
     pairs = probe.total_pairs
     for k, big_k, pairs_k in probe.span_big:
-        if k < span_cap and big_k <= max(32, probe.n_big + 16):
+        if (fused.SPAN_DENSE < k < span_cap
+                and big_k <= max(32, probe.n_big + 16)):
             span_cap, n_big, pairs = k, big_k, pairs_k
             break
+
+    # Span-class binning: most triangles cover ≤ SPAN_DENSE tiles, so
+    # expand everything at 2 slots and the measured few mid-span
+    # triangles through a compacted list — enabled when it shrinks the
+    # sort input by ≥ ~25%.
+    span_mid = None
+    big_dense = next(
+        (b for k2, b, _ in probe.span_big if k2 == fused.SPAN_DENSE), None
+    )
+    if big_dense is not None and span_cap > fused.SPAN_DENSE:
+        mid_n = max(big_dense - n_big, 0)
+        cap = _bucket(int(mid_n * margin) + 16, floor=128)
+        t = max(probe.n_tris, 1)
+        if (t * fused.SPAN_DENSE + cap * span_cap
+                <= 0.75 * t * span_cap):
+            span_mid = cap
 
     return dataclasses.replace(
         settings,
         max_candidates=mc,
         raster_passes=passes,
         span_cap=span_cap,
+        span_mid_cap=span_mid,
         overflow_cap=_bucket(int(n_big * margin) + 16, floor=64),
         pair_budget=_bucket(int(pairs * margin), floor=4096),
         live_tile_cap=live if live < probe.n_tiles else None,

@@ -163,6 +163,11 @@ class RenderSettings:
     # the overlay geometry may touch; raise for 4K / many lights)
     overflow_cap: int = 64  # shared big-triangle list capacity
     span_cap: int = 16  # max tiles a binned triangle may span
+    # Span-class binning (fused.bin_pairs): every triangle expands only
+    # SPAN_DENSE sort slots; the few spanning more tiles go through a
+    # compacted list of this capacity (None = single-class expansion).
+    # Cuts the pair sort ~span_cap/2-fold; autotune derives it.
+    span_mid_cap: int | None = None
     xla_cap: int = 512  # per-tile capacity of the XLA fallback raster
     pair_budget: int = 262144  # static cap on live (triangle, tile) pairs
     # Coverage-compacted shading: sample materials + light only the screen
@@ -243,6 +248,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             passes=passes,
             raster_tile_cap=(settings.raster_tile_cap if main_pass
                              else None),
+            span_mid_cap=(settings.span_mid_cap if main_pass else None),
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
@@ -463,13 +469,14 @@ def _materialize_gbuffer_planes(px, materials, view_block,
 
 
 def _forward_hdr(px, materials, lights, view_block, settings,
-                 light_vis=None, ibl=None):
+                 light_vis=None, ibl=None, fused_shade=False):
     """True forward lighting path (forward_brdf.vert/.frag, subpass 2 at
     main.cpp:106-113): shade at fragment rate straight from the sampled
     material taps and the interpolated vertex attributes — full f32, no
     G-buffer materialization, no RGBA16F attachment round-trip. Distinct
     from the deferred path both in code and in cost (skips the quantize +
-    materialize stage entirely)."""
+    materialize stage entirely). ``fused_shade`` runs the light loop in
+    the single-pass Pallas kernel (production TPU path)."""
     valid = px.tri_id >= 0
     slots = _sample_materials(materials, px, settings)
     albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
@@ -490,6 +497,20 @@ def _forward_hdr(px, materials, lights, view_block, settings,
             settings.tile_w, use_pallas=_use_pallas(settings),
         )
         ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
+    if fused_shade:
+        from bibim_tpu.ops.shading_pallas import shade_tonemap_pallas
+
+        vis_plane = None
+        if light_vis:
+            vis_plane = light_vis[settings.shadow_light]
+        hdr3 = shade_tonemap_pallas(
+            px.world, normal, albedo, slots["metallic"],
+            slots["roughness"], slots["ao"], valid, lights,
+            view_block.view_pos, jnp.int32(0), jnp.float32(1.0),
+            vis_plane=vis_plane, vis_light=settings.shadow_light,
+            ambient=ambient, quantize=False, tonemap=False,
+        )
+        return hdr3, valid
     hdr3 = shade_pbr_planar(
         px.world, normal, albedo, slots["metallic"], slots["roughness"],
         slots["ao"], lights, view_block.view_pos,
@@ -954,6 +975,8 @@ def render_frame(
             hdr3, valid = _forward_hdr(
                 px, materials, scene.lights, view_block, settings,
                 light_vis=light_vis, ibl=ibl,
+                fused_shade=(_use_pallas(settings)
+                             and settings.outputs != "full"),
             )
     else:
         g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(

@@ -362,3 +362,65 @@ class TestMultiPass:
         hit = _untile(px_full.tri_id) >= 0
         np.testing.assert_allclose(_untile(px_full.depth)[hit],
                                    _untile(px_c.depth)[hit], atol=1e-6)
+
+
+class TestSpanClassBinning:
+    def test_span_class_pairs_identical(self):
+        """span_mid_cap binning must produce the IDENTICAL per-tile
+        candidate lists as single-class expansion (same sorted (tile,
+        tri) set), with the mid overflow counted when capped."""
+        import jax.numpy as jnp
+
+        from bibim_tpu import math3d as m3
+        from bibim_tpu.ops import fused
+        from bibim_tpu.ops.geometry import assemble_scene
+        from bibim_tpu.ops.raster import triangle_setup
+        from bibim_tpu.scene import FreeLookCamera
+        from bibim_tpu.scene.scene import SceneData, batch_from_mesh
+        from bibim_tpu.scene.lights import make_lights
+        from bibim_tpu.assets.meshgen import generate_uv_sphere_mesh
+
+        w, h = 512, 256
+        mesh = generate_uv_sphere_mesh(1.5, 24, 16)
+        model = np.asarray(m3.translate([0.0, 0.0, 3.0]))
+        lights = make_lights([dict(type=2, dir=(0, -1, 1), color=(1, 1, 1),
+                                   intensity=3.0)])
+        scene = SceneData(batches=(batch_from_mesh(mesh, model),),
+                          lights=lights)
+        cam = FreeLookCamera()
+        soup = assemble_scene(scene.batches,
+                              jnp.asarray(cam.get_view_matrix()),
+                              m3.perspective(60.0, w / h, 0.1, 1000.0),
+                              None)
+        setup = triangle_setup(soup.clip, soup.tris, w, h, sequential=True)
+
+        def lists(span_mid_cap):
+            st, starts, counts, big_ids, n_big, diag, ty, tx = (
+                fused.bin_pairs(setup, w, h, 8, 128, span_cap=16,
+                                overflow_cap=64, max_candidates=4096,
+                                span_mid_cap=span_mid_cap)
+            )
+            st = np.asarray(st)
+            starts = np.asarray(starts)
+            counts = np.asarray(counts)
+            return ([st[starts[t]:starts[t] + counts[t]].tolist()
+                     for t in range(ty * tx)], diag,
+                    np.asarray(big_ids), int(n_big))
+
+        base, d0, big0, nb0 = lists(None)
+        split, d1, big1, nb1 = lists(512)
+        assert base == split
+        assert nb0 == nb1
+        np.testing.assert_array_equal(big0, big1)
+        assert int(d1.dropped_pairs) == 0
+
+        # An undersized mid list reports its losses loudly.
+        bx0, by0, bx1, by1 = (np.asarray(setup.bbox[:, i])
+                              for i in range(4))
+        area = ((bx1 // 128) - (bx0 // 128) + 1) * (
+            (by1 // 8) - (by0 // 8) + 1)
+        n_mid = int((np.asarray(setup.valid) & (area > 2)
+                     & (area <= 16)).sum())
+        assert n_mid > 2, "test scene must have mid-span triangles"
+        _, d2, _, _ = lists(2)
+        assert int(d2.dropped_pairs) > 0

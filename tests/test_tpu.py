@@ -171,3 +171,121 @@ def test_compact_paths_compiled_match_full(tpu_backend):
     diff = np.abs(a - b)
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
     assert (diff > 0).any(axis=-1).mean() < 0.02
+
+
+def test_fused_shading_kernel_compiled(tpu_backend):
+    """Compiled shade_tonemap_pallas vs the planar XLA oracle on TPU."""
+    import jax.numpy as jnp
+
+    from bibim_tpu.ops.shading_pallas import shade_tonemap_pallas
+    from bibim_tpu.ops.shading_planar import shade_pbr_planar
+    from bibim_tpu.scene.lights import make_lights
+
+    rng = np.random.default_rng(11)
+    nt, npx = 40, 1024
+
+    def p(lo=0.0, hi=1.0):
+        return jnp.asarray(rng.uniform(lo, hi, (nt, npx)).astype(np.float32))
+
+    world = (p(-5, 5), p(-5, 5), p(-5, 5))
+    normal = (p(-1, 1), p(-1, 1), p(-1, 1))
+    alb = (p(), p(), p())
+    met, rough, ao = p(), p(0.05, 1.0), p()
+    valid = jnp.asarray(rng.uniform(0, 1, (nt, npx)) > 0.3)
+    lights = make_lights([
+        dict(type=2, dir=(0.3, -1, 0.5), color=(1, 1, 1), intensity=3.0),
+        dict(type=0, pos=(2, 3, -1), color=(1, 0.5, 0.2), intensity=10.0),
+    ])
+    vp = jnp.asarray([0.0, 1.0, -3.0])
+    want = shade_pbr_planar(world, normal, alb, met, rough, ao, lights, vp)
+    want = tuple(np.asarray(jnp.where(valid, c, 0.0)) for c in want)
+    got = shade_tonemap_pallas(world, normal, alb, met, rough, ao, valid,
+                               lights, vp, jnp.int32(0), jnp.float32(1.0),
+                               quantize=False, tonemap=False)
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(got[c]), want[c],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_hud_overlay_compiled(tpu_backend):
+    """HUD cells burn into the compiled frame through the compact overlay
+    kernel."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.host.hud import build_hud_geometry, hud_text_mask
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    s = RenderSettings(width=W, height=H, outputs="image", shading="flat",
+                       show_gizmo=False, show_lights=False,
+                       max_candidates=1024, span_cap=64, overflow_cap=256)
+    geom = build_hud_geometry(W, H, max_chars=12, origin=(4, 4), scale=2)
+    base = render_frame(scene.scene_data(), vb, fp, None, None, s)
+    out = render_frame(
+        scene.scene_data(), vb, fp, None, None,
+        dataclasses.replace(s, show_hud=True),
+        hud=(geom, jnp.asarray(hud_text_mask("123 FPS", 12))),
+    )
+    a = np.asarray(base["image"])
+    b = np.asarray(out["image"])
+    assert (b[:20, :160] == 255).all(axis=-1).any()
+    np.testing.assert_array_equal(a[24:], b[24:])
+
+
+def test_sharded_band_kernel_compiled(tpu_backend):
+    """One-device 'mesh': the band path (record-table y-rebase + band
+    binning + band compaction) compiles and matches the single-chip
+    image."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, material_quads_from_set,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = material_quads_from_set(create_pbr_material_set(),
+                                   scene.selected_material)
+    s = RenderSettings(width=W, height=H, outputs="image",
+                       show_gizmo=False, show_lights=False,
+                       max_candidates=1024, span_cap=64, overflow_cap=256,
+                       live_tile_cap=120)
+    single = render_frame(scene.scene_data(), vb, fp, mats, None, s)
+    mesh = make_device_mesh(1)
+    sharded = render_frame_sharded(mesh, scene.scene_data(), vb, fp, mats,
+                                   s)
+    a = np.asarray(jax.device_get(single["image"])).astype(np.int32)
+    b = np.asarray(sharded).astype(np.int32)
+    diff = np.abs(a - b)
+    assert diff.max() <= 1
+    assert (diff > 0).any(axis=-1).mean() < 0.02
