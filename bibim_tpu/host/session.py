@@ -283,6 +283,9 @@ class Session:
         text = (f"{self.stats.fps:5.1f} FPS  POS {p[0]:.1f} {p[1]:.1f} "
                 f"{p[2]:.1f}  YAW {self.camera.yaw:.0f} "
                 f"PITCH {self.camera.pitch:.0f}")
+        if self.ui.selected_instance >= 0:
+            # Shader Balls window's instance tracker (scene.cpp:131-139).
+            text += f"  INST {self.ui.selected_instance}"
         mask = hud_text_mask(text, self._hud_geom.max_chars)
         return (self._hud_geom, jnp.asarray(mask))
 

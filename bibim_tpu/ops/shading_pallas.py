@@ -31,10 +31,15 @@ from bibim_tpu.scene.lights import Lights
 
 PI = 3.1415926535897932384626433832795
 # Tiles per grid step: amortizes the ~2.4 µs/step overhead while keeping
-# the scoped-VMEM footprint (≈19 double-buffered in/out blocks + the
-# light loop's live temporaries) under the 16 MB limit — 64 OOM'd at the
-# 4K config's 3200-tile compact list.
+# the scoped-VMEM footprint (double-buffered in/out blocks + the unrolled
+# light loop's stack temporaries, which dominate ~3:1) under the 16 MB
+# limit. Measured: 17 blocks (14 in + 3 out) fit at batch 32; 20 blocks
+# (shadows + IBL: 17 in + 3 out) hit 16.43 MB — those take batch 16.
 TILE_BATCH = 32
+
+
+def _tile_batch(n_in_planes: int) -> int:
+    return TILE_BATCH if n_in_planes <= 14 else TILE_BATCH // 2
 
 # lparams row layout (per light): px py pz | type | dx dy dz | intensity |
 # cr cg cb | inner | outer | vis_flag | pad pad
@@ -198,7 +203,6 @@ def shade_tonemap_pallas(
     (shade_pbr_planar → _q16 → tone_map) is the oracle."""
     num_lights = lights.num_lights
     nt, npx = metallic.shape
-    nt_pad = -(-nt // TILE_BATCH) * TILE_BATCH
 
     planes = [*world, *normal, *albedo, metallic, roughness, ao,
               valid.astype(jnp.float32)]
@@ -208,6 +212,8 @@ def shade_tonemap_pallas(
     has_ambient = ambient is not None
     if has_ambient:
         planes.extend(ambient)
+    tile_batch = _tile_batch(len(planes))
+    nt_pad = -(-nt // tile_batch) * tile_batch
     if nt_pad != nt:
         planes = [jnp.pad(p, ((0, nt_pad - nt), (0, 0))) for p in planes]
 
@@ -225,12 +231,12 @@ def shade_tonemap_pallas(
         _shade_kernel, num_lights=num_lights, has_vis=has_vis,
         has_ambient=has_ambient, quantize=quantize, tonemap=tonemap,
     )
-    block = pl.BlockSpec((TILE_BATCH, npx), lambda i: (i, 0),
+    block = pl.BlockSpec((tile_batch, npx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nt_pad // TILE_BATCH,),
+        grid=(nt_pad // tile_batch,),
         in_specs=[small, small] + [block] * len(planes),
         out_specs=[block] * 3,
         out_shape=[jax.ShapeDtypeStruct((nt_pad, npx), jnp.float32)] * 3,

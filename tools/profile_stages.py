@@ -2,14 +2,16 @@
 
 Run on the bench device:  python tools/profile_stages.py [n_instances]
 
-Each stage is jitted and timed standalone with a tiny dependent readback as
-the sync barrier (block_until_ready is not trusted on tunnel-attached
-devices; every jitted call also pays ~2.5 ms dispatch overhead through the
-tunnel, so stages do not sum to the single-call full frame)."""
+Round-2 methodology: every number is SUSTAINED on-device time — the
+stage runs 8 times inside one jit (lax.scan) with a FULL-output
+reduction chained through the carry (constant-input scans get CSE'd and
+sliced outputs get DCE'd — tools/exp_harness.py is the control), so the
+~2.5 ms tunnel dispatch RTT and dead-code artifacts are both excluded.
+Capacities come from the same autotune probe production uses.
+"""
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -19,21 +21,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 WIDTH, HEIGHT = 1920, 1080
+SCAN_ITERS = 8
 
 
-def timeit(name, fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1]))
+def sync(x):
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
+
+
+def timeit(name, fn, iters=4):
+    out = fn()
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1]))
-    print(f"{name:44s} {(time.perf_counter() - t0) / iters * 1e3:8.2f} ms",
+        out = fn()
+    sync(out)
+    print(f"{name:48s} {(time.perf_counter() - t0) / iters / SCAN_ITERS * 1e3:8.2f} ms",
           flush=True)
     return out
+
+
+def scan8(body):
+    """body(carry) -> (full_reduction_carry, small_keep)."""
+
+    @jax.jit
+    def run():
+        def step(carry, _):
+            return body(carry)
+
+        _, outs = lax.scan(step, jnp.float32(0), None, length=SCAN_ITERS)
+        return outs
+
+    return run
+
+
+def dep_f(x):
+    """Chain a full reduction of ``x`` into the next iteration."""
+    return (jnp.sum(x.astype(jnp.float32)) * 1e-30).astype(jnp.float32)
 
 
 def main():
@@ -47,6 +73,7 @@ def main():
     from bibim_tpu.ops import texture_quad as tq
     from bibim_tpu.ops.geometry import assemble_scene_planar
     from bibim_tpu.ops.raster import triangle_setup_planar
+    from bibim_tpu.ops.shading_pallas import shade_tonemap_pallas
     from bibim_tpu.pipeline import (
         FrameParams,
         RenderSettings,
@@ -55,24 +82,17 @@ def main():
         material_quads_from_set,
         render_frame,
     )
+    from bibim_tpu.pipeline.autotune import autotune_settings
     from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+    from bibim_tpu.scene.culling import cull_scene_instances
 
     n_inst = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    print(f"device: {jax.devices()[0]}, instances: {n_inst}")
+    print(f"device: {jax.devices()[0]}, instances: {n_inst}", flush=True)
     scene = ShaderBallScene(num_instances=n_inst)
     cam = FreeLookCamera(
         pos=np.array([8.0, 6.0, -14.0], np.float32) if n_inst > 1
         else np.zeros(3, np.float32)
     )
-    caps = dict(max_candidates=1024 if n_inst > 1 else 320,
-                span_cap=8 if n_inst > 1 else 16)
-    settings = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                              **caps)
-    mats = jax.device_put(
-        material_quads_from_set(create_pbr_material_set(),
-                                scene.selected_material)
-    )
-    overlay = make_overlay_resources()
     view = jnp.asarray(cam.get_view_matrix())
     proj = m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)
     view_block = ViewBlock(view=view, proj=proj,
@@ -81,43 +101,108 @@ def main():
     frame_params = FrameParams(enable_tone_mapping=jnp.int32(1),
                                exposure=jnp.float32(1.0))
     data = scene.scene_data()
+    if n_inst > 1:
+        data = cull_scene_instances(data, np.asarray(view), np.asarray(proj))
+    mats = jax.device_put(
+        material_quads_from_set(create_pbr_material_set(),
+                                scene.selected_material)
+    )
+    overlay = make_overlay_resources()
+    settings, probe = autotune_settings(
+        data, view_block,
+        RenderSettings(width=WIDTH, height=HEIGHT, outputs="image"),
+        margin=1.05,
+    )
+    print("probe:", probe, flush=True)
+    print("derived:", {k: getattr(settings, k) for k in (
+        "max_candidates", "raster_passes", "span_cap", "span_mid_cap",
+        "overflow_cap", "pair_budget", "live_tile_cap",
+        "raster_tile_cap")}, flush=True)
 
-    timeit("full render_frame", functools.partial(
-        render_frame, settings=settings),
-        data, view_block, frame_params, mats, overlay, iters=10)
+    def frame_body(carry):
+        out = render_frame(
+            data, view_block,
+            FrameParams(frame_params.enable_tone_mapping,
+                        frame_params.exposure + carry),
+            mats, overlay, settings,
+        )
+        img = out["image"]
+        return dep_f(img), img[:1, :1]
 
-    # Geometry stages jitted TOGETHER (standalone planar-soup outputs hit
-    # pathological XLA output layouts at 625k tris); rec+setup are the
-    # real intermediates the frame materializes.
+    timeit("full render_frame (sustained)", scan8(frame_body))
+
+    def geom(view_m):
+        psoup = assemble_scene_planar(data.batches, view_m, proj, None)
+        setup = triangle_setup_planar(psoup.clip, WIDTH, HEIGHT)
+        rec = fused.build_record_table_planar(setup, psoup)
+        return rec, setup
+
+    def geom_body(carry):
+        rec, _ = geom(view + carry)
+        return dep_f(rec), rec[:1, :1]
+
+    timeit("geometry+setup+record", scan8(geom_body))
+
+    rec, setup = jax.jit(geom)(view)
+
+    def raster_body(carry):
+        px, zkey, _ = fused.raster_fused_pallas(
+            rec * (1.0 + carry), setup, WIDTH, HEIGHT,
+            max_candidates=settings.max_candidates,
+            span_cap=settings.span_cap,
+            span_mid_cap=settings.span_mid_cap,
+            overflow_cap=settings.overflow_cap,
+            pair_budget=settings.pair_budget,
+            raster_tile_cap=settings.raster_tile_cap,
+            passes=settings.raster_passes,
+        )
+        return dep_f(px.depth), px.depth[:1, :1]
+
+    timeit("bin+sort+gather+kernel (raster)", scan8(raster_body))
+
+    live_cap = settings.live_tile_cap or (settings.tiles_x
+                                          * settings.tiles_y)
+
     @jax.jit
-    def geom(batches):
-        psoup = assemble_scene_planar(batches, view, proj, None)
-        s = triangle_setup_planar(psoup.clip, WIDTH, HEIGHT)
-        return fused.build_record_table_planar(s, psoup), s
+    def compact(rec, setup):
+        px, _, _ = fused.raster_fused_pallas(
+            rec, setup, WIDTH, HEIGHT,
+            max_candidates=settings.max_candidates,
+            span_cap=settings.span_cap,
+            span_mid_cap=settings.span_mid_cap,
+            overflow_cap=settings.overflow_cap,
+            pair_budget=settings.pair_budget,
+            raster_tile_cap=settings.raster_tile_cap,
+            passes=settings.raster_passes,
+        )
+        live = jnp.any(px.tri_id >= 0, axis=1)
+        ids, _ = fused._compact_tile_list(live, live_cap)
+        return jax.tree_util.tree_map(lambda p: p[ids], px)
 
-    rec, setup = timeit("assemble+setup+record (planar)", geom,
-                        data.batches)
-    print(f"tris: {rec.shape[0]}")
-    timeit("bin_pairs", jax.jit(
-        lambda s: fused.bin_pairs(s, WIDTH, HEIGHT, settings.tile_h,
-                                  settings.tile_w, caps["span_cap"], 64,
-                                  caps["max_candidates"],
-                                  pair_budget=settings.pair_budget)), setup)
-    sorted_tri, *_ = jax.jit(
-        lambda s: fused.bin_pairs(s, WIDTH, HEIGHT, settings.tile_h,
-                                  settings.tile_w, caps["span_cap"], 64,
-                                  caps["max_candidates"],
-                                  pair_budget=settings.pair_budget))(setup)
-    timeit("pair record gather", jax.jit(
-        lambda r, st: r[st]), rec, sorted_tri)
-    out = timeit("raster_fused (bin+DMA+kernel)", jax.jit(
-        lambda r, s: fused.raster_fused_pallas(
-            r, s, WIDTH, HEIGHT, max_candidates=caps["max_candidates"],
-            span_cap=caps["span_cap"])), rec, setup)
-    px = out[0]
-    timeit("material sample (quad tables)", jax.jit(
-        lambda t, u, v: tq.sample_material(t, u, v, 8, 128)),
-        mats, px.uv[0], px.uv[1])
+    px_c = compact(rec, setup)
+    print(f"compact slots: {px_c.uv[0].shape}", flush=True)
+
+    def sample_body(carry):
+        out = tq.sample_material(mats, px_c.uv[0] + carry, px_c.uv[1],
+                                 settings.tile_h, settings.tile_w)
+        dep = sum(dep_f(v) for v in out.values()).astype(jnp.float32)
+        return dep, out["roughness"][:1, :1]
+
+    timeit("material sample (compact)", scan8(sample_body))
+
+    valid = px_c.tri_id >= 0
+
+    def shade_body(carry):
+        ldr = shade_tonemap_pallas(
+            px_c.world, px_c.normal, px_c.color,
+            px_c.uv[0] * 0, px_c.uv[0] * 0 + 0.5 + carry,
+            px_c.uv[0] * 0 + 1, valid, data.lights, view_block.view_pos,
+            jnp.int32(0), jnp.float32(1.0), quantize=False, tonemap=False,
+        )
+        return sum(dep_f(c) for c in ldr).astype(jnp.float32), \
+            ldr[0][:1, :1]
+
+    timeit("fused GGX shade (compact)", scan8(shade_body))
 
 
 if __name__ == "__main__":
