@@ -479,29 +479,44 @@ def bench_stretch_4k(report: dict) -> None:
         _time_scan(frame_body, iters=2), 2)
 
 
+def _progress(msg: str) -> None:
+    """Stage progress on stderr (stdout stays the one JSON line)."""
+    import sys
+    import time as _t
+
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
     from bibim_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     report: dict = {"configs": {}}
 
+    _progress("config 3: shaderball 1080p (headline)")
     ms = bench_shaderball(report)
+    _progress(f"headline {ms:.2f} ms; config 1: gizmo 512")
     try:
         bench_gizmo(report)
     except Exception as e:  # pragma: no cover - aux configs must not kill CI
         report["configs"]["gizmo_flat_512"] = f"error: {e}"
+    _progress("config 2: cube mips 720p")
     try:
         bench_cube(report)
     except Exception as e:  # pragma: no cover
         report["configs"]["cube_mips_720p"] = f"error: {e}"
+    _progress("config 4: shaderball x64 1080p")
     try:
         bench_instanced(report)
     except Exception as e:  # pragma: no cover
         report["configs"]["shaderball_x64_1080p"] = f"error: {e}"
+    _progress("config 5: 4K shadows+IBL")
     try:
         bench_stretch_4k(report)
     except Exception as e:  # pragma: no cover
         report["configs"]["stretch_4k_shadows_ibl"] = f"error: {e}"
+    _progress("done")
 
     print(
         json.dumps(

@@ -232,6 +232,119 @@ def sample_table_block(table: BlockTable, u, v) -> dict:
     }
 
 
+# Tiles per grid step of the block-blend kernel: the qt block is
+# (g, 128, NPX) u8 = g·128 KB — g=16 keeps the double-buffered footprint
+# ~4 MB and the fixed ~2.4 µs/step overhead under 0.15 ms at 1080p.
+BLOCK_TILE_BATCH = 16
+
+
+def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
+                        cpad, n_out):
+    """25-tap neighborhood blend at full VPU width: pixels on lanes, taps
+    on sublanes (each tap row is a static sublane select)."""
+    s = BLOCK_B + 1
+    lx = lx_ref[...]
+    ly = ly_ref[...]
+    tx = tx_ref[...]
+    ty = ty_ref[...]
+    one_m_tx = 1.0 - tx
+    one_m_ty = 1.0 - ty
+    acc = [None] * n_out
+    for j in range(s):
+        wy = (jnp.where(ly == j, one_m_ty, 0.0)
+              + jnp.where(ly + 1 == j, ty, 0.0))
+        for i in range(s):
+            wx = (jnp.where(lx == i, one_m_tx, 0.0)
+                  + jnp.where(lx + 1 == i, tx, 0.0))
+            wgt = wx * wy
+            for c in range(n_out):
+                row = (j * s + i) * cpad + c
+                # Mosaic has no u8→f32 cast; hop through i32 (exact).
+                tap = qt_ref[:, row, :].astype(jnp.int32).astype(
+                    jnp.float32) * (1.0 / 255.0)
+                term = tap * wgt
+                acc[c] = term if acc[c] is None else acc[c] + term
+    for c, out in enumerate(out_refs):
+        out[...] = acc[c]
+
+
+def sample_table_block_pallas(table: BlockTable, u, v,
+                              interpret: bool = False) -> dict:
+    """Block-table sampling with the blend fused into one Pallas pass.
+
+    The XLA blend (:func:`sample_table_block`) materializes each of its
+    ~100 (1, N)-sliced intermediates through HBM across fusion
+    boundaries, which eats the block table's 2× gather win
+    (docs/PERFORMANCE.md). Here the gathered rows transpose once to
+    (NT, 128, NPX) — taps on sublanes, pixels on lanes — and the whole
+    25-tap × C blend runs in VMEM at full lane width. Tap products and
+    their accumulation order match :func:`sample_table_block` op-for-op
+    (compiled FMA fusion may differ by ≤1 ulp, the fused-raster
+    tolerance class)."""
+    nt, npx = u.shape
+    h, w = table.height, table.width
+    b = BLOCK_B
+    nbx = w // b
+    cpad = _ceil4(len(table.present))
+    uf = u.reshape(-1)
+    vf = v.reshape(-1)
+    fx = uf * w - 0.5
+    fy = vf * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.remainder(x0.astype(jnp.int32), w)
+    y0i = jnp.remainder(y0.astype(jnp.int32), h)
+    q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
+    # One batched block transpose: taps (minor 128) ↔ pixels (npx lanes).
+    qt = jnp.transpose(q.reshape(nt, npx, 128), (0, 2, 1))
+
+    g = min(BLOCK_TILE_BATCH, nt)
+    nt_pad = -(-nt // g) * g
+    lanes = 128
+
+    def plane(x):
+        p = x.reshape(nt, npx)
+        if nt_pad != nt:
+            p = jnp.pad(p, ((0, nt_pad - nt), (0, 0)))
+        return p
+    if nt_pad != nt:
+        qt = jnp.pad(qt, ((0, nt_pad - nt), (0, 0), (0, 0)))
+
+    n_out = len(table.present)
+    kernel = functools.partial(_block_blend_kernel, cpad=cpad, n_out=n_out)
+    pspec = pl.BlockSpec((g, npx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, lanes, npx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pspec, pspec, pspec, pspec,
+        ],
+        out_specs=[pspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((nt_pad, npx), jnp.float32)]
+        * n_out,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # The unrolled 25-tap × C loop's stack temporaries exceed the
+            # default 16 MB scoped-VMEM budget at g=16 (measured 30.2 MB);
+            # v5e has 128 MB of VMEM — raise the scope instead of
+            # shrinking the batch (g=4 would add ~0.5 ms of grid-step
+            # overhead at 1080p).
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qt, plane(x0i % b), plane(y0i % b), plane(tx), plane(ty))
+    if n_out == 1 and not isinstance(out, (list, tuple)):
+        out = [out]
+    return {
+        slot: o[:nt] for slot, o in zip(table.present, out)
+    }
+
+
 def pack_material_maps(material_set, index: int) -> dict:
     """Slot → uint8 map dict for one material (level-0 maps, per-map default
     fallback — createFrame material wiring, render.cpp:1598-1636)."""
@@ -429,7 +542,11 @@ def sample_material(tables: tuple, u, v, tile_h: int = 8, tile_w: int = 128,
     out = {}
     for table in tables:
         if isinstance(table, BlockTable):
-            out.update(sample_table_block(table, u, v))
+            if use_pallas:
+                out.update(sample_table_block_pallas(table, u, v,
+                                                     interpret=interpret))
+            else:
+                out.update(sample_table_block(table, u, v))
             continue
         rows = table.height * table.width
         if use_pallas and rows <= SMALL_ROWS:

@@ -189,6 +189,12 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(axis_name, None, None), P()),
+        # pallas_call (raster/texture/shading kernels) can't declare
+        # varying-mesh-axes (`vma`) on its out_shape structs, which the
+        # default check_vma=True rejects on TPU. Bands are independent by
+        # construction (the only collective is the diag psum), so the
+        # varying-axis audit adds nothing here.
+        check_vma=False,
     )
     def band_fn(scene, view_block, frame_params, materials, extras):
         k = lax.axis_index(axis_name)

@@ -1126,11 +1126,28 @@ def render_frame(
     }
 
 
-def material_quads_from_set(material_set, index: int) -> tuple:
+# Size-groups above this many texels bind as neighborhood-block tables:
+# 16× fewer gather rows + the full-lane Pallas blend. Measured on the
+# production compacted 1080p stream (tools/exp_block3.py): quad path
+# 16.4 ms → block+Pallas 3.6 ms, bit-identical output. Below this the
+# quad gather is already in the fast row-count regime and the 25-tap
+# blend isn't worth it.
+BLOCK_TABLE_THRESHOLD = 1 << 20
+
+
+def material_quads_from_set(material_set, index: int,
+                            block_threshold: int | None
+                            = BLOCK_TABLE_THRESHOLD) -> tuple:
     """Bind one material as grouped quad tables (the TPU fast path) with
     per-map default fallback (createFrame material descriptor wiring,
-    render.cpp:1598-1636)."""
-    return tq.build_quad_tables(tq.pack_material_maps(material_set, index))
+    render.cpp:1598-1636).
+
+    ``block_threshold``: groups larger than this many texels build
+    neighborhood-block tables (16× fewer gather rows + the full-lane
+    Pallas blend — see ops/texture_quad.py) instead of quad tables.
+    Pass ``None`` to force quad tables everywhere."""
+    return tq.build_quad_tables(tq.pack_material_maps(material_set, index),
+                                block_threshold=block_threshold)
 
 
 def material_textures_from_set(material_set, index: int) -> MaterialTextures:

@@ -205,6 +205,44 @@ class TestBlockTable:
             np.testing.assert_array_equal(np.asarray(want[slot]),
                                           np.asarray(got[slot]))
 
+    def test_block_pallas_matches_xla_blend(self, uv_planes):
+        """The fused Pallas blend must match the XLA block blend to ≤1 ulp
+        (FMA/reassociation differences only — the fused-raster tolerance
+        class; the XLA blend stays bit-exact with the quad oracle)."""
+        rng = np.random.default_rng(7)
+        h = w = 64
+        tex = np.zeros((h, w, 4), np.uint8)
+        tex[:, :, 0] = rng.integers(0, 256, (h, w), np.uint8)
+        tex[:, :, 1] = rng.integers(0, 256, (h, w), np.uint8)
+        tex[:, :, 2] = rng.integers(0, 256, (h, w), np.uint8)
+        block = tq._build_block_table(
+            tex, h, w, ("roughness", "ao", "height"), 4)
+        u, v = uv_planes
+        want = tq.sample_table_block(block, u, v)
+        got = tq.sample_table_block_pallas(block, u, v, interpret=True)
+        for slot in ("roughness", "ao", "height"):
+            np.testing.assert_allclose(np.asarray(want[slot]),
+                                       np.asarray(got[slot]),
+                                       rtol=3e-7, atol=3e-7)
+
+    def test_block_pallas_nondivisible_tiles(self):
+        """NT not divisible by the tile batch pads and slices back."""
+        rng = np.random.default_rng(11)
+        h = w = 32
+        tex = np.zeros((h, w, 4), np.uint8)
+        tex[:, :, 0] = rng.integers(0, 256, (h, w), np.uint8)
+        block = tq._build_block_table(tex, h, w, ("metallic",), 4)
+        nt, npx = 19, 256
+        u = jnp.asarray(
+            rng.random((nt, npx), np.float32) * 2.0 - 0.5)
+        v = jnp.asarray(
+            rng.random((nt, npx), np.float32) * 2.0 - 0.5)
+        want = tq.sample_table_block(block, u, v)
+        got = tq.sample_table_block_pallas(block, u, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(want["metallic"]),
+                                   np.asarray(got["metallic"]),
+                                   rtol=3e-7, atol=3e-7)
+
     def test_builder_routes_big_groups_to_block_tables(self):
         big = np.zeros((2048, 1024, 1), np.uint8)
         small = np.zeros((16, 16, 1), np.uint8)

@@ -92,6 +92,31 @@ def test_small_texture_kernel_compiled(tpu_backend):
                                atol=2e-3)
 
 
+def test_block_blend_kernel_compiled(tpu_backend):
+    """Compiled block-table Pallas blend vs the XLA block blend (which is
+    bit-exact with the quad oracle) — ≤1-ulp FMA tolerance class."""
+    import jax.numpy as jnp
+
+    from bibim_tpu.ops import texture_quad as tq
+
+    rng = np.random.default_rng(13)
+    h = w = 64
+    tex = np.zeros((h, w, 4), np.uint8)
+    for c in range(3):
+        tex[:, :, c] = rng.integers(0, 256, (h, w), np.uint8)
+    block = tq._build_block_table(tex, h, w, ("roughness", "ao", "height"),
+                                  4)
+    nt, npx = 36, 1024
+    u = jnp.asarray(rng.uniform(-1, 2, (nt, npx)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1, 2, (nt, npx)).astype(np.float32))
+    want = tq.sample_table_block(block, u, v)
+    got = tq.sample_table_block_pallas(block, u, v)
+    for slot in ("roughness", "ao", "height"):
+        np.testing.assert_allclose(np.asarray(want[slot]),
+                                   np.asarray(got[slot]),
+                                   rtol=3e-7, atol=3e-7)
+
+
 def test_full_frame_on_tpu(tpu_backend):
     """End-to-end compiled frame renders with sane coverage."""
     import jax.numpy as jnp
