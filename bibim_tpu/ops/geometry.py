@@ -74,12 +74,86 @@ def _apply_affine(rows, px, py, pz):
     )
 
 
+def _transform_batch_planar_cat(batch: DrawBatch, view_proj: jnp.ndarray):
+    """Corner-concatenated fast path of :func:`transform_batch_planar`.
+
+    Identical per-element arithmetic (the three corners run through the
+    SAME elementwise expressions, just concatenated into one (I, 3F)
+    array — bit-exact vs the per-corner loop), but ~3× fewer XLA ops.
+    The geometry stage is op-count-bound (~1.3 µs fixed cost per small
+    dispatched op, tools/exp_bin.py), so op count IS the stage cost."""
+    cp = batch.corner_planes
+    num_i = batch.model.shape[0]
+    pcat = cp["pos_cat"]
+    num_f3 = pcat[0].shape[0]
+    num_f = num_f3 // 3
+    nmat = m3.normal_matrix(batch.inv_model)  # (I,3,3)
+
+    px, py, pz = pcat
+    w = tuple(
+        _apply_affine(batch.model[:, r, :], px, py, pz) for r in range(3)
+    )  # world x/y/z, each (I, 3F)
+    clip = tuple(
+        view_proj[m, 0] * w[0] + view_proj[m, 1] * w[1]
+        + view_proj[m, 2] * w[2] + view_proj[m, 3]
+        for m in range(4)
+    )
+
+    def rot(planes3):
+        return tuple(
+            nmat[:, r, 0:1] * planes3[0][None, :]
+            + nmat[:, r, 1:2] * planes3[1][None, :]
+            + nmat[:, r, 2:3] * planes3[2][None, :]
+            for r in range(3)
+        )
+
+    def unit(v3):
+        inv = jnp.reciprocal(jnp.maximum(jnp.sqrt(
+            v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2]
+        ), 1e-20))
+        return tuple(v3[k] * inv for k in range(3))
+
+    normal = unit(rot(cp["normal_cat"]))
+    tangent = unit(rot(cp["tangent_cat"]))
+
+    def corner(x, c):  # (I, 3F) → corner c's flat (I*F,) plane
+        return lax.slice_in_dim(x, c * num_f, (c + 1) * num_f,
+                                axis=1).reshape(num_i * num_f)
+
+    def flat(x):
+        if x.ndim == 1:
+            x = jnp.broadcast_to(x[None, :], (num_i, num_f))
+        return x.reshape(num_i * num_f)
+
+    def chan_cat(group):  # tuple of (I, 3F) → per-corner flat planes
+        return tuple(
+            tuple(corner(group[k], c) for c in range(3))
+            for k in range(len(group))
+        )
+
+    return PlanarSoup(
+        clip=chan_cat(clip),
+        world=chan_cat(w),
+        normal=chan_cat(normal),
+        tangent=chan_cat(tangent),
+        uv=tuple(
+            tuple(flat(cp["uv"][k][c]) for c in range(3)) for k in range(2)
+        ),
+        color=tuple(
+            tuple(flat(cp["color"][k][c]) for c in range(3)) for k in range(3)
+        ),
+        mat=jnp.zeros((num_i * num_f,), jnp.float32),
+    )
+
+
 def transform_batch_planar(batch: DrawBatch, view_proj: jnp.ndarray):
     """Corner-planar version of :func:`transform_batch`: same math
     (world = Model·p, clip = ViewProj·world, normal matrix on N/T +
     normalize), restated as dense (I, F) plane ops. Requires
     ``batch.corner_planes`` (built by batch_from_mesh)."""
     cp = batch.corner_planes
+    if "pos_cat" in cp:
+        return _transform_batch_planar_cat(batch, view_proj)
     num_i = batch.model.shape[0]
     num_f = cp["pos"][0][0].shape[0]
     nmat = m3.normal_matrix(batch.inv_model)  # (I,3,3)

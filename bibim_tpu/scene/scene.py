@@ -94,6 +94,16 @@ def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
             for k in range(nk)
         )
 
+    def planes_cat(arr, nk):
+        # Channel-major (3F,) planes with the three corners concatenated.
+        a = np.asarray(arr, np.float32)
+        return tuple(
+            jnp.asarray(np.concatenate([
+                np.ascontiguousarray(a[c::3, k]) for c in range(3)
+            ]))
+            for k in range(nk)
+        )
+
     d_pos = deindex(mesh.positions)
     d_uv = deindex(mesh.uvs)
     d_nrm = deindex(mesh.normals)
@@ -116,6 +126,16 @@ def batch_from_mesh(mesh: Mesh, model: np.ndarray | None = None) -> DrawBatch:
             "normal": planes(d_nrm, 3),
             "tangent": planes(d_tan, 3),
             "color": planes(d_col, 3),
+            # Corner-CONCATENATED planes ([corner0 | corner1 | corner2],
+            # (3F,) per channel): the per-frame transform chain runs ONCE
+            # over all three corners instead of three times — identical
+            # per-element expressions (bit-exact), ~3× fewer XLA ops (the
+            # geometry stage is op-count-bound, not FLOP-bound:
+            # tools/exp_bin.py measured assemble at 0.95 ms of ~1.3 µs
+            # fixed cost per small op).
+            "pos_cat": planes_cat(d_pos, 3),
+            "normal_cat": planes_cat(d_nrm, 3),
+            "tangent_cat": planes_cat(d_tan, 3),
         },
     )
 

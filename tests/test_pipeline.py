@@ -520,3 +520,38 @@ class TestShardedRendering:
         np.testing.assert_array_equal(
             np.asarray(single["image"]), np.asarray(sharded)
         )
+
+
+class TestCornerCatGeometry:
+    def test_cat_transform_bit_exact_vs_per_corner(self):
+        """The corner-concatenated fast transform path runs the SAME
+        per-element expressions as the per-corner loop — outputs must be
+        bit-identical (it is a pure op-count optimization)."""
+        import jax
+
+        from bibim_tpu.ops import geometry as G
+
+        mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+        model = np.stack([
+            np.asarray(m3.translate([0.0, 0.5, 4.0])),
+            np.asarray(m3.matmul(m3.translate([1.0, 0.0, 5.0]),
+                                 m3.rotate_y(30.0))),
+        ])
+        b = batch_from_mesh(mesh, model)
+        assert "pos_cat" in b.corner_planes
+        vp = m3.matmul(m3.perspective(60.0, 1.5, 0.1, 100.0),
+                       jnp.asarray(FreeLookCamera().get_view_matrix()))
+
+        legacy_cp = {k: v for k, v in b.corner_planes.items()
+                     if not k.endswith("_cat")}
+
+        @jax.jit
+        def both(batch, batch_legacy, m):
+            return (G.transform_batch_planar(batch, m),
+                    G.transform_batch_planar(batch_legacy, m))
+
+        fast, slow = both(b, b._replace(corner_planes=legacy_cp), vp)
+        for lf, ls in zip(jax.tree_util.tree_leaves(fast),
+                          jax.tree_util.tree_leaves(slow)):
+            assert lf.shape == ls.shape
+            np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
