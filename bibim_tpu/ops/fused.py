@@ -450,19 +450,25 @@ def _resolve_winner(scratch, best_cand, rows, npx):
 
 
 def _fused_kernel(
-    # scalar prefetch (all grid-step-indexed; ids maps step → screen tile,
+    # scalar prefetch (all tile-indexed; ids maps tile slot → screen tile,
     # identity for the full pass-0 grid, a compacted live list for dense
     # extra passes)
     ids_ref, starts_ref, counts_ref, nbig_ref,
     # inputs
     ov_ref,  # (OC, 128) f32 overflow records, VMEM
     tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
-    init_ref,  # (1, th, tw) int32 initial depth keys, or None
-    # outputs: zkey (1, th, tw) int32 + one (1, th, tw) f32 per _OUT_FIELDS
-    # entry, then scratch (OC+MAXC, 128) f32 and a DMA semaphore.
-    # In-kernel math runs planar — (CHUNK, NPX) for the candidate loop
-    # (full 8-sublane occupancy), (1, NPX) rows for the resolve — and each
-    # output write reshapes once to the (th, tw) block.
+    init_ref,  # (G, th, tw) int32 initial depth keys, or None
+    # outputs: zkey (G, th, tw) int32 + one (G, th, tw) f32 per _OUT_FIELDS
+    # entry, then scratch (2, G, OC+MAXC, 128) f32 and a (2, G) DMA
+    # semaphore. In-kernel math runs planar — (CHUNK, NPX) for the
+    # candidate loop (full 8-sublane occupancy), (1, NPX) rows for the
+    # resolve — and each output write reshapes once to the (th, tw) block.
+    #
+    # Each grid step processes ``group`` tiles: the ~0.9 µs fixed
+    # per-step cost (tools/exp_stepcost.py) dominated a mostly-empty
+    # 1024-step pass-0 grid, so batching amortizes it ~group-fold while
+    # per-tile compute (count-bounded coverage loop, resolve matmul) is
+    # unchanged.
     *refs,
     tile_h: int,
     tile_w: int,
@@ -470,6 +476,7 @@ def _fused_kernel(
     oc: int,
     maxc: int,
     skip_empty: bool,
+    group: int,
 ):
     zkey_out = refs[0]
     outs = dict(zip(_OUT_FIELDS, refs[1 : 1 + len(_OUT_FIELDS)]))
@@ -477,120 +484,128 @@ def _fused_kernel(
     npx = tile_h * tile_w
 
     i = pl.program_id(0)
-    cnt = counts_ref[i]
     nb = nbig_ref[0]
-    nt = pl.num_programs(0)
+    n_steps = pl.num_programs(0)
     slot = lax.rem(i, 2)
 
-    def tile_dma(j, s):
+    def tile_dma(step, j, s):
         return pltpu.make_async_copy(
-            tab_ref.at[pl.ds(starts_ref[j], maxc), :],
-            slabs.at[s, pl.ds(oc, maxc), :],
-            sem.at[s],
+            tab_ref.at[pl.ds(starts_ref[step * group + j], maxc), :],
+            slabs.at[s, j, pl.ds(oc, maxc), :],
+            sem.at[s, j],
         )
 
-    # Double-buffered record fetch: this tile's DMA was started by the
-    # previous grid step; kick off the next tile's before computing.
+    # Double-buffered record fetch: this step's DMAs were started by the
+    # previous grid step; kick off the next step's before computing.
     @pl.when(i == 0)
     def _():
-        slabs[0, 0:oc, :] = ov_ref[:]  # overflow prefix, copied once
-        slabs[1, 0:oc, :] = ov_ref[:]
-        tile_dma(0, 0).start()
+        for j in range(group):
+            slabs[0, j, 0:oc, :] = ov_ref[:]  # overflow prefix, copied once
+            slabs[1, j, 0:oc, :] = ov_ref[:]
+            tile_dma(0, j, 0).start()
 
-    @pl.when(i + 1 < nt)
+    @pl.when(i + 1 < n_steps)
     def _():
-        tile_dma(i + 1, 1 - slot).start()
+        for j in range(group):
+            tile_dma(i + 1, j, 1 - slot).start()
 
-    scratch = slabs.at[slot]
-
-    tid = ids_ref[i]
-    row = tid // tiles_x
-    col = lax.rem(tid, tiles_x)
     pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-    px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
-    py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
     chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
 
-    def run(base, count, carry):
-        return _coverage_loop(scratch, px, py, chunk_idx, base, count, carry)
+    for j in range(group):
+        scratch = slabs.at[slot, j]
+        cnt = counts_ref[i * group + j]
+        tid = ids_ref[i * group + j]
+        row = tid // tiles_x
+        col = lax.rem(tid, tiles_x)
+        px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
+        py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
 
-    # The driver always materializes an init plane (zeros = clear).
-    init_key = init_ref[0].reshape(1, npx) & _LOW3
-    carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
-    carry = run(0, nb, carry)
-    tile_dma(i, slot).wait()
-    best_key, best_cand = run(oc, cnt, carry)
+        def run(base, count, carry):
+            return _coverage_loop(scratch, px, py, chunk_idx, base, count,
+                                  carry)
 
-    zkey_out[0] = best_key.reshape(tile_h, tile_w)
+        # The driver always materializes an init plane (zeros = clear).
+        init_key = init_ref[j].reshape(1, npx) & _LOW3
+        carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
+        carry = run(0, nb, carry)
+        tile_dma(i, j, slot).wait()
+        best_key, best_cand = run(oc, cnt, carry)
 
-    def resolve():
-        recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
+        zkey_out[j] = best_key.reshape(tile_h, tile_w)
 
-        def r(j):
-            return recT[j : j + 1, :]  # (1, NPX)
+        def resolve(scratch=scratch, best_cand=best_cand, px=px, py=py,
+                    j=j):
+            recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
 
-        idf = r(_ID)
-        hit = idf >= 0.5
-        e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
-        e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
-        e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
-        esum = e0 + e1 + e2
-        inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum), approx=False)
-        b0 = jnp.where(hit, e0 * inv, 0.0)
-        b1 = jnp.where(hit, e1 * inv, 0.0)
-        b2 = jnp.where(hit, e2 * inv, 0.0)
+            def r(k):
+                return recT[k : k + 1, :]  # (1, NPX)
 
-        zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
-        wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
-        depth = jnp.where(
-            hit,
-            zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False),
-            0.0,
-        )
+            idf = r(_ID)
+            hit = idf >= 0.5
+            e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
+            e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
+            e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
+            esum = e0 + e1 + e2
+            inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum),
+                                approx=False)
+            b0 = jnp.where(hit, e0 * inv, 0.0)
+            b1 = jnp.where(hit, e1 * inv, 0.0)
+            b2 = jnp.where(hit, e2 * inv, 0.0)
 
-        def blend(base):
-            return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
+            zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
+            wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
+            depth = jnp.where(
+                hit,
+                zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
+                                   approx=False),
+                0.0,
+            )
 
-        def put(name, val):
-            outs[name][0] = val.reshape(tile_h, tile_w)
+            def blend(base):
+                return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
 
-        put("depth", depth)
-        put("idf", idf)
-        put("u", blend(_U))
-        put("v", blend(_V))
-        put("nx", blend(_N))
-        put("ny", blend(_N + 3))
-        put("nz", blend(_N + 6))
-        put("tx", blend(_T))
-        put("ty", blend(_T + 3))
-        put("tz", blend(_T + 6))
-        put("wx", blend(_W))
-        put("wy", blend(_W + 3))
-        put("wz", blend(_W + 6))
-        put("cr", blend(_COL))
-        put("cg", blend(_COL + 3))
-        put("cb", blend(_COL + 6))
-        put("matf", r(_MAT))
-        put("b0", b0)
-        put("b1", b1)
+            def put(name, val):
+                outs[name][j] = val.reshape(tile_h, tile_w)
 
-    def write_empty():
-        for name in _OUT_FIELDS:
-            outs[name][0] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            put("depth", depth)
+            put("idf", idf)
+            put("u", blend(_U))
+            put("v", blend(_V))
+            put("nx", blend(_N))
+            put("ny", blend(_N + 3))
+            put("nz", blend(_N + 6))
+            put("tx", blend(_T))
+            put("ty", blend(_T + 3))
+            put("tz", blend(_T + 6))
+            put("wx", blend(_W))
+            put("wy", blend(_W + 3))
+            put("wz", blend(_W + 6))
+            put("cr", blend(_COL))
+            put("cg", blend(_COL + 3))
+            put("cb", blend(_COL + 6))
+            put("matf", r(_MAT))
+            put("b0", b0)
+            put("b1", b1)
 
-    if skip_empty:
-        # Overlay passes: most tiles have no coverage — skip the matmul.
-        any_hit = jnp.any(best_cand >= 0)
+        def write_empty(j=j):
+            for name in _OUT_FIELDS:
+                outs[name][j] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-        @pl.when(any_hit)
-        def _():
+        if skip_empty:
+            # Overlay passes: most tiles have no coverage — skip the
+            # matmul.
+            any_hit = jnp.any(best_cand >= 0)
+
+            @pl.when(any_hit)
+            def _():
+                resolve()
+
+            @pl.when(jnp.logical_not(any_hit))
+            def _():
+                write_empty()
+        else:
             resolve()
-
-        @pl.when(jnp.logical_not(any_hit))
-        def _():
-            write_empty()
-    else:
-        resolve()
 
 
 def _pixels_from_fields(f: dict) -> FusedPixels:
@@ -670,24 +685,6 @@ def raster_fused_pallas(
         big_ids >= 0
     ).astype(jnp.float32)[:, None]
 
-    kernel = functools.partial(
-        _fused_kernel,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        tiles_x=tiles_x,
-        oc=oc,
-        maxc=maxc,
-        skip_empty=skip_empty,
-    )
-    plane_spec = pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        plane_spec,  # initial depth keys (zeros = clear)
-    ]
-    body = kernel
     if init_zkey is None:
         init_zkey = jnp.zeros((nt, npx), jnp.int32)
     if dense_tile_cap is None:
@@ -696,18 +693,40 @@ def raster_fused_pallas(
     n_out = 1 + len(_OUT_FIELDS)
 
     def make_call(k):
+        # Largest tile group that divides the grid (compacted caps are
+        # multiples of 64 → group 8; a full nt grid may fall back to 1).
+        group = next(g for g in (8, 4, 2, 1) if k % g == 0)
+        kernel = functools.partial(
+            _fused_kernel,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            oc=oc,
+            maxc=maxc,
+            skip_empty=skip_empty,
+            group=group,
+        )
+        plane_spec = pl.BlockSpec((group, tile_h, tile_w),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            plane_spec,  # initial depth keys (zeros = clear)
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(k,),
+            grid=(k // group,),
             in_specs=in_specs,
             out_specs=[plane_spec] * n_out,
             scratch_shapes=[
-                pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, group, oc + maxc, REC_CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, group)),
             ],
         )
         return pl.pallas_call(
-            body,
+            kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
             + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
