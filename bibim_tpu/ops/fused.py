@@ -327,9 +327,13 @@ def bin_pairs(
     # (measured, tools/exp_sort.py) and gives the identical order: live
     # (tile, tri) pairs are unique, so the total order by (tile, tri) is
     # deterministic and equals stable-by-tile draw order; equal sentinel
-    # pairs are dead tail entries.
-    sorted_tile, sorted_tri = lax.sort(
-        (flat_tile, tri_of_pair), num_keys=2, is_stable=False
+    # pairs are dead tail entries. On TPU the pair list is sorted
+    # entirely in VMEM (ops/sort_pallas.py): lax.sort pays ~0.7 ms of
+    # fixed per-round HBM latency at binning sizes.
+    from bibim_tpu.ops.sort_pallas import sort_pairs as _sort_pairs
+
+    sorted_tile, sorted_tri = _sort_pairs(
+        flat_tile, tri_of_pair, nt, t_count=int(area.shape[0])
     )
 
     boundaries = jnp.searchsorted(
@@ -694,8 +698,13 @@ def raster_fused_pallas(
 
     def make_call(k):
         # Largest tile group that divides the grid (compacted caps are
-        # multiples of 64 → group 8; a full nt grid may fall back to 1).
-        group = next(g for g in (8, 4, 2, 1) if k % g == 0)
+        # multiples of 64 → group 8; a full nt grid may fall back to 1),
+        # capped so the double-buffered record slab stays within ~6 MB of
+        # scoped VMEM (4K runs 1088 candidate rows: group 8 put the whole
+        # kernel 512 KB over the 48 MB scoped limit).
+        slab_tile_bytes = 2 * (oc + maxc) * REC_CH * 4
+        gmax = max(1, (6 << 20) // slab_tile_bytes)
+        group = next(g for g in (8, 4, 2, 1) if g <= gmax and k % g == 0)
         kernel = functools.partial(
             _fused_kernel,
             tile_h=tile_h,

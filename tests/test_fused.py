@@ -424,3 +424,31 @@ class TestSpanClassBinning:
         assert n_mid > 2, "test scene must have mid-span triangles"
         _, d2, _, _ = lists(2)
         assert int(d2.dropped_pairs) > 0
+
+
+class TestVmemSort:
+    def test_sort_pairs_matches_lax_sort(self):
+        """The in-VMEM bitonic sort must order unique (tile, tri) pairs
+        exactly like lax.sort (ops/sort_pallas.py)."""
+        import jax
+        from jax import lax
+
+        from bibim_tpu.ops import sort_pallas as sp
+
+        rng = np.random.default_rng(7)
+        for p, nt in [(4096, 2026), (30000, 511), (900, 64)]:
+            tile = jnp.asarray(rng.integers(0, nt + 1, p).astype(np.int32))
+            tri = jnp.asarray(rng.permutation(p).astype(np.int32))
+            ref = lax.sort((tile, tri), num_keys=2, is_stable=False)
+            got = jax.jit(
+                lambda a, b, nt=nt: sp.sort_pairs(
+                    a, b, nt, use_vmem=True, interpret=True)
+            )(tile, tri)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    def test_pack_bits_fallback(self):
+        from bibim_tpu.ops import sort_pallas as sp
+
+        assert sp.pack_bits(2025, 1 << 19) is not None
+        assert sp.pack_bits(1 << 14, 1 << 20) is None  # 15+20 bits > 30
