@@ -238,15 +238,14 @@ def sample_table_block(table: BlockTable, u, v) -> dict:
 BLOCK_TILE_BATCH = 16
 
 
-def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
-                        cpad, n_out):
+def block_blend_acc(tap_of_row, lx, ly, tx, ty, cpad: int, n_out: int):
     """25-tap neighborhood blend at full VPU width: pixels on lanes, taps
-    on sublanes (each tap row is a static sublane select)."""
+    on sublanes (each tap row is a static sublane select).
+    ``tap_of_row(row)`` returns the u8 tap row as an array castable via
+    i32 (Mosaic has no u8→f32 cast; the i32 hop is exact). Shared by the
+    standalone block-blend kernel and the fused sampled-shade kernel —
+    identical op order keeps them bit-compatible."""
     s = BLOCK_B + 1
-    lx = lx_ref[...]
-    ly = ly_ref[...]
-    tx = tx_ref[...]
-    ty = ty_ref[...]
     one_m_tx = 1.0 - tx
     one_m_ty = 1.0 - ty
     acc = [None] * n_out
@@ -259,28 +258,57 @@ def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
             wgt = wx * wy
             for c in range(n_out):
                 row = (j * s + i) * cpad + c
-                # Mosaic has no u8→f32 cast; hop through i32 (exact).
-                tap = qt_ref[:, row, :].astype(jnp.int32).astype(
+                tap = tap_of_row(row).astype(jnp.int32).astype(
                     jnp.float32) * (1.0 / 255.0)
                 term = tap * wgt
                 acc[c] = term if acc[c] is None else acc[c] + term
+    return acc
+
+
+def onehot_sample_planes(tex, idx, tx, ty, rows: int, cpad: int,
+                         n_out: int):
+    """Gather-free small-table bilinear sample on the MXU (op order
+    identical to the standalone ``_small_kernel``): ``tex`` is the
+    (rows, 4·cpad) f32 quad table; ``idx``/``tx``/``ty`` are (G, NPX)
+    planes. Returns n_out channel planes shaped like ``idx``."""
+    gdim, npx = idx.shape
+    n = gdim * npx
+    oh = (
+        lax.broadcasted_iota(jnp.int32, (rows, n), 0) == idx.reshape(1, n)
+    ).astype(jnp.float32)
+    taps = lax.dot_general(
+        tex, oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / 255.0)  # (4*C, N)
+
+    def qf(tap, ci):
+        j = tap * cpad + ci
+        return taps[j : j + 1, :]
+
+    txf = tx.reshape(1, n)
+    tyf = ty.reshape(1, n)
+    return [
+        _blend(qf, txf, tyf, k).reshape(gdim, npx) for k in range(n_out)
+    ]
+
+
+def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
+                        cpad, n_out):
+    acc = block_blend_acc(
+        lambda row: qt_ref[:, row, :], lx_ref[...], ly_ref[...],
+        tx_ref[...], ty_ref[...], cpad, n_out,
+    )
     for c, out in enumerate(out_refs):
         out[...] = acc[c]
 
 
-def sample_table_block_pallas(table: BlockTable, u, v,
-                              interpret: bool = False) -> dict:
-    """Block-table sampling with the blend fused into one Pallas pass.
-
-    The XLA blend (:func:`sample_table_block`) materializes each of its
-    ~100 (1, N)-sliced intermediates through HBM across fusion
-    boundaries, which eats the block table's 2× gather win
-    (docs/PERFORMANCE.md). Here the gathered rows transpose once to
-    (NT, 128, NPX) — taps on sublanes, pixels on lanes — and the whole
-    25-tap × C blend runs in VMEM at full lane width. Tap products and
-    their accumulation order match :func:`sample_table_block` op-for-op
-    (compiled FMA fusion may differ by ≤1 ulp, the fused-raster
-    tolerance class)."""
+def block_prep(table: BlockTable, u, v) -> dict:
+    """XLA-side prep for in-kernel block-table blending: the per-pixel
+    block-row gather + one batched transpose to (NT, 128, NPX) (taps on
+    sublanes, pixels on lanes) + the footprint planes the blend needs.
+    Shared by :func:`sample_table_block_pallas` and the fused sampled-
+    shade kernel (ops/shading_pallas.shade_sampled_pallas)."""
     nt, npx = u.shape
     h, w = table.height, table.width
     b = BLOCK_B
@@ -299,6 +327,62 @@ def sample_table_block_pallas(table: BlockTable, u, v,
     q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
     # One batched block transpose: taps (minor 128) ↔ pixels (npx lanes).
     qt = jnp.transpose(q.reshape(nt, npx, 128), (0, 2, 1))
+    return {
+        "kind": "block",
+        "qt": qt,
+        "lx": (x0i % b).reshape(nt, npx),
+        "ly": (y0i % b).reshape(nt, npx),
+        "tx": tx.reshape(nt, npx),
+        "ty": ty.reshape(nt, npx),
+        "present": table.present,
+        "cpad": cpad,
+    }
+
+
+def small_prep(table: QuadTable, u, v) -> dict:
+    """XLA-side prep for the in-kernel small-table MXU sample: the padded
+    f32 quad table + footprint planes (same contract as
+    :func:`sample_rows_small_pallas`)."""
+    assert table.quads.dtype == jnp.uint8, "MXU path needs u8 tables"
+    rows = table.quads.shape[0]
+    rows_pad = max(8, -(-rows // 8) * 8)
+    texf = table.quads.astype(jnp.float32)  # integer-valued: bf16-exact
+    if rows_pad != rows:
+        texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))
+    idx, tx, ty = _footprint(u, v, table.height, table.width)
+    return {
+        "kind": "small",
+        "tex": texf,
+        "idx": idx,
+        "tx": tx,
+        "ty": ty,
+        "present": table.present,
+        "cpad": table.quads.shape[1] // 4,
+        "rows": rows_pad,
+    }
+
+
+def sample_table_block_pallas(table: BlockTable, u, v,
+                              interpret: bool = False) -> dict:
+    """Block-table sampling with the blend fused into one Pallas pass.
+
+    The XLA blend (:func:`sample_table_block`) materializes each of its
+    ~100 (1, N)-sliced intermediates through HBM across fusion
+    boundaries, which eats the block table's 2× gather win
+    (docs/PERFORMANCE.md). Here the gathered rows transpose once to
+    (NT, 128, NPX) — taps on sublanes, pixels on lanes — and the whole
+    25-tap × C blend runs in VMEM at full lane width. Tap products and
+    their accumulation order match :func:`sample_table_block` op-for-op
+    (compiled FMA fusion may differ by ≤1 ulp, the fused-raster
+    tolerance class)."""
+    nt, npx = u.shape
+    cpad = _ceil4(len(table.present))
+    prep = block_prep(table, u, v)
+    qt = prep["qt"]
+    x0i_b = prep["lx"].reshape(-1)
+    y0i_b = prep["ly"].reshape(-1)
+    tx = prep["tx"].reshape(-1)
+    ty = prep["ty"].reshape(-1)
 
     g = min(BLOCK_TILE_BATCH, nt)
     nt_pad = -(-nt // g) * g
@@ -337,7 +421,7 @@ def sample_table_block_pallas(table: BlockTable, u, v,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qt, plane(x0i % b), plane(y0i % b), plane(tx), plane(ty))
+    )(qt, plane(x0i_b), plane(y0i_b), plane(tx), plane(ty))
     if n_out == 1 and not isinstance(out, (list, tuple)):
         out = [out]
     return {

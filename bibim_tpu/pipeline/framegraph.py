@@ -371,6 +371,59 @@ def _scene_record_table(soup, setup, settings: RenderSettings):
     )
 
 
+def _is_quad_tuple(m) -> bool:
+    """True for a single material binding made of Quad/Block tables — the
+    shape the fused sampled-shade kernel consumes."""
+    return (isinstance(m, (tuple, list)) and bool(m)
+            and all(isinstance(t, (tq.QuadTable, tq.BlockTable))
+                    for t in m))
+
+
+def _sampled_hdr(px, materials, lights, view_block,
+                 settings: RenderSettings, light_vis, gbuffer_mode: bool):
+    """ONE Pallas pass from sampled materials to masked HDR planes:
+    block-table blend + small-table MXU select + normal map + (deferred)
+    G-buffer masking/fp16 quantization + the GGX light loop
+    (ops/shading_pallas.shade_sampled_pallas). Replaces the
+    [_sample_materials → apply_normal_map → _q16 → shade] chain on the
+    production TPU path — every plane between the texture gather and the
+    HDR output stays in VMEM."""
+    from bibim_tpu.ops.shading_pallas import (
+        SAMPLED_SMALL_ROWS,
+        shade_sampled_pallas,
+    )
+
+    u, v = px.uv
+    groups = []
+    for t in materials:
+        rows_pad = max(8, -(-t.height * t.width // 8) * 8)
+        if isinstance(t, tq.BlockTable):
+            groups.append(tq.block_prep(t, u, v))
+        elif (isinstance(t, tq.QuadTable) and t.quads.dtype == jnp.uint8
+              and rows_pad <= SAMPLED_SMALL_ROWS):
+            groups.append(tq.small_prep(t, u, v))
+        else:
+            # Mid/large quad tables keep their standalone sampling path
+            # (MXU kernel or row gather); slots enter as direct planes.
+            if (isinstance(t, tq.QuadTable)
+                    and t.height * t.width <= tq.SMALL_ROWS
+                    and t.quads.dtype == jnp.uint8):
+                slots = tq.sample_table_small_pallas(
+                    t, u, v, settings.tile_h, settings.tile_w)
+            else:
+                slots = tq.sample_table_xla(t, u, v)
+            groups.append({"kind": "direct", "present": t.present,
+                           "planes": [slots[s] for s in t.present]})
+    vis_plane = light_vis[settings.shadow_light] if light_vis else None
+    return shade_sampled_pallas(
+        groups, px.world, px.normal, px.tangent, px.tri_id >= 0,
+        lights, view_block.view_pos, view_block.enable_normal_map,
+        vis_plane=vis_plane, vis_light=settings.shadow_light,
+        gbuffer_mode=gbuffer_mode,
+        quantize=gbuffer_mode and settings.quantize_fp16,
+    )
+
+
 def _planar_materials(m) -> bool:
     """True when the material binding samples planar (NT, NPX) planes
     shape-agnostically (quad tables); the legacy MaterialTextures /
@@ -478,6 +531,13 @@ def _forward_hdr(px, materials, lights, view_block, settings,
     materialize stage entirely). ``fused_shade`` runs the light loop in
     the single-pass Pallas kernel (production TPU path)."""
     valid = px.tri_id >= 0
+    if (fused_shade and _is_quad_tuple(materials)
+            and not (settings.enable_ibl and ibl is not None)):
+        # Sampling + normal map + lighting in ONE Pallas pass (no
+        # G-buffer, no quantize — forward_brdf.frag shades raw samples).
+        hdr3 = _sampled_hdr(px, materials, lights, view_block, settings,
+                            light_vis, gbuffer_mode=False)
+        return hdr3, valid
     slots = _sample_materials(materials, px, settings)
     albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
     nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
@@ -979,9 +1039,6 @@ def render_frame(
                              and settings.outputs != "full"),
             )
     else:
-        g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
-            px, materials, view_block, settings
-        )
         zero = jnp.zeros_like(px.depth)
 
         light_vis = None
@@ -991,61 +1048,87 @@ def render_frame(
             )
             light_vis = {settings.shadow_light: vis_plane}
             diags.append(sh_diag)
-        ambient = None
-        if settings.enable_ibl and ibl is not None:
-            from bibim_tpu.ops.ibl import ibl_ambient
 
-            view_dir = tuple(
-                view_block.view_pos[c] - g_pos[c] for c in range(3)
-            )
-            ambient = ibl_ambient(
-                ibl, g_nrm, view_dir, g_alb, g_mrah[0], g_mrah[1],
-                g_mrah[2], settings.tile_h, settings.tile_w,
-                use_pallas=_use_pallas(settings),
-            )
-            ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
-
-        if settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
-            # buffer_visualize.frag: raw G-buffer rgb into the HDR target.
-            viz_planes = {
-                GBufferViz.POSITION: g_pos,
-                GBufferViz.NORMAL: g_nrm,
-                GBufferViz.ALBEDO: g_alb,
-                GBufferViz.MRHA: g_mrah[:3],
-                GBufferViz.MATERIAL_INDEX: (
-                    jnp.where(valid, 1.0, 0.0), zero, zero
-                ),  # gbuffer.frag:32 placeholder
-            }
-            hdr3 = viz_planes[settings.gbuffer_viz]
-        elif _use_pallas(settings) and settings.outputs != "full":
-            # Production TPU path: lighting + quantize + tonemap fused in
-            # one Pallas pass ("full" debug outputs keep the XLA oracle
-            # chain, which also materializes the hdr intermediate).
-            ldr3_fused = _pbr_ldr_fused(
-                g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
-                view_block, frame_params, settings,
-                light_vis=light_vis, ambient=ambient,
+        if (settings.gbuffer_viz == GBufferViz.RENDERED_SCENE
+                and _use_pallas(settings) and settings.outputs != "full"
+                and not settings.enable_ibl and _is_quad_tuple(materials)):
+            # Production TPU path: sampling + normal map + fp16 G-buffer
+            # + lighting fused into ONE Pallas pass; only the hdr→fp16
+            # round trip + tonemap remain as a small XLA elementwise tail
+            # (Mosaic has no exp-parity guarantee vs XLA; see
+            # _pbr_ldr_fused).
+            hdr3_s = _sampled_hdr(px, materials, scene.lights, view_block,
+                                  settings, light_vis, gbuffer_mode=True)
+            hdr3_s = _q16(hdr3_s, settings.quantize_fp16)
+            ldr3_fused = tuple(
+                tone_map(c, frame_params.enable_tone_mapping,
+                         frame_params.exposure)
+                for c in hdr3_s
             )
             hdr3 = (zero, zero, zero)  # unused (ldr3_fused replaces it)
         else:
-            hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
-                            scene.lights, view_block,
-                            light_vis=light_vis, ambient=ambient)
+            g_pos, g_nrm, g_alb, g_mrah, valid = \
+                _materialize_gbuffer_planes(
+                    px, materials, view_block, settings
+                )
+            ambient = None
+            if settings.enable_ibl and ibl is not None:
+                from bibim_tpu.ops.ibl import ibl_ambient
 
-        if settings.outputs == "full":
-            gb = {
-                "position": jnp.stack(
-                    [_untile(c, settings) for c in g_pos], -1),
-                "normal": jnp.stack(
-                    [_untile(c, settings) for c in g_nrm], -1),
-                "albedo": jnp.stack(
-                    [_untile(c, settings) for c in g_alb], -1),
-                "mrah": jnp.stack(
-                    [_untile(c, settings) for c in g_mrah], -1),
-                "matindex": jnp.stack(
-                    [_untile(jnp.where(valid, 1.0, 0.0), settings),
-                     _untile(zero, settings), _untile(zero, settings)], -1),
-            }
+                view_dir = tuple(
+                    view_block.view_pos[c] - g_pos[c] for c in range(3)
+                )
+                ambient = ibl_ambient(
+                    ibl, g_nrm, view_dir, g_alb, g_mrah[0], g_mrah[1],
+                    g_mrah[2], settings.tile_h, settings.tile_w,
+                    use_pallas=_use_pallas(settings),
+                )
+                ambient = tuple(jnp.where(valid, a, 0.0) for a in ambient)
+
+            if settings.gbuffer_viz != GBufferViz.RENDERED_SCENE:
+                # buffer_visualize.frag: raw G-buffer rgb → HDR target.
+                viz_planes = {
+                    GBufferViz.POSITION: g_pos,
+                    GBufferViz.NORMAL: g_nrm,
+                    GBufferViz.ALBEDO: g_alb,
+                    GBufferViz.MRHA: g_mrah[:3],
+                    GBufferViz.MATERIAL_INDEX: (
+                        jnp.where(valid, 1.0, 0.0), zero, zero
+                    ),  # gbuffer.frag:32 placeholder
+                }
+                hdr3 = viz_planes[settings.gbuffer_viz]
+            elif _use_pallas(settings) and settings.outputs != "full":
+                # Production TPU path for bindings the sampled-shade
+                # kernel can't consume (mips, IBL ambient): lighting +
+                # quantize + tonemap fused in one Pallas pass ("full"
+                # debug outputs keep the XLA oracle chain, which also
+                # materializes the hdr intermediate).
+                ldr3_fused = _pbr_ldr_fused(
+                    g_pos, g_nrm, g_alb, g_mrah, valid, scene.lights,
+                    view_block, frame_params, settings,
+                    light_vis=light_vis, ambient=ambient,
+                )
+                hdr3 = (zero, zero, zero)  # ldr3_fused replaces it
+            else:
+                hdr3 = _pbr_hdr(g_pos, g_nrm, g_alb, g_mrah, valid,
+                                scene.lights, view_block,
+                                light_vis=light_vis, ambient=ambient)
+
+            if settings.outputs == "full":
+                gb = {
+                    "position": jnp.stack(
+                        [_untile(c, settings) for c in g_pos], -1),
+                    "normal": jnp.stack(
+                        [_untile(c, settings) for c in g_nrm], -1),
+                    "albedo": jnp.stack(
+                        [_untile(c, settings) for c in g_alb], -1),
+                    "mrah": jnp.stack(
+                        [_untile(c, settings) for c in g_mrah], -1),
+                    "matindex": jnp.stack(
+                        [_untile(jnp.where(valid, 1.0, 0.0), settings),
+                         _untile(zero, settings),
+                         _untile(zero, settings)], -1),
+                }
 
     if ldr3_fused is not None:
         ldr3 = ldr3_fused

@@ -120,3 +120,158 @@ class TestShadeTonemapPallas:
         )
         for c in range(3):
             assert (np.asarray(got[c]) == 0).all()
+
+
+def _assert_close_rel(want, got):
+    """Unquantized HDR can exceed 1.0, so tolerance scales with magnitude
+    (same ≤1-ulp-class bound as _assert_close, relative)."""
+    for c in range(3):
+        w = np.asarray(want[c])
+        diff = np.abs(w - np.asarray(got[c])) / (1.0 + np.abs(w))
+        assert (diff > 5e-5).mean() < 1e-3, diff.max()
+        assert diff.max() < 2e-3, diff.max()
+
+
+class TestShadeSampledPallas:
+    """Fused sampling+normal-map+quantize+shade kernel vs the oracle chain
+    (sample_material XLA → apply_normal_map → mask → fp16 → shade)."""
+
+    def _tables(self):
+        from bibim_tpu.ops import texture_quad as tq
+
+        rng = np.random.default_rng(11)
+
+        def m(h, w):
+            return rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+
+        maps = {
+            "metallic": m(64, 64), "roughness": m(64, 64),
+            "ao": m(64, 64), "height": m(64, 64),
+            "alb_r": m(16, 16), "alb_g": m(16, 16), "alb_b": m(16, 16),
+            "nrm_x": m(16, 16), "nrm_y": m(16, 16), "nrm_z": m(16, 16),
+        }
+        return tq.build_quad_tables(maps, block_threshold=1024)
+
+    def _px(self, seed=5):
+        rng = np.random.default_rng(seed)
+
+        def p(lo=0.0, hi=1.0):
+            return jnp.asarray(
+                rng.uniform(lo, hi, (NT, NPX)).astype(np.float32))
+
+        return dict(
+            u=p(-2, 3), v=p(-2, 3),
+            world=(p(-5, 5), p(-5, 5), p(-5, 5)),
+            normal=(p(-1, 1), p(-1, 1), p(-1, 1)),
+            tangent=(p(-1, 1), p(-1, 1), p(-1, 1)),
+            valid=jnp.asarray(rng.uniform(0, 1, (NT, NPX)) > 0.3),
+        )
+
+    def _oracle(self, tables, px, lights, vp, nm_enable, gbuffer_mode,
+                quantize, vis=None, vis_light=0):
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.ops.shading_planar import apply_normal_map
+
+        slots = tq.sample_material(tables, px["u"], px["v"],
+                                   use_pallas=False)
+        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+        normal = apply_normal_map(px["normal"], px["tangent"], nmap,
+                                  nm_enable)
+        valid = px["valid"]
+
+        def mq(x):
+            if gbuffer_mode:
+                x = jnp.where(valid, x, 0.0)
+            if quantize:
+                x = x.astype(jnp.float16).astype(jnp.float32)
+            return x
+
+        world = tuple(mq(c) for c in px["world"])
+        normal = tuple(mq(c) for c in normal)
+        albedo = tuple(mq(c) for c in albedo)
+        met, rough, ao = (mq(slots["metallic"]), mq(slots["roughness"]),
+                          mq(slots["ao"]))
+        light_vis = {vis_light: vis} if vis is not None else None
+        hdr = shade_pbr_planar(world, normal, albedo, met, rough, ao,
+                               lights, vp, light_vis=light_vis)
+        return tuple(jnp.where(valid, c, 0.0) for c in hdr)
+
+    def _got(self, tables, px, lights, vp, nm_enable, gbuffer_mode,
+             quantize, vis=None, vis_light=0):
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.ops.shading_pallas import shade_sampled_pallas
+
+        groups = []
+        for t in tables:
+            if isinstance(t, tq.BlockTable):
+                groups.append(tq.block_prep(t, px["u"], px["v"]))
+            else:
+                groups.append(tq.small_prep(t, px["u"], px["v"]))
+        return shade_sampled_pallas(
+            groups, px["world"], px["normal"], px["tangent"], px["valid"],
+            lights, vp, nm_enable, vis_plane=vis, vis_light=vis_light,
+            gbuffer_mode=gbuffer_mode, quantize=quantize, interpret=True,
+        )
+
+    def test_deferred_quantized_normal_map_on(self):
+        tables = self._tables()
+        px = self._px()
+        lights = _lights()
+        vp = jnp.asarray([0.0, 1.0, -3.0])
+        want = self._oracle(tables, px, lights, vp, jnp.int32(1), True,
+                            True)
+        got = self._got(tables, px, lights, vp, jnp.int32(1), True, True)
+        _assert_close(want, got)
+
+    def test_deferred_normal_map_off_with_vis(self):
+        tables = self._tables()
+        px = self._px(6)
+        rng = np.random.default_rng(9)
+        vis = jnp.asarray(rng.uniform(0, 1, (NT, NPX)).astype(np.float32))
+        lights = _lights()
+        vp = jnp.asarray([1.0, 2.0, 0.0])
+        want = self._oracle(tables, px, lights, vp, jnp.int32(0), True,
+                            True, vis=vis, vis_light=0)
+        got = self._got(tables, px, lights, vp, jnp.int32(0), True, True,
+                        vis=vis, vis_light=0)
+        _assert_close(want, got)
+
+    def test_forward_unquantized(self):
+        tables = self._tables()
+        px = self._px(7)
+        lights = _lights()
+        vp = jnp.asarray([0.0, 0.0, -2.0])
+        want = self._oracle(tables, px, lights, vp, jnp.int32(1), False,
+                            False)
+        got = self._got(tables, px, lights, vp, jnp.int32(1), False,
+                        False)
+        _assert_close_rel(want, got)
+
+    def test_direct_planes_group(self):
+        # Big-table groups sampled upstream enter as direct slot planes.
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.ops.shading_pallas import shade_sampled_pallas
+
+        tables = self._tables()
+        px = self._px(8)
+        lights = _lights()
+        vp = jnp.asarray([0.5, 0.5, -1.0])
+        want = self._oracle(tables, px, lights, vp, jnp.int32(1), True,
+                            True)
+        groups = []
+        for t in tables:
+            if isinstance(t, tq.BlockTable):
+                slots = tq.sample_table_block(t, px["u"], px["v"])
+                groups.append({
+                    "kind": "direct", "present": t.present,
+                    "planes": [slots[s] for s in t.present],
+                })
+            else:
+                groups.append(tq.small_prep(t, px["u"], px["v"]))
+        got = shade_sampled_pallas(
+            groups, px["world"], px["normal"], px["tangent"], px["valid"],
+            lights, vp, jnp.int32(1), gbuffer_mode=True, quantize=True,
+            interpret=True,
+        )
+        _assert_close(want, got)

@@ -314,3 +314,45 @@ def test_sharded_band_kernel_compiled(tpu_backend):
     diff = np.abs(a - b)
     assert diff.max() <= 1
     assert (diff > 0).any(axis=-1).mean() < 0.02
+
+
+def test_sampled_shade_kernel_compiled(tpu_backend):
+    """Production deferred image (ONE fused sampling+normal-map+quantize+
+    shade Pallas pass) vs the outputs='full' oracle chain (standalone
+    sampling kernels + XLA normal map/mask/fp16 + shade oracle)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, material_quads_from_set,
+        render_frame,
+    )
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(1),  # exercise the TBN path in-kernel
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = material_quads_from_set(create_pbr_material_set(),
+                                   scene.selected_material)
+    s = RenderSettings(width=W, height=H, outputs="image",
+                       show_gizmo=False, show_lights=False,
+                       max_candidates=1024, span_cap=64, overflow_cap=256)
+    prod = render_frame(scene.scene_data(), vb, fp, mats, None, s)
+    full = render_frame(scene.scene_data(), vb, fp, mats, None,
+                        dataclasses.replace(s, outputs="full"))
+    a = np.asarray(jax.device_get(prod["image"])).astype(np.int32)
+    b = np.asarray(jax.device_get(full["image"])).astype(np.int32)
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+    assert (diff > 0).any(axis=-1).mean() < 0.02
