@@ -432,8 +432,11 @@ def _resolve_winner(scratch, best_cand, rows, npx):
     cheaper than precision=HIGHEST. Only the _USED=59 record channels are
     resolved (lane-sliced to 64): the padding columns are zeros, and
     halving the matmul N dim halves the resolve FLOPs — the dominant term
-    of the kernel's MXU cost at production capacities. Returns (64, NPX):
-    row j = resolved record channel j (j < 64)."""
+    of the kernel's MXU cost at production capacities. (A stacked-K
+    single-dot variant — parts concatenated on K, one-hot replicated via
+    iota-mod-rows — measured 0.39 ms WORSE on the headline frame: the
+    (3R, NPX) one-hot build costs more VPU than the two extra dots.)
+    Returns (64, NPX): row j = resolved record channel j (j < 64)."""
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == best_cand
     ).astype(jnp.float32)
@@ -877,87 +880,117 @@ def _overlay_kernel(
     # inputs
     ov_ref,  # (OC, 128) f32 overflow records, VMEM
     tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
-    zkey_ref,  # (1, th, tw) int32 scene depth keys (compact)
-    lr_ref, lg_ref, lb_ref,  # (1, th, tw) f32 LDR planes (compact)
+    zkey_ref,  # (G, th, tw) int32 scene depth keys (compact)
+    lr_ref, lg_ref, lb_ref,  # (G, th, tw) f32 LDR planes (compact)
     # outputs
     or_ref, og_ref, ob_ref,
     # scratch
     slabs, sem,
-    *, tile_h, tile_w, tiles_x, oc, maxc,
+    *, tile_h, tile_w, tiles_x, oc, maxc, group,
 ):
     """Depth-tested flat-color overlay composite over a COMPACT tile list
     (light.vert/frag + main.cpp:138-148): same coverage/depth semantics as
     the main kernel, but the grid only visits tiles the overlay geometry
     touches — a full-frame pass for 3 light spheres costs a 2025-step grid
-    (~5 ms measured); this costs ~max_tiles steps."""
+    (~5 ms measured); this costs ~max_tiles/group steps. Like the main
+    kernel, each step processes ``group`` tiles to amortize the ~0.9 µs
+    fixed per-step cost (a 384-slot compact list at 1 tile/step measured
+    ~0.9 ms of pure overhead — most slots are idempotent duplicates)."""
     npx = tile_h * tile_w
     i = pl.program_id(0)
-    cnt = counts_ref[i]
     nb = nbig_ref[0]
-    nt = pl.num_programs(0)
+    n_steps = pl.num_programs(0)
     slot = lax.rem(i, 2)
 
-    def tile_dma(j, s):
+    def tile_dma(step, j, s):
         return pltpu.make_async_copy(
-            tab_ref.at[pl.ds(starts_ref[j], maxc), :],
-            slabs.at[s, pl.ds(oc, maxc), :],
-            sem.at[s],
+            tab_ref.at[pl.ds(starts_ref[step * group + j], maxc), :],
+            slabs.at[s, j, pl.ds(oc, maxc), :],
+            sem.at[s, j],
         )
+
+    def start_dma(step, j, s):
+        # Dead compact slots (count 0 — padding of a worst-frame-sized
+        # list) skip the record fetch entirely: an overlay list is mostly
+        # dead slots, and the per-step cost was DMA-latency-bound
+        # (~15 µs/step with 8 unconditional fetches).
+        @pl.when(counts_ref[step * group + j] > 0)
+        def _():
+            tile_dma(step, j, s).start()
 
     @pl.when(i == 0)
     def _():
-        slabs[0, 0:oc, :] = ov_ref[:]
-        slabs[1, 0:oc, :] = ov_ref[:]
-        tile_dma(0, 0).start()
+        for j in range(group):
+            slabs[0, j, 0:oc, :] = ov_ref[:]
+            slabs[1, j, 0:oc, :] = ov_ref[:]
+            start_dma(0, j, 0)
 
-    @pl.when(i + 1 < nt)
+    @pl.when(i + 1 < n_steps)
     def _():
-        tile_dma(i + 1, 1 - slot).start()
+        for j in range(group):
+            start_dma(i + 1, j, 1 - slot)
 
-    scratch = slabs.at[slot]
-    tid = ids_ref[i]
-    row = tid // tiles_x
-    col = lax.rem(tid, tiles_x)
     pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-    px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
-    py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
     chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
 
-    init_key = zkey_ref[0].reshape(1, npx) & _LOW3
-    carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
-    carry = _coverage_loop(scratch, px, py, chunk_idx, 0, nb, carry)
-    tile_dma(i, slot).wait()
-    _, best_cand = _coverage_loop(scratch, px, py, chunk_idx, oc, cnt, carry)
+    for j in range(group):
+        scratch = slabs.at[slot, j]
+        cnt = counts_ref[i * group + j]
+        tid = ids_ref[i * group + j]
+        row = tid // tiles_x
+        col = lax.rem(tid, tiles_x)
+        px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
+        py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
 
-    ldr = (lr_ref[0].reshape(1, npx), lg_ref[0].reshape(1, npx),
-           lb_ref[0].reshape(1, npx))
-    outs = (or_ref, og_ref, ob_ref)
-    any_hit = jnp.any(best_cand >= 0)
+        init_key = zkey_ref[j].reshape(1, npx) & _LOW3
+        carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
+        carry = _coverage_loop(scratch, px, py, chunk_idx, 0, nb, carry)
 
-    @pl.when(any_hit)
-    def _():
-        recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
+        @pl.when(cnt > 0)
+        def _(j=j):
+            tile_dma(i, j, slot).wait()
 
-        def r(j):
-            return recT[j : j + 1, :]
+        _, best_cand = _coverage_loop(scratch, px, py, chunk_idx, oc, cnt,
+                                      carry)
 
-        hit = r(_ID) >= 0.5
-        e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
-        e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
-        e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
-        esum = e0 + e1 + e2
-        inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum), approx=False)
-        b = (e0 * inv, e1 * inv, e2 * inv)
+        ldr = (lr_ref[j].reshape(1, npx), lg_ref[j].reshape(1, npx),
+               lb_ref[j].reshape(1, npx))
+        outs = (or_ref, og_ref, ob_ref)
+        any_hit = jnp.any(best_cand >= 0)
 
-        for c in range(3):
-            col3 = (r(_COL + 3 * c) * b[0] + r(_COL + 3 * c + 1) * b[1]
-                    + r(_COL + 3 * c + 2) * b[2])
-            outs[c][0] = jnp.where(hit, col3, ldr[c]).reshape(tile_h, tile_w)
+        def composite(scratch=scratch, best_cand=best_cand, px=px, py=py,
+                      ldr=ldr, j=j):
+            recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
 
-    @pl.when(jnp.logical_not(any_hit))
-    def _():
-        for c in range(3):
-            outs[c][0] = ldr[c].reshape(tile_h, tile_w)
+            def r(k):
+                return recT[k : k + 1, :]
+
+            hit = r(_ID) >= 0.5
+            e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
+            e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
+            e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
+            esum = e0 + e1 + e2
+            inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum),
+                                approx=False)
+            b = (e0 * inv, e1 * inv, e2 * inv)
+
+            for c in range(3):
+                col3 = (r(_COL + 3 * c) * b[0] + r(_COL + 3 * c + 1) * b[1]
+                        + r(_COL + 3 * c + 2) * b[2])
+                outs[c][j] = jnp.where(hit, col3, ldr[c]).reshape(
+                    tile_h, tile_w)
+
+        def passthrough(ldr=ldr, j=j):
+            for c in range(3):
+                outs[c][j] = ldr[c].reshape(tile_h, tile_w)
+
+        @pl.when(any_hit)
+        def _():
+            composite()
+
+        @pl.when(jnp.logical_not(any_hit))
+        def _():
+            passthrough()
 
 
 def composite_overlay_pallas(
@@ -974,6 +1007,7 @@ def composite_overlay_pallas(
     span_cap: int = 64,
     max_tiles: int = 512,
     pair_budget: int = 65536,
+    span_mid_cap: int | None = None,
     interpret: bool = False,
 ):
     """Composite depth-tested flat-color overlay geometry into LDR planes,
@@ -981,14 +1015,16 @@ def composite_overlay_pallas(
 
     Returns (ldr3', diag). Tiles beyond ``max_tiles`` are reported in
     diag.dropped_tiles (surfaced by utils.validation) instead of silently
-    losing overlay pixels — raise max_tiles if it fires."""
+    losing overlay pixels — raise max_tiles if it fires. ``span_mid_cap``
+    enables span-class binning (bin_pairs): overlay geometry is mostly
+    tiny triangles, so the pair sort shrinks ~span_cap/2-fold."""
     maxc = ((max_candidates + CHUNK - 1) // CHUNK) * CHUNK
     oc = ((overflow_cap + CHUNK - 1) // CHUNK) * CHUNK
     npx = tile_h * tile_w
 
     sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
         bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
-                  maxc, pair_budget=pair_budget)
+                  maxc, pair_budget=pair_budget, span_mid_cap=span_mid_cap)
     )
     nt = tiles_y * tiles_x
 
@@ -1009,20 +1045,32 @@ def composite_overlay_pallas(
     ids, dropped = _compact_tile_list(live, k_top)
     diag = diag._replace(dropped_tiles=dropped)
 
+    # Dead compact slots must not redo the first live tile's full
+    # coverage+resolve (an overlay list sized for the worst frame is
+    # mostly dead slots — 384 slots for ~30 sphere-covered tiles measured
+    # ~1 ms of duplicate work): zero their candidate counts so they take
+    # the passthrough branch, and drop their scatter writes (a dead
+    # slot's passthrough would otherwise race the live slot's composite
+    # at the same index).
+    n_live = jnp.minimum(jnp.sum(live, dtype=jnp.int32), k_top)
+    slot_live = jnp.arange(k_top, dtype=jnp.int32) < n_live
     starts_c = starts[ids]
-    counts_c = counts[ids]
+    counts_c = jnp.where(slot_live, counts[ids], 0)
+    scatter_ids = jnp.where(slot_live, ids, nt)  # nt = out of bounds
     zkey_c = zkey[ids].reshape(k_top, tile_h, tile_w)
     ldr_c = [c[ids].reshape(k_top, tile_h, tile_w) for c in ldr3]
 
+    group = next(g for g in (8, 4, 2, 1) if k_top % g == 0)
     kernel = functools.partial(
         _overlay_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        oc=oc, maxc=maxc,
+        oc=oc, maxc=maxc, group=group,
     )
-    plane_spec = pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+    plane_spec = pl.BlockSpec((group, tile_h, tile_w),
+                              lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(k_top,),
+        grid=(k_top // group,),
         in_specs=[
             pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1031,8 +1079,8 @@ def composite_overlay_pallas(
         ],
         out_specs=[plane_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, oc + maxc, REC_CH), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, group, oc + maxc, REC_CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
     out = pl.pallas_call(
@@ -1047,7 +1095,9 @@ def composite_overlay_pallas(
     )(ids, starts_c, counts_c, n_big[None], ov, pair_rec, zkey_c, *ldr_c)
 
     ldr_new = tuple(
-        ldr3[c].at[ids].set(out[c].reshape(k_top, npx)) for c in range(3)
+        ldr3[c].at[scatter_ids].set(out[c].reshape(k_top, npx),
+                                    mode="drop")
+        for c in range(3)
     )
     return ldr_new, diag
 

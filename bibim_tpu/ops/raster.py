@@ -107,6 +107,16 @@ def triangle_setup_planar(
     det = ec[0] * w0 + ec[1] * w1 + ec[2] * w2
     wmax = jnp.maximum(jnp.maximum(w0, w1), w2)
     valid = (det > 0.0) & (wmax > 1e-6)
+    # Exact depth-range cull: inside accepted coverage (e0,e1,e2 ≥ 0) the
+    # interpolated zn / zn−wn are NONNEGATIVE combinations of the corner
+    # values, so all corners z < 0 (beyond far) or all corners z > w
+    # (nearer than near) can never yield 0 ≤ zn ≤ wn. Without this,
+    # near-plane-straddling junk (e.g. a light sphere centered on the
+    # camera) floods the overflow list as conservative full-screen
+    # externals — ~0.9 ms of dead coverage loops at 1080p.
+    zmax = jnp.maximum(jnp.maximum(z[0], z[1]), z[2])
+    zw_min = jnp.minimum(jnp.minimum(z[0] - w0, z[1] - w1), z[2] - w2)
+    valid = valid & (zmax >= 0.0) & (zw_min <= 0.0)
 
     def max3(t):
         return jnp.maximum(jnp.maximum(jnp.abs(t[0]), jnp.abs(t[1])),
@@ -197,6 +207,12 @@ def triangle_setup(
     # would otherwise survive as a conservative full-screen "external"
     # triangle and flood the overflow list).
     valid = (det > 0.0) & (jnp.max(w, axis=-1) > 1e-6)
+    # Exact depth-range cull (see triangle_setup_planar): all corners
+    # z < 0 or all corners z > w can never pass 0 ≤ zn ≤ wn inside
+    # accepted coverage.
+    zc_pre = v[..., 2]
+    valid = valid & (jnp.max(zc_pre, axis=-1) >= 0.0) \
+        & (jnp.min(zc_pre - w, axis=-1) <= 0.0)
 
     # Scale-normalize all coefficients per triangle (common factor cancels in
     # coverage, bary, and depth) to keep f32 headroom.

@@ -193,6 +193,47 @@ def _bucket(x: int, floor: int = 64) -> int:
     return -(-x // g) * g
 
 
+def derive_overlay_tiles(lights_pos, view, proj, settings,
+                         radius: float = 0.1, margin: float = 1.5) -> int:
+    """Conservative screen-tile bound for the light-sphere overlay pass
+    (r=0.1 UV spheres at each light, main.cpp:950-967): project each
+    light's AABB corners; a sphere straddling the near plane falls back
+    to full screen. The compact overlay grid's per-step cost is real even
+    for dead slots, so a worst-frame-sized hand cap (384 tiles for ~30
+    covered) measured ~0.55 ms of pure padding at 1080p — this derives
+    the cap from the scene+camera like every other capacity (overflow
+    still fails loudly via BinDiag.dropped_tiles)."""
+    import numpy as np
+
+    nt = (-(-settings.width // settings.tile_w)
+          * -(-settings.height // settings.tile_h))
+    vp = np.asarray(proj, np.float64) @ np.asarray(view, np.float64)
+    tiles = 0
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+         for sz in (-1, 1)], np.float64) * radius
+    for p in np.asarray(lights_pos, np.float64):
+        pts = p[None, :] + corners  # (8,3)
+        h = np.concatenate([pts, np.ones((8, 1))], axis=1) @ vp.T  # (8,4)
+        if (h[:, 3] <= 1e-6).any():
+            return nt  # near-plane straddle: conservative full screen
+        ndc = h[:, :2] / h[:, 3:4]
+        x = (ndc[:, 0] * 0.5 + 0.5) * settings.width
+        y = (ndc[:, 1] * 0.5 + 0.5) * settings.height
+        x0 = int(np.clip(np.floor(x.min() / settings.tile_w), 0,
+                         settings.tiles_x - 1))
+        x1 = int(np.clip(np.floor(x.max() / settings.tile_w), 0,
+                         settings.tiles_x - 1))
+        y0 = int(np.clip(np.floor(y.min() / settings.tile_h), 0,
+                         settings.tiles_y - 1))
+        y1 = int(np.clip(np.floor(y.max() / settings.tile_h), 0,
+                         settings.tiles_y - 1))
+        if x.max() >= 0 and x.min() < settings.width \
+                and y.max() >= 0 and y.min() < settings.height:
+            tiles += (x1 - x0 + 1) * (y1 - y0 + 1)
+    return min(_bucket(int(tiles * margin) + 8, floor=64), nt)
+
+
 def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     """RenderSettings with capacities derived from a :class:`CapProbe`.
 
@@ -272,4 +313,16 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
                                   measure_coverage=False)
         probe = probe2._replace(covered_tiles=probe.covered_tiles)
         derived = derive_settings(base2, probe, margin=margin)
+    if derived.show_lights and getattr(scene, "lights", None) is not None \
+            and scene.lights.num_lights > 0:
+        derived = dataclasses.replace(
+            derived,
+            overlay_max_tiles=min(
+                derived.overlay_max_tiles,
+                derive_overlay_tiles(
+                    scene.lights.pos[: scene.lights.num_lights],
+                    view_block.view, view_block.proj, derived,
+                ),
+            ),
+        )
     return derived, probe

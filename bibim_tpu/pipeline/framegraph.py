@@ -620,6 +620,55 @@ def _pbr_ldr_fused(g_pos, g_nrm, g_alb, g_mrah, valid, lights, view_block,
     )
 
 
+def _light_sphere_planar_soup(lights: Lights, overlay: OverlayResources,
+                              view_proj):
+    """Corner-planar light-sphere geometry: modelMat = translate(light.pos)
+    (light.vert:11-12), flat per-instance light color. The legacy (V,3)/
+    (T,3) build was op-count-bound (~0.95 ms of ~1.3 µs/op dispatches at
+    1080p, tools/exp_overlay2.py) — corner-concatenated planes run the
+    same transform in ~25 dense ops."""
+    from bibim_tpu.ops.geometry import PlanarSoup
+
+    vs = overlay.sphere_positions  # (V,3) static unit mesh
+    tris = overlay.sphere_tris  # (F,3) static
+    num_l = lights.num_lights
+    f = tris.shape[0]
+    corner_idx = tris.T.reshape(-1)  # (3F,) corner-major, static gather
+    pcat = tuple(vs[:, k][corner_idx] for k in range(3))
+    wcat = tuple(
+        pcat[k][None, :] + lights.pos[:, k, None] for k in range(3)
+    )  # (L, 3F)
+    ccat = tuple(
+        view_proj[m, 0] * wcat[0] + view_proj[m, 1] * wcat[1]
+        + view_proj[m, 2] * wcat[2] + view_proj[m, 3]
+        for m in range(4)
+    )
+
+    def corners(xcat):  # (L, 3F) → 3 per-corner (L·F,) planes
+        return tuple(
+            jax.lax.slice_in_dim(xcat, c * f, (c + 1) * f,
+                                 axis=1).reshape(-1)
+            for c in range(3)
+        )
+
+    zeros = jnp.zeros((num_l * f,), jnp.float32)
+    zt = (zeros, zeros, zeros)
+    colc = tuple(
+        jnp.broadcast_to(lights.color[:, ch, None],
+                         (num_l, f)).reshape(-1)
+        for ch in range(3)
+    )
+    return PlanarSoup(
+        clip=tuple(corners(c) for c in ccat),
+        world=tuple(corners(w) for w in wcat),
+        normal=(zt, zt, zt),
+        tangent=(zt, zt, zt),
+        uv=(zt, zt),
+        color=tuple((c, c, c) for c in colc),
+        mat=zeros,
+    )
+
+
 def _composite_light_spheres(ldr3, zkey, lights: Lights,
                              overlay: OverlayResources, view_proj,
                              settings: RenderSettings, band=None):
@@ -628,31 +677,16 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
     the scene depth (continued via init_zkey), drawn after tone mapping.
 
     ``band`` = (band_h, y0) renders the band-local slice (sharded path)."""
-    num_l = lights.num_lights
-    vs = overlay.sphere_positions  # (V,3)
-    nv = vs.shape[0]
-    # modelMat = translate(light.pos) (light.vert:11-12)
-    world = (vs[None, :, :] + lights.pos[:, None, :]).reshape(-1, 3)
-    p4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
-    clip = jnp.einsum("vk,mk->vm", p4, view_proj,
-                      precision=jax.lax.Precision.HIGHEST)
-    offs = (jnp.arange(num_l, dtype=jnp.int32) * nv)[:, None, None]
-    tris = (overlay.sphere_tris[None] + offs).reshape(-1, 3)
-    colors = jnp.broadcast_to(
-        lights.color[:, None, :], (num_l, nv, 3)
-    ).reshape(-1, 3)
-
     height = settings.height
     y0 = None
     if band is not None:
         height, y0 = band
-    setup = triangle_setup(clip, tris, settings.width, settings.height,
-                           band_y0=y0, band_height=height if band else None)
-    zeros2 = jnp.zeros((world.shape[0], 2), jnp.float32)
-    zeros3 = jnp.zeros_like(world)
-    rec = fused.build_record_table(
-        setup, tris, zeros2, zeros3, zeros3, world, colors,
+    soup = _light_sphere_planar_soup(lights, overlay, view_proj)
+    setup = triangle_setup_planar(
+        soup.clip, settings.width, settings.height,
+        band_y0=y0, band_height=height if band else None,
     )
+    rec = fused.build_record_table_planar(setup, soup)
     if band is not None:
         rec = fused.shift_record_table_y(rec, y0)
     if _use_pallas(settings):
@@ -667,7 +701,13 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
             span_cap=32,
             max_tiles=min(settings.overlay_max_tiles,
                           settings.tiles_x * -(-height // settings.tile_h)),
+            # Sphere triangles are tiny (r=0.1): almost all fit SPAN_DENSE
+            # slots, so span-class binning shrinks the overlay pair sort
+            # ~16× (mid-list overflow is a validated capacity —
+            # dropped_pairs fails loudly).
+            span_mid_cap=256,
         )
+    clip, tris = planar_compat_clip(soup)
     px, _, diag = _raster(
         rec, setup, clip, tris, settings.width, height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
