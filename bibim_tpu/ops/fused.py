@@ -382,41 +382,47 @@ _OUT_FIELDS = (
 )
 
 
+def _chunk_test(blk, px, py, chunk_idx, k, base, count, carry):
+    """One CHUNK-row coverage/depth test: homogeneous edge tests,
+    reversed-Z GEQ packed-key resolve, later-candidate tie win. The body
+    shared (op-for-op) by every coverage loop variant."""
+    best_key, best_cand = carry
+
+    def coef(j):
+        return blk[:, j][:, None]  # (CHUNK, 1)
+
+    e0 = coef(_A + 0) * px + coef(_B + 0) * py + coef(_C + 0)
+    e1 = coef(_A + 1) * px + coef(_B + 1) * py + coef(_C + 1)
+    e2 = coef(_A + 2) * px + coef(_B + 2) * py + coef(_C + 2)
+    zn = coef(_ZC) * px + coef(_ZC + 1) * py + coef(_ZC + 2)
+    wn = coef(_WC) * px + coef(_WC + 1) * py + coef(_WC + 2)
+
+    live = (k + chunk_idx) < count
+    ok = (
+        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+        & (wn > 0.0) & (zn >= 0.0) & (zn <= wn)
+    )
+    z = zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False)
+    z = jnp.where(ok, z, -1.0)  # negative float → negative bits
+    zbits = pltpu.bitcast(z, jnp.int32)
+    key = (zbits & _LOW3) | chunk_idx  # later candidate wins ties
+    kmax = jnp.max(key, axis=0, keepdims=True)  # (1, NPX)
+
+    kz = kmax & _LOW3
+    accept = kz >= best_key  # int cmp == float cmp for z >= 0
+    cand = jnp.where(accept, base + k + (kmax & 7), best_cand)
+    return jnp.where(accept, kz, best_key), cand
+
+
 def _coverage_loop(scratch, px, py, chunk_idx, base, count, carry):
     """Chunked candidate coverage/depth loop over scratch rows
-    [base, base+count): homogeneous edge tests, reversed-Z GEQ packed-key
-    resolve, later-candidate tie win. Shared by the main fused kernel and
-    the compact overlay kernel."""
+    [base, base+count). Shared by the per-tile fused kernel and the
+    compact overlay kernel."""
 
     def body(c, carry):
-        best_key, best_cand = carry
         k = c * CHUNK
         blk = scratch[pl.ds(base + k, CHUNK), :]  # (CHUNK, 128)
-
-        def coef(j):
-            return blk[:, j][:, None]  # (CHUNK, 1)
-
-        e0 = coef(_A + 0) * px + coef(_B + 0) * py + coef(_C + 0)
-        e1 = coef(_A + 1) * px + coef(_B + 1) * py + coef(_C + 1)
-        e2 = coef(_A + 2) * px + coef(_B + 2) * py + coef(_C + 2)
-        zn = coef(_ZC) * px + coef(_ZC + 1) * py + coef(_ZC + 2)
-        wn = coef(_WC) * px + coef(_WC + 1) * py + coef(_WC + 2)
-
-        live = (k + chunk_idx) < count
-        ok = (
-            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
-            & (wn > 0.0) & (zn >= 0.0) & (zn <= wn)
-        )
-        z = zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False)
-        z = jnp.where(ok, z, -1.0)  # negative float → negative bits
-        zbits = pltpu.bitcast(z, jnp.int32)
-        key = (zbits & _LOW3) | chunk_idx  # later candidate wins ties
-        kmax = jnp.max(key, axis=0, keepdims=True)  # (1, NPX)
-
-        kz = kmax & _LOW3
-        accept = kz >= best_key  # int cmp == float cmp for z >= 0
-        cand = jnp.where(accept, base + k + (kmax & 7), best_cand)
-        return jnp.where(accept, kz, best_key), cand
+        return _chunk_test(blk, px, py, chunk_idx, k, base, count, carry)
 
     return lax.fori_loop(
         0, lax.div(count + (CHUNK - 1), CHUNK), body, carry, unroll=False
@@ -437,14 +443,18 @@ def _resolve_winner(scratch, best_cand, rows, npx):
     iota-mod-rows — measured 0.39 ms WORSE on the headline frame: the
     (3R, NPX) one-hot build costs more VPU than the two extra dots.)
     Returns (64, NPX): row j = resolved record channel j (j < 64)."""
+    # Both operands as TRUE bf16 arrays (halves the one-hot's VMEM
+    # footprint; native-rate dots). Still exact: each split part is
+    # bf16-valued by construction, the one-hot is 0/1, and accumulation
+    # stays f32.
     oh = (
         lax.broadcasted_iota(jnp.int32, (rows, npx), 0) == best_cand
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     t = scratch[:, :64]
-    hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = t - hi
-    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = rem - mid
+    hi = t.astype(jnp.bfloat16)
+    rem = t - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(part):
         return lax.dot_general(
@@ -615,6 +625,202 @@ def _fused_kernel(
             resolve()
 
 
+def _fused_kernel_gw(
+    # scalar prefetch: tile slot → screen tile / window-local candidate
+    # base (8-aligned) / effective count; per-step window start row; n_big
+    ids_ref, lbase_ref, counts_ref, nbig_ref, win_ref,
+    # inputs
+    ov_ref,  # (OC, 128) f32 overflow records, VMEM
+    tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
+    init_ref,  # (G, th, tw) int32 initial depth keys
+    *refs,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    oc: int,
+    gcap: int,
+    skip_empty: bool,
+    group: int,
+):
+    """GROUP-WINDOW variant of :func:`_fused_kernel` (single-pass configs).
+
+    The per-tile kernel issues 3 resolve dots and a record DMA per tile —
+    at group=8 that is 24 small matmuls per grid step, and their ~0.4 µs
+    fixed cost dominates the step (tools exp_resolve: removing two of the
+    three split dots saved 0.4 ms over 128 steps). The sorted pair list
+    is contiguous in compact-id order, so the whole group's candidates
+    are ONE window: one DMA per step into a shared scratch, each tile
+    covering its own (8-aligned) subrange, and ONE 3-dot resolve over the
+    group's concatenated pixels (K = oc+gcap ≈ the group's actual pair
+    sum, not group × max_candidates). Attribute blends also run once on
+    (1, group·NPX) planes. Alignment prefix rows belong to the previous
+    tile: testing them is exact-noop (coverage ⊆ bbox → no pixel of this
+    tile), and duplicated pairs resolve to identical records."""
+    zkey_out = refs[0]
+    outs = dict(zip(_OUT_FIELDS, refs[1 : 1 + len(_OUT_FIELDS)]))
+    slabs, sem = refs[1 + len(_OUT_FIELDS) :]
+    npx = tile_h * tile_w
+
+    i = pl.program_id(0)
+    nb = nbig_ref[0]
+    n_steps = pl.num_programs(0)
+    slot = lax.rem(i, 2)
+
+    def win_dma(step, s):
+        return pltpu.make_async_copy(
+            tab_ref.at[pl.ds(win_ref[step], gcap), :],
+            slabs.at[s, pl.ds(oc, gcap), :],
+            sem.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        slabs[0, 0:oc, :] = ov_ref[:]
+        slabs[1, 0:oc, :] = ov_ref[:]
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        win_dma(i + 1, 1 - slot).start()
+
+    scratch = slabs.at[slot]
+    pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+
+    pxs, pys, carries = [], [], []
+    for j in range(group):
+        tid = ids_ref[i * group + j]
+        row = tid // tiles_x
+        col = lax.rem(tid, tiles_x)
+        px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
+        py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
+        pxs.append(px)
+        pys.append(py)
+        init_key = init_ref[j].reshape(1, npx) & _LOW3
+        carries.append((init_key, jnp.full((1, npx), -1, jnp.int32)))
+
+    # ONE overflow loop for the whole group (the prefix rows are shared,
+    # so each chunk is read once) — a dynamic fori_loop costs µs-scale
+    # fixed overhead, and the per-tile formulation paid it 16× per step.
+    def ov_body(c, carries):
+        k = c * CHUNK
+        blk = scratch[pl.ds(k, CHUNK), :]
+        return tuple(
+            _chunk_test(blk, pxs[j], pys[j], chunk_idx, k, 0, nb,
+                        carries[j])
+            for j in range(group)
+        )
+
+    carries = lax.fori_loop(
+        0, lax.div(nb + (CHUNK - 1), CHUNK), ov_body, tuple(carries),
+        unroll=False,
+    )
+    win_dma(i, slot).wait()
+
+    # ONE candidate loop for the whole group, bound by the group's max
+    # count; exhausted tiles mask dead rows via their own live predicate.
+    bases = [oc + lbase_ref[i * group + j] for j in range(group)]
+    cnts = [counts_ref[i * group + j] for j in range(group)]
+    max_cnt = cnts[0]
+    for j in range(1, group):
+        max_cnt = jnp.maximum(max_cnt, cnts[j])
+
+    def cand_body(c, carries):
+        k = c * CHUNK
+        new = []
+        for j in range(group):
+            blk = scratch[pl.ds(bases[j] + k, CHUNK), :]
+            new.append(
+                _chunk_test(blk, pxs[j], pys[j], chunk_idx, k, bases[j],
+                            cnts[j], carries[j])
+            )
+        return tuple(new)
+
+    carries = lax.fori_loop(
+        0, lax.div(max_cnt + (CHUNK - 1), CHUNK), cand_body,
+        tuple(carries), unroll=False,
+    )
+
+    cands = []
+    for j in range(group):
+        best_key, best_cand = carries[j]
+        zkey_out[j] = best_key.reshape(tile_h, tile_w)
+        cands.append(best_cand)
+
+    px_all = jnp.concatenate(pxs, axis=1)  # (1, group·npx)
+    py_all = jnp.concatenate(pys, axis=1)
+    cand_all = jnp.concatenate(cands, axis=1)
+
+    def resolve():
+        recT = _resolve_winner(scratch, cand_all, oc + gcap, group * npx)
+
+        def r(k):
+            return recT[k : k + 1, :]  # (1, group·npx)
+
+        idf = r(_ID)
+        hit = idf >= 0.5
+        e0 = r(_A + 0) * px_all + r(_B + 0) * py_all + r(_C + 0)
+        e1 = r(_A + 1) * px_all + r(_B + 1) * py_all + r(_C + 1)
+        e2 = r(_A + 2) * px_all + r(_B + 2) * py_all + r(_C + 2)
+        esum = e0 + e1 + e2
+        inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum),
+                            approx=False)
+        b0 = jnp.where(hit, e0 * inv, 0.0)
+        b1 = jnp.where(hit, e1 * inv, 0.0)
+        b2 = jnp.where(hit, e2 * inv, 0.0)
+
+        zn = r(_ZC) * px_all + r(_ZC + 1) * py_all + r(_ZC + 2)
+        wn = r(_WC) * px_all + r(_WC + 1) * py_all + r(_WC + 2)
+        depth = jnp.where(
+            hit,
+            zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
+                               approx=False),
+            0.0,
+        )
+
+        def blend(base):
+            return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
+
+        vals = {
+            "depth": depth,
+            "idf": idf,
+            "u": blend(_U),
+            "v": blend(_V),
+            "nx": blend(_N), "ny": blend(_N + 3), "nz": blend(_N + 6),
+            "tx": blend(_T), "ty": blend(_T + 3), "tz": blend(_T + 6),
+            "wx": blend(_W), "wy": blend(_W + 3), "wz": blend(_W + 6),
+            "cr": blend(_COL), "cg": blend(_COL + 3),
+            "cb": blend(_COL + 6),
+            "matf": r(_MAT),
+            "b0": b0,
+            "b1": b1,
+        }
+        for name in _OUT_FIELDS:
+            v = vals[name]
+            for j in range(group):
+                outs[name][j] = v[:, j * npx : (j + 1) * npx].reshape(
+                    tile_h, tile_w
+                )
+
+    def write_empty():
+        for name in _OUT_FIELDS:
+            for j in range(group):
+                outs[name][j] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    if skip_empty:
+        any_hit = jnp.any(cand_all >= 0)
+
+        @pl.when(any_hit)
+        def _():
+            resolve()
+
+        @pl.when(jnp.logical_not(any_hit))
+        def _():
+            write_empty()
+    else:
+        resolve()
+
+
 def _pixels_from_fields(f: dict) -> FusedPixels:
     hit = f["idf"] >= 0.5
     b0, b1 = f["b0"], f["b1"]
@@ -649,6 +855,10 @@ def raster_fused_pallas(
     dense_tile_cap: int | None = None,  # compact-grid size for passes ≥ 1
     raster_tile_cap: int | None = None,  # compact-grid size for pass 0
     span_mid_cap: int | None = None,  # span-class binning (bin_pairs)
+    group_pair_cap: int | None = None,  # group-window kernel (pass 0,
+    # single-pass configs): static row budget for one tile-group's
+    # contiguous candidate window — a validated capacity (window overflow
+    # counts into dropped_cap). None = per-tile-window kernel.
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -684,9 +894,15 @@ def raster_fused_pallas(
 
     # Gather pair records once, pad so any DMA window of any pass stays in
     # bounds.
+    use_gw = group_pair_cap is not None and passes == 1
+    gcap = 0
+    if use_gw:
+        gcap = ((group_pair_cap + CHUNK - 1) // CHUNK) * CHUNK
     pair_rec = rec_table[sorted_tri]
     pair_rec = jnp.concatenate(
-        [pair_rec, jnp.zeros((maxc * passes, REC_CH), jnp.float32)], axis=0
+        [pair_rec,
+         jnp.zeros((max(maxc * passes, gcap), REC_CH), jnp.float32)],
+        axis=0,
     )
     ov = rec_table[jnp.maximum(big_ids, 0)] * (
         big_ids >= 0
@@ -749,13 +965,60 @@ def raster_fused_pallas(
             interpret=interpret,
         )
 
+    def make_call_gw(k, group):
+        kernel = functools.partial(
+            _fused_kernel_gw,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            oc=oc,
+            gcap=gcap,
+            skip_empty=skip_empty,
+            group=group,
+        )
+        plane_spec = pl.BlockSpec((group, tile_h, tile_w),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            plane_spec,  # initial depth keys (zeros = clear)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(k // group,),
+            in_specs=in_specs,
+            out_specs=[plane_spec] * n_out,
+            scratch_shapes=[
+                pltpu.VMEM((2, oc + gcap, REC_CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
+            + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
+            * len(_OUT_FIELDS),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # The group-pixel one-hot ((oc+gcap) × group·NPX f32)
+                # exceeds the default 16 MB scope.
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
     fields = None
     zkey = init_zkey
     arange_nt = jnp.arange(nt, dtype=jnp.int32)
     dropped_dense = jnp.int32(0)
+    dropped_win = jnp.int32(0)
     for p in range(passes):
         # Big (overflow) triangles are tested in pass 0 only.
         nb_p = n_big if p == 0 else jnp.int32(0)
+        scatter_ids = None  # pass-0 compaction: drop-mode scatter targets
         if p == 0 and raster_tile_cap is not None and raster_tile_cap <= nt:
             # Pass-0 compaction: only tiles that can have geometry — own
             # candidates or conservative big-triangle cover — get a grid
@@ -767,8 +1030,15 @@ def raster_fused_pallas(
             k = raster_tile_cap
             ids, dropped0 = _compact_tile_list(live0, k)
             dropped_dense = dropped_dense + dropped0
+            # Dead slots (padding of a worst-frame-sized list) do no work
+            # and their writes drop, instead of recomputing the first
+            # live tile.
+            n_live = jnp.minimum(jnp.sum(live0, dtype=jnp.int32), k)
+            slot_live = jnp.arange(k, dtype=jnp.int32) < n_live
+            scatter_ids = jnp.where(slot_live, ids, nt)
             starts_p = starts[ids]
-            counts_p = jnp.minimum(counts[ids], maxc)
+            counts_p = jnp.where(slot_live, jnp.minimum(counts[ids], maxc),
+                                 0)
             zk_in = zkey[ids].reshape(k, tile_h, tile_w)
         elif p == 0:
             k, ids = nt, arange_nt
@@ -788,19 +1058,39 @@ def raster_fused_pallas(
             starts_p = starts[ids] + p * maxc
             counts_p = jnp.clip(counts[ids] - p * maxc, 0, maxc)
             zk_in = zkey[ids].reshape(k, tile_h, tile_w)
-        out = make_call(k)(
-            ids, starts_p, counts_p, nb_p[None], ov, pair_rec, zk_in
-        )
+        if p == 0 and use_gw:
+            # Group-window path: each group of `group` compact slots
+            # fetches ONE contiguous candidate window (the sorted pair
+            # list is contiguous in compact-id order) and resolves all
+            # its pixels with one 3-dot matmul. Per-tile bases are
+            # 8-aligned downward — prefix rows belong to earlier tiles
+            # and cannot cover this tile (coverage ⊆ bbox).
+            group = next(g for g in (8, 4, 2, 1) if k % g == 0)
+            win = starts_p.reshape(k // group, group)[:, 0]
+            lb = jnp.clip(starts_p - jnp.repeat(win, group), 0, gcap)
+            kept = jnp.clip(gcap - lb, 0, counts_p)
+            dropped_win = dropped_win + jnp.sum(counts_p - kept)
+            lb_al = (lb // CHUNK) * CHUNK
+            cnt_k = kept + (lb - lb_al)
+            out = make_call_gw(k, group)(
+                ids, lb_al, cnt_k, nb_p[None], win, ov, pair_rec, zk_in
+            )
+        else:
+            out = make_call(k)(
+                ids, starts_p, counts_p, nb_p[None], ov, pair_rec, zk_in
+            )
         zk_new = out[0].reshape(k, npx)
         fields_p = {
             f: v.reshape(k, npx) for f, v in zip(_OUT_FIELDS, out[1:])
         }
         if p == 0 and k < nt:
             # Unlisted tiles keep clear/init depth (masked like the
-            # kernel's own writes) and miss-valued (zero) fields.
-            zkey = (zkey & _LOW3).at[ids].set(zk_new)
+            # kernel's own writes) and miss-valued (zero) fields; dead
+            # compact slots drop their writes (out-of-bounds target).
+            zkey = (zkey & _LOW3).at[scatter_ids].set(zk_new, mode="drop")
             fields = {
-                f: jnp.zeros((nt, npx), jnp.float32).at[ids].set(fields_p[f])
+                f: jnp.zeros((nt, npx), jnp.float32).at[scatter_ids].set(
+                    fields_p[f], mode="drop")
                 for f in fields_p
             }
         elif p == 0:
@@ -814,7 +1104,10 @@ def raster_fused_pallas(
                 )
                 for f in fields
             }
-    diag = diag._replace(dropped_tiles=diag.dropped_tiles + dropped_dense)
+    diag = diag._replace(
+        dropped_cap=diag.dropped_cap + dropped_win,
+        dropped_tiles=diag.dropped_tiles + dropped_dense,
+    )
     return _pixels_from_fields(fields), zkey, diag
 
 

@@ -54,6 +54,8 @@ class CapProbe(NamedTuple):
     # entry sizes the span-class mid list (fused.SPAN_DENSE).
     span_big: tuple = ()  # ((span, n_big, pairs), ...)
     n_tris: int = 0
+    group_win: int = 0  # worst 8-consecutive-live-tile candidate window
+    # (sizes the group-window kernel's group_pair_cap)
 
 
 @functools.partial(
@@ -133,6 +135,18 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
             jnp.where(setup.valid & (area <= k), area, 0)
         )
 
+    # Worst group window: the group-window kernel fetches each 8-tile
+    # compact group's contiguous candidate range in one DMA — its static
+    # budget must cover the largest sum over 8 consecutive live tiles.
+    ids_all, _ = fused._compact_tile_list(live0, nt)
+    c_live = jnp.where(
+        jnp.arange(nt, dtype=jnp.int32) < bin_live, counts[ids_all], 0
+    )
+    pad = (-nt) % 8
+    if pad:
+        c_live = jnp.pad(c_live, (0, pad))
+    group_win = jnp.max(c_live.reshape(-1, 8).sum(axis=1))
+
     out = {
         "n_tris": jnp.sum(setup.valid.astype(jnp.int32)) * 0
         + jnp.int32(n_tris),
@@ -141,6 +155,7 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         "total_pairs": jnp.sum(counts),
         "n_big": n_big,
         "covered_tiles": bin_live,
+        "group_win": group_win,
         **span_stats,
     }
     if measure_coverage:
@@ -182,6 +197,7 @@ def probe_frame_caps(scene, view_block, settings,
             for k in (2, 4, 8, 16)
         ),
         n_tris=out["n_tris"],
+        group_win=out["group_win"],
     )
 
 
@@ -281,6 +297,17 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
                 <= 0.75 * t * span_cap):
             span_mid = cap
 
+    # Group-window kernel: measured NEUTRAL on the headline frame (one
+    # window DMA + one 3-dot resolve per group costs as many FLOPs as it
+    # saves in fixed per-dot overhead — the shared window makes every
+    # pixel's one-hot span the group's rows). Derivation stays opt-in:
+    # pass a group_pair_cap-bearing settings object to use it.
+    group_pair = settings.group_pair_cap
+    if group_pair is not None and passes == 1 and probe.group_win > 0:
+        group_pair = _bucket(int(probe.group_win * margin) + 8, floor=64)
+    elif passes != 1:
+        group_pair = None
+
     return dataclasses.replace(
         settings,
         max_candidates=mc,
@@ -291,6 +318,7 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
         pair_budget=_bucket(int(pairs * margin), floor=4096),
         live_tile_cap=live if live < probe.n_tiles else None,
         raster_tile_cap=raster if raster < probe.n_tiles else None,
+        group_pair_cap=group_pair,
     )
 
 

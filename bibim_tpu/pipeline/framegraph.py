@@ -181,6 +181,11 @@ class RenderSettings:
     # conservative big-triangle cover get a kernel step (None = full
     # grid). Another validated capacity (BinDiag.dropped_tiles).
     raster_tile_cap: int | None = None
+    # Group-window raster kernel (single-pass configs): one contiguous
+    # candidate-window DMA + one 3-dot resolve per 8-tile group instead
+    # of per tile. Static row budget for a group's window — a validated
+    # capacity (overflow → BinDiag.dropped_cap); autotune derives it.
+    group_pair_cap: int | None = None
     # Scenes built via batch_from_mesh are de-indexed (triangle list is a
     # global arange), letting corner fetches be reshapes instead of
     # gathers. Set False for hand-built DrawBatches with shared vertices.
@@ -249,6 +254,8 @@ def _raster(rec_table, setup, clip, tris, width, height,
             raster_tile_cap=(settings.raster_tile_cap if main_pass
                              else None),
             span_mid_cap=(settings.span_mid_cap if main_pass else None),
+            group_pair_cap=(settings.group_pair_cap if main_pass
+                            else None),
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,

@@ -452,3 +452,40 @@ class TestVmemSort:
 
         assert sp.pack_bits(2025, 1 << 19) is not None
         assert sp.pack_bits(1 << 14, 1 << 20) is None  # 15+20 bits > 30
+
+
+class TestGroupWindowKernel:
+    """The group-window kernel (one contiguous candidate-window DMA + one
+    3-dot resolve per tile group) must produce the identical image to the
+    per-tile-window kernel, with and without pass-0 compaction."""
+
+    def test_matches_per_tile_kernel(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        base = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True, **CAPS
+        )
+        nt = (H // TH) * TX
+        # Window budget covering the worst 8-tile group at these caps
+        # (every tile of this close-up frame is live, so the compact list
+        # must hold all of them).
+        gw = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
+            group_pair_cap=8192, raster_tile_cap=nt, **CAPS
+        )
+        assert int(gw[2].dropped_cap) == 0
+        assert int(gw[2].dropped_tiles) == 0
+        for a, b in zip(jax.tree_util.tree_leaves(base[0]),
+                        jax.tree_util.tree_leaves(gw[0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(gw[1]))
+
+    def test_window_overflow_is_counted(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        _, _, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
+            group_pair_cap=64, **CAPS
+        )
+        # A deliberately tiny window must report (not silently eat) the
+        # candidates it cannot fetch.
+        assert int(diag.dropped_cap) > 0
