@@ -381,6 +381,32 @@ _OUT_FIELDS = (
     "wx", "wy", "wz", "cr", "cg", "cb", "matf", "b0", "b1",
 )
 
+# Per-field value thunks for the resolve stage: (depth_val, blend, r,
+# idf, b0, b1) → plane. Only the fields a call emits are computed —
+# static output pruning drops both the blend math and the output DMA
+# (the production deferred path never reads depth/color/bary planes).
+_FIELD_VALS = {
+    "depth": lambda d, bl, r, idf, b0, b1: d(),
+    "idf": lambda d, bl, r, idf, b0, b1: idf,
+    "u": lambda d, bl, r, idf, b0, b1: bl(_U),
+    "v": lambda d, bl, r, idf, b0, b1: bl(_V),
+    "nx": lambda d, bl, r, idf, b0, b1: bl(_N),
+    "ny": lambda d, bl, r, idf, b0, b1: bl(_N + 3),
+    "nz": lambda d, bl, r, idf, b0, b1: bl(_N + 6),
+    "tx": lambda d, bl, r, idf, b0, b1: bl(_T),
+    "ty": lambda d, bl, r, idf, b0, b1: bl(_T + 3),
+    "tz": lambda d, bl, r, idf, b0, b1: bl(_T + 6),
+    "wx": lambda d, bl, r, idf, b0, b1: bl(_W),
+    "wy": lambda d, bl, r, idf, b0, b1: bl(_W + 3),
+    "wz": lambda d, bl, r, idf, b0, b1: bl(_W + 6),
+    "cr": lambda d, bl, r, idf, b0, b1: bl(_COL),
+    "cg": lambda d, bl, r, idf, b0, b1: bl(_COL + 3),
+    "cb": lambda d, bl, r, idf, b0, b1: bl(_COL + 6),
+    "matf": lambda d, bl, r, idf, b0, b1: r(_MAT),
+    "b0": lambda d, bl, r, idf, b0, b1: b0,
+    "b1": lambda d, bl, r, idf, b0, b1: b1,
+}
+
 
 def _chunk_test(blk, px, py, chunk_idx, k, base, count, carry):
     """One CHUNK-row coverage/depth test: homogeneous edge tests,
@@ -494,10 +520,11 @@ def _fused_kernel(
     maxc: int,
     skip_empty: bool,
     group: int,
+    out_fields: tuple = _OUT_FIELDS,
 ):
     zkey_out = refs[0]
-    outs = dict(zip(_OUT_FIELDS, refs[1 : 1 + len(_OUT_FIELDS)]))
-    slabs, sem = refs[1 + len(_OUT_FIELDS) :]
+    outs = dict(zip(out_fields, refs[1 : 1 + len(out_fields)]))
+    slabs, sem = refs[1 + len(out_fields) :]
     npx = tile_h * tile_w
 
     i = pl.program_id(0)
@@ -570,43 +597,26 @@ def _fused_kernel(
             b1 = jnp.where(hit, e1 * inv, 0.0)
             b2 = jnp.where(hit, e2 * inv, 0.0)
 
-            zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
-            wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
-            depth = jnp.where(
-                hit,
-                zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
-                                   approx=False),
-                0.0,
-            )
+            def depth_val():
+                zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
+                wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
+                return jnp.where(
+                    hit,
+                    zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
+                                       approx=False),
+                    0.0,
+                )
 
             def blend(base):
                 return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
 
-            def put(name, val):
-                outs[name][j] = val.reshape(tile_h, tile_w)
-
-            put("depth", depth)
-            put("idf", idf)
-            put("u", blend(_U))
-            put("v", blend(_V))
-            put("nx", blend(_N))
-            put("ny", blend(_N + 3))
-            put("nz", blend(_N + 6))
-            put("tx", blend(_T))
-            put("ty", blend(_T + 3))
-            put("tz", blend(_T + 6))
-            put("wx", blend(_W))
-            put("wy", blend(_W + 3))
-            put("wz", blend(_W + 6))
-            put("cr", blend(_COL))
-            put("cg", blend(_COL + 3))
-            put("cb", blend(_COL + 6))
-            put("matf", r(_MAT))
-            put("b0", b0)
-            put("b1", b1)
+            for name in out_fields:
+                outs[name][j] = _FIELD_VALS[name](
+                    depth_val, blend, r, idf, b0, b1
+                ).reshape(tile_h, tile_w)
 
         def write_empty(j=j):
-            for name in _OUT_FIELDS:
+            for name in out_fields:
                 outs[name][j] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
         if skip_empty:
@@ -641,6 +651,7 @@ def _fused_kernel_gw(
     gcap: int,
     skip_empty: bool,
     group: int,
+    out_fields: tuple = _OUT_FIELDS,
 ):
     """GROUP-WINDOW variant of :func:`_fused_kernel` (single-pass configs).
 
@@ -657,8 +668,8 @@ def _fused_kernel_gw(
     tile: testing them is exact-noop (coverage ⊆ bbox → no pixel of this
     tile), and duplicated pairs resolve to identical records."""
     zkey_out = refs[0]
-    outs = dict(zip(_OUT_FIELDS, refs[1 : 1 + len(_OUT_FIELDS)]))
-    slabs, sem = refs[1 + len(_OUT_FIELDS) :]
+    outs = dict(zip(out_fields, refs[1 : 1 + len(out_fields)]))
+    slabs, sem = refs[1 + len(out_fields) :]
     npx = tile_h * tile_w
 
     i = pl.program_id(0)
@@ -769,41 +780,28 @@ def _fused_kernel_gw(
         b1 = jnp.where(hit, e1 * inv, 0.0)
         b2 = jnp.where(hit, e2 * inv, 0.0)
 
-        zn = r(_ZC) * px_all + r(_ZC + 1) * py_all + r(_ZC + 2)
-        wn = r(_WC) * px_all + r(_WC + 1) * py_all + r(_WC + 2)
-        depth = jnp.where(
-            hit,
-            zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
-                               approx=False),
-            0.0,
-        )
+        def depth_val():
+            zn = r(_ZC) * px_all + r(_ZC + 1) * py_all + r(_ZC + 2)
+            wn = r(_WC) * px_all + r(_WC + 1) * py_all + r(_WC + 2)
+            return jnp.where(
+                hit,
+                zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
+                                   approx=False),
+                0.0,
+            )
 
         def blend(base):
             return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
 
-        vals = {
-            "depth": depth,
-            "idf": idf,
-            "u": blend(_U),
-            "v": blend(_V),
-            "nx": blend(_N), "ny": blend(_N + 3), "nz": blend(_N + 6),
-            "tx": blend(_T), "ty": blend(_T + 3), "tz": blend(_T + 6),
-            "wx": blend(_W), "wy": blend(_W + 3), "wz": blend(_W + 6),
-            "cr": blend(_COL), "cg": blend(_COL + 3),
-            "cb": blend(_COL + 6),
-            "matf": r(_MAT),
-            "b0": b0,
-            "b1": b1,
-        }
-        for name in _OUT_FIELDS:
-            v = vals[name]
+        for name in out_fields:
+            v = _FIELD_VALS[name](depth_val, blend, r, idf, b0, b1)
             for j in range(group):
                 outs[name][j] = v[:, j * npx : (j + 1) * npx].reshape(
                     tile_h, tile_w
                 )
 
     def write_empty():
-        for name in _OUT_FIELDS:
+        for name in out_fields:
             for j in range(group):
                 outs[name][j] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -822,6 +820,9 @@ def _fused_kernel_gw(
 
 
 def _pixels_from_fields(f: dict) -> FusedPixels:
+    # Pruned fields (drop_fields) come back as miss-valued zeros.
+    zero = jnp.zeros_like(f["idf"])
+    f = {name: f.get(name, zero) for name in _OUT_FIELDS}
     hit = f["idf"] >= 0.5
     b0, b1 = f["b0"], f["b1"]
     return FusedPixels(
@@ -859,6 +860,9 @@ def raster_fused_pallas(
     # single-pass configs): static row budget for one tile-group's
     # contiguous candidate window — a validated capacity (window overflow
     # counts into dropped_cap). None = per-tile-window kernel.
+    drop_fields: tuple = (),  # static output pruning: FusedPixels fields
+    # the caller never reads (their planes come back as zeros); saves the
+    # kernel's blend math and output DMA for those planes.
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -913,7 +917,10 @@ def raster_fused_pallas(
     if dense_tile_cap is None:
         dense_tile_cap = min(nt, max(64, nt // 4))
 
-    n_out = 1 + len(_OUT_FIELDS)
+    out_fields = tuple(
+        f for f in _OUT_FIELDS if f not in drop_fields or f == "idf"
+    )
+    n_out = 1 + len(out_fields)
 
     def make_call(k):
         # Largest tile group that divides the grid (compacted caps are
@@ -933,6 +940,7 @@ def raster_fused_pallas(
             maxc=maxc,
             skip_empty=skip_empty,
             group=group,
+            out_fields=out_fields,
         )
         plane_spec = pl.BlockSpec((group, tile_h, tile_w),
                                   lambda i, *_: (i, 0, 0),
@@ -958,7 +966,7 @@ def raster_fused_pallas(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
             + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
-            * len(_OUT_FIELDS),
+            * len(out_fields),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -975,6 +983,7 @@ def raster_fused_pallas(
             gcap=gcap,
             skip_empty=skip_empty,
             group=group,
+            out_fields=out_fields,
         )
         plane_spec = pl.BlockSpec((group, tile_h, tile_w),
                                   lambda i, *_: (i, 0, 0),
@@ -1000,7 +1009,7 @@ def raster_fused_pallas(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
             + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
-            * len(_OUT_FIELDS),
+            * len(out_fields),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 # The group-pixel one-hot ((oc+gcap) × group·NPX f32)
@@ -1081,7 +1090,7 @@ def raster_fused_pallas(
             )
         zk_new = out[0].reshape(k, npx)
         fields_p = {
-            f: v.reshape(k, npx) for f, v in zip(_OUT_FIELDS, out[1:])
+            f: v.reshape(k, npx) for f, v in zip(out_fields, out[1:])
         }
         if p == 0 and k < nt:
             # Unlisted tiles keep clear/init depth (masked like the

@@ -228,6 +228,24 @@ def _q16(x, enable: bool):
     return x.astype(jnp.float16).astype(jnp.float32)
 
 
+def _prunable_fields(settings: RenderSettings) -> tuple:
+    """FusedPixels planes the production frame never reads, statically
+    prunable from the main raster kernel (each plane costs blend math +
+    an output DMA per tile; at 4K the full set writes ~660 MB/frame):
+    depth (only TBN debug + full outputs read it), vertex color (PBR
+    shades from materials), bary (no production consumer), and the
+    material-id plane when there is a single material binding."""
+    if settings.outputs == "full" or not _use_pallas(settings):
+        return ()
+    if (settings.gbuffer_viz != GBufferViz.RENDERED_SCENE
+            or settings.show_tbn or settings.shading != "pbr"):
+        return ()
+    drop = ["depth", "b0", "b1", "cr", "cg", "cb"]
+    if settings.batch_material_ids is None:
+        drop.append("matf")
+    return tuple(drop)
+
+
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
             skip_empty=True, overflow_cap=None, passes=None,
@@ -256,6 +274,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             span_mid_cap=(settings.span_mid_cap if main_pass else None),
             group_pair_cap=(settings.group_pair_cap if main_pass
                             else None),
+            drop_fields=_prunable_fields(settings) if main_pass else (),
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,

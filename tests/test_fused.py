@@ -489,3 +489,29 @@ class TestGroupWindowKernel:
         # A deliberately tiny window must report (not silently eat) the
         # candidates it cannot fetch.
         assert int(diag.dropped_cap) > 0
+
+
+class TestDropFields:
+    def test_kept_fields_identical_dropped_zero(self, scene_soup,
+                                                rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        full = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True, **CAPS
+        )
+        pruned = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
+            drop_fields=("depth", "b0", "b1", "cr", "cg", "cb", "matf"),
+            **CAPS
+        )
+        np.testing.assert_array_equal(np.asarray(full[1]),
+                                      np.asarray(pruned[1]))
+        np.testing.assert_array_equal(np.asarray(full[0].tri_id),
+                                      np.asarray(pruned[0].tri_id))
+        for name in ("uv", "normal", "tangent", "world"):
+            for a, b in zip(getattr(full[0], name),
+                            getattr(pruned[0], name)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert (np.asarray(pruned[0].depth) == 0).all()
+        for c in pruned[0].color + pruned[0].bary[:2]:
+            assert (np.asarray(c) == 0).all()
+        assert (np.asarray(pruned[0].mat_id) == 0).all()
