@@ -262,7 +262,20 @@ def render_frame_sharded(
                     extras["smap"], px.world, settings.shadow_bias
                 )
             }
-        if settings.deferred:
+        from bibim_tpu.pipeline.framegraph import (
+            _is_quad_tuple,
+            _sampled_hdr,
+        )
+
+        if (settings.deferred and _use_pallas(settings)
+                and "ibl" not in extras and _is_quad_tuple(materials)):
+            # Same single-pass sampled-shade kernel as the single-chip
+            # production path (sampling + normal map + fp16 G-buffer +
+            # GGX in one Pallas pass) — bands keep the single-chip cost
+            # structure per unit area.
+            hdr3 = _sampled_hdr(px, materials, scene.lights, view_block,
+                                band_view, light_vis, gbuffer_mode=True)
+        elif settings.deferred:
             g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
                 px, materials, view_block, band_view
             )
