@@ -1064,8 +1064,14 @@ def raster_fused_pallas(
             k = dense_tile_cap
             ids, dropped_p = _compact_tile_list(live, k)
             dropped_dense = dropped_dense + dropped_p
+            # Dead slots do no work; their recompute-of-tile-0 writes
+            # are no-ops anyway (zero count → no hit → old value kept).
+            n_live_p = jnp.minimum(jnp.sum(live, dtype=jnp.int32), k)
+            slot_live_p = jnp.arange(k, dtype=jnp.int32) < n_live_p
             starts_p = starts[ids] + p * maxc
-            counts_p = jnp.clip(counts[ids] - p * maxc, 0, maxc)
+            counts_p = jnp.where(
+                slot_live_p, jnp.clip(counts[ids] - p * maxc, 0, maxc), 0
+            )
             zk_in = zkey[ids].reshape(k, tile_h, tile_w)
         if p == 0 and use_gw:
             # Group-window path: each group of `group` compact slots
@@ -1105,11 +1111,17 @@ def raster_fused_pallas(
         elif p == 0:
             zkey, fields = zk_new, fields_p
         else:
+            # Dead compact slots carry stale values (zero counts skip
+            # their work), so their scatter writes must DROP — a stale
+            # duplicate racing the live slot's update at the same index
+            # would nondeterministically regress it.
+            ids_sc = jnp.where(slot_live_p, ids, nt)
             hit = fields_p["idf"] >= 0.5  # pass-p winner beat the chain
-            zkey = zkey.at[ids].set(zk_new)
+            zkey = zkey.at[ids_sc].set(zk_new, mode="drop")
             fields = {
-                f: fields[f].at[ids].set(
-                    jnp.where(hit, fields_p[f], fields[f][ids])
+                f: fields[f].at[ids_sc].set(
+                    jnp.where(hit, fields_p[f], fields[f][ids]),
+                    mode="drop",
                 )
                 for f in fields
             }

@@ -54,6 +54,8 @@ class CapProbe(NamedTuple):
     # entry sizes the span-class mid list (fused.SPAN_DENSE).
     span_big: tuple = ()  # ((span, n_big, pairs), ...)
     n_tris: int = 0
+    dense_tiles: int = 0  # tiles denser than one 1024-candidate window
+    # (sizes dense_tile_cap for multi-pass configs)
     group_win: int = 0  # worst 8-consecutive-live-tile candidate window
     # (sizes the group-window kernel's group_pair_cap)
 
@@ -156,6 +158,9 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         "n_big": n_big,
         "covered_tiles": bin_live,
         "group_win": group_win,
+        # Multi-pass configs clamp max_candidates at 1024 (derive), so
+        # tiles beyond one window = counts > 1024.
+        "dense_tiles": jnp.sum((counts > 1024).astype(jnp.int32)),
         **span_stats,
     }
     if measure_coverage:
@@ -198,6 +203,7 @@ def probe_frame_caps(scene, view_block, settings,
         ),
         n_tris=out["n_tris"],
         group_win=out["group_win"],
+        dense_tiles=out["dense_tiles"],
     )
 
 
@@ -308,10 +314,15 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     elif passes != 1:
         group_pair = None
 
+    dense_cap = None
+    if passes > 1:
+        dense_cap = _bucket(int(probe.dense_tiles * margin) + 8, floor=64)
+
     return dataclasses.replace(
         settings,
         max_candidates=mc,
         raster_passes=passes,
+        dense_tile_cap=dense_cap,
         span_cap=span_cap,
         span_mid_cap=span_mid,
         overflow_cap=_bucket(int(n_big * margin) + 16, floor=64),

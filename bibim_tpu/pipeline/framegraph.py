@@ -181,6 +181,11 @@ class RenderSettings:
     # conservative big-triangle cover get a kernel step (None = full
     # grid). Another validated capacity (BinDiag.dropped_tiles).
     raster_tile_cap: int | None = None
+    # Dense extra raster passes (raster_passes > 1) run on a compact
+    # list of this many tiles (None = nt//4). Autotune derives it from
+    # the measured count of tiles denser than one candidate window — a
+    # validated capacity (BinDiag.dropped_tiles).
+    dense_tile_cap: int | None = None
     # Group-window raster kernel (single-pass configs): one contiguous
     # candidate-window DMA + one 3-dot resolve per 8-tile group instead
     # of per tile. Static row budget for a group's window — a validated
@@ -273,6 +278,8 @@ def _raster(rec_table, setup, clip, tris, width, height,
                              else None),
             span_mid_cap=(settings.span_mid_cap if main_pass else None),
             group_pair_cap=(settings.group_pair_cap if main_pass
+                            else None),
+            dense_tile_cap=(settings.dense_tile_cap if main_pass
                             else None),
             drop_fields=_prunable_fields(settings) if main_pass else (),
         )
