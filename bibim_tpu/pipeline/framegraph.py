@@ -251,10 +251,18 @@ def _prunable_fields(settings: RenderSettings) -> tuple:
     return tuple(drop)
 
 
+# The shadow raster only consumes the depth plane (plus idf, which the
+# kernel always emits): every attribute blend/output is dead weight.
+_SHADOW_DROP = tuple(
+    f for f in fused._OUT_FIELDS if f not in ("depth", "idf")
+)
+
+
 def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
             skip_empty=True, overflow_cap=None, passes=None,
-            viewport=None, main_pass=False, span_cap=None):
+            viewport=None, main_pass=False, span_cap=None,
+            drop_fields=None):
     """``viewport`` = (full_frame_height, y_origin) for band rendering: the
     Pallas path consumes band-rebased records (shift_record_table_y), the
     XLA fallback re-derives its own setup from clip and needs the band
@@ -281,7 +289,9 @@ def _raster(rec_table, setup, clip, tris, width, height,
                             else None),
             dense_tile_cap=(settings.dense_tile_cap if main_pass
                             else None),
-            drop_fields=_prunable_fields(settings) if main_pass else (),
+            drop_fields=(drop_fields if drop_fields is not None
+                         else (_prunable_fields(settings) if main_pass
+                               else ())),
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
@@ -993,6 +1003,7 @@ def _shadow_map_planar(psoup, lights, settings: RenderSettings):
         rec_l, setup_l, clip, tris, size, size, settings,
         cap=settings.shadow_candidates,
         passes=settings.shadow_passes or settings.raster_passes,
+        drop_fields=_SHADOW_DROP,
     )
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
