@@ -1058,14 +1058,12 @@ def raster_fused_pallas(
             # Dense extra passes run on a COMPACT list of the tiles whose
             # candidates exceed the previous windows (a full grid costs
             # ~2-5 ms in per-step overhead even when every tile
-            # early-outs). Dead slots recompute the first listed tile —
-            # idempotent under the scatter-back.
+            # early-outs). Dead slots do no work (zero counts) and their
+            # scatter writes drop below.
             live = counts > p * maxc
             k = dense_tile_cap
             ids, dropped_p = _compact_tile_list(live, k)
             dropped_dense = dropped_dense + dropped_p
-            # Dead slots do no work; their recompute-of-tile-0 writes
-            # are no-ops anyway (zero count → no hit → old value kept).
             n_live_p = jnp.minimum(jnp.sum(live, dtype=jnp.int32), k)
             slot_live_p = jnp.arange(k, dtype=jnp.int32) < n_live_p
             starts_p = starts[ids] + p * maxc
