@@ -898,7 +898,12 @@ def raster_fused_pallas(
 
     # Gather pair records once, pad so any DMA window of any pass stays in
     # bounds.
-    use_gw = group_pair_cap is not None and passes == 1
+    # Group-window kernel only on the COMPACTED pass-0 grid: its static
+    # window budget is probed over 8-aligned groups of the compact
+    # live-tile list; raw full-grid order would group differently and
+    # could exceed the probed bound on the probed frame itself.
+    use_gw = (group_pair_cap is not None and passes == 1
+              and raster_tile_cap is not None and raster_tile_cap <= nt)
     gcap = 0
     if use_gw:
         gcap = ((group_pair_cap + CHUNK - 1) // CHUNK) * CHUNK
@@ -1078,7 +1083,15 @@ def raster_fused_pallas(
             # its pixels with one 3-dot matmul. Per-tile bases are
             # 8-aligned downward — prefix rows belong to earlier tiles
             # and cannot cover this tile (coverage ⊆ bbox).
-            group = next(g for g in (8, 4, 2, 1) if k % g == 0)
+            # Bound the group by the resolve one-hot's VMEM footprint
+            # ((oc+gcap) × group·npx bf16) the same way make_call bounds
+            # its slab — a dense-scene gcap must shrink the group, not
+            # blow the scoped-VMEM limit at compile time.
+            oh_tile_bytes = (oc + gcap) * npx * 2
+            gmax = max(1, (32 << 20) // oh_tile_bytes)
+            group = next(
+                g for g in (8, 4, 2, 1) if g <= gmax and k % g == 0
+            )
             win = starts_p.reshape(k // group, group)[:, 0]
             lb = jnp.clip(starts_p - jnp.repeat(win, group), 0, gcap)
             kept = jnp.clip(gcap - lb, 0, counts_p)
@@ -1221,26 +1234,24 @@ def _overlay_kernel(
             sem.at[s, j],
         )
 
-    def start_dma(step, j, s):
-        # Dead compact slots (count 0 — padding of a worst-frame-sized
-        # list) skip the record fetch entirely: an overlay list is mostly
-        # dead slots, and the per-step cost was DMA-latency-bound
-        # (~15 µs/step with 8 unconditional fetches).
-        @pl.when(counts_ref[step * group + j] > 0)
-        def _():
-            tile_dma(step, j, s).start()
-
+    # The record fetch stays UNCONDITIONAL even for zero-count slots: a
+    # tile can be live via big-triangle cover alone, and its resolve
+    # reduces over every scratch row — skipping the DMA would leave
+    # rows [oc, oc+maxc) as uninitialized VMEM whose garbage bit
+    # patterns (0·NaN = NaN) could poison the one-hot product. (A
+    # conditional fetch also measured no win — the dead-slot cost was
+    # the duplicated coverage/resolve work, fixed by zeroed counts.)
     @pl.when(i == 0)
     def _():
         for j in range(group):
             slabs[0, j, 0:oc, :] = ov_ref[:]
             slabs[1, j, 0:oc, :] = ov_ref[:]
-            start_dma(0, j, 0)
+            tile_dma(0, j, 0).start()
 
     @pl.when(i + 1 < n_steps)
     def _():
         for j in range(group):
-            start_dma(i + 1, j, 1 - slot)
+            tile_dma(i + 1, j, 1 - slot).start()
 
     pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
     chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
@@ -1258,10 +1269,7 @@ def _overlay_kernel(
         carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
         carry = _coverage_loop(scratch, px, py, chunk_idx, 0, nb, carry)
 
-        @pl.when(cnt > 0)
-        def _(j=j):
-            tile_dma(i, j, slot).wait()
-
+        tile_dma(i, j, slot).wait()
         _, best_cand = _coverage_loop(scratch, px, py, chunk_idx, oc, cnt,
                                       carry)
 

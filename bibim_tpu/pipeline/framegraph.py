@@ -746,9 +746,13 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
                           settings.tiles_x * -(-height // settings.tile_h)),
             # Sphere triangles are tiny (r=0.1): almost all fit SPAN_DENSE
             # slots, so span-class binning shrinks the overlay pair sort
-            # ~16× (mid-list overflow is a validated capacity —
-            # dropped_pairs fails loudly).
-            span_mid_cap=256,
+            # ~16×. The mid-list capacity derives from the overlay's
+            # static triangle count (a sphere close enough that > a
+            # quarter of its triangles span 3..32 tiles pushes most of
+            # them past span_cap into the overflow list instead); it
+            # stays a validated capacity — overflow fails loudly via
+            # dropped_pairs.
+            span_mid_cap=max(256, rec.shape[0] // 4),
         )
     clip, tris = planar_compat_clip(soup)
     px, _, diag = _raster(

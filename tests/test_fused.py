@@ -482,9 +482,10 @@ class TestGroupWindowKernel:
 
     def test_window_overflow_is_counted(self, scene_soup, rec_setup):
         soup, (rec, setup) = scene_soup, rec_setup
+        nt = (H // TH) * TX
         _, _, diag = fused.raster_fused_pallas(
             rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
-            group_pair_cap=64, **CAPS
+            group_pair_cap=64, raster_tile_cap=nt, **CAPS
         )
         # A deliberately tiny window must report (not silently eat) the
         # candidates it cannot fetch.
