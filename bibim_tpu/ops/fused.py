@@ -47,6 +47,13 @@ from bibim_tpu.ops.raster import PlanarSetup, TriangleSetup, triangle_setup
 
 CHUNK = 8
 _LOW3 = ~7  # clears the 3 lane-index bits from a packed depth key
+# Tile-group sizing for the per-tile fused kernel: batch GROUP_SIZES[0]
+# tiles per grid step when the double-buffered record slab fits
+# GROUP_SLAB_BYTES of scoped VMEM (amortizes the fixed per-step cost;
+# see make_call). Module-level so experiments can sweep them.
+GROUP_SIZES = (8, 4, 2, 1)
+GROUP_SLAB_BYTES = 6 << 20
+GROUP_VMEM_LIMIT = None  # scoped-VMEM override for big groups (bytes)
 # Record rows are 128 f32 wide: Mosaic DMA slices must be lane-aligned
 # (128), and the MXU pads the resolve matmul's M dim to 128 regardless.
 REC_CH = 128
@@ -565,16 +572,27 @@ def _fused_kernel(
         px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
         py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
 
-        def run(base, count, carry):
-            return _coverage_loop(scratch, px, py, chunk_idx, base, count,
-                                  carry)
-
         # The driver always materializes an init plane (zeros = clear).
         init_key = init_ref[j].reshape(1, npx) & _LOW3
         carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
-        carry = run(0, nb, carry)
         tile_dma(i, j, slot).wait()
-        best_key, best_cand = run(oc, cnt, carry)
+        # ONE merged fori_loop over [oc − ceil8(nb), oc + cnt): a dynamic
+        # fori_loop costs µs-scale fixed overhead, and the split
+        # overflow/candidate formulation paid it twice per tile. The
+        # driver tail-aligns the overflow records inside the oc prefix
+        # (live rows end exactly at row oc), so the merged scan touches
+        # only ceil8(nb) overflow chunks then the candidates,
+        # contiguously. The ≤7 alignment rows below nb and any rows past
+        # cnt are zero records (wn > 0 fails — can never cover);
+        # candidate indices are scratch rows in both segments, rows per
+        # chunk stay 8-aligned, and overflow still tests first, so
+        # keys/tie-breaks are bit-identical to the split loops. Extra
+        # dense passes (nb == 0) start at oc and pay nothing.
+        nb_al = lax.div(nb + (CHUNK - 1), CHUNK) * CHUNK
+        base = oc - nb_al
+        best_key, best_cand = _coverage_loop(
+            scratch, px, py, chunk_idx, base, nb_al + cnt, carry
+        )
 
         zkey_out[j] = best_key.reshape(tile_h, tile_w)
 
@@ -713,11 +731,16 @@ def _fused_kernel_gw(
     # ONE overflow loop for the whole group (the prefix rows are shared,
     # so each chunk is read once) — a dynamic fori_loop costs µs-scale
     # fixed overhead, and the per-tile formulation paid it 16× per step.
+    # The driver tail-aligns the live overflow rows to end at row oc
+    # (see raster_fused_pallas), so the scan starts at oc − ceil8(nb).
+    nb_al = lax.div(nb + (CHUNK - 1), CHUNK) * CHUNK
+    ov_base = oc - nb_al
+
     def ov_body(c, carries):
         k = c * CHUNK
-        blk = scratch[pl.ds(k, CHUNK), :]
+        blk = scratch[pl.ds(ov_base + k, CHUNK), :]
         return tuple(
-            _chunk_test(blk, pxs[j], pys[j], chunk_idx, k, 0, nb,
+            _chunk_test(blk, pxs[j], pys[j], chunk_idx, k, ov_base, nb,
                         carries[j])
             for j in range(group)
         )
@@ -916,6 +939,14 @@ def raster_fused_pallas(
     ov = rec_table[jnp.maximum(big_ids, 0)] * (
         big_ids >= 0
     ).astype(jnp.float32)[:, None]
+    # Tail-align the live overflow rows inside the oc prefix (live rows
+    # end exactly at row oc): both kernels run their overflow scan from
+    # oc − ceil8(n_big), so the bucketed prefix's dead rows cost nothing.
+    # The wrapped rows are zeros (dead by construction); row order — and
+    # therefore draw-order tie-breaking — is preserved. _big_cover_mask
+    # below keeps big_ids↔row alignment, so it uses the unrolled table.
+    nb_al = ((n_big + (CHUNK - 1)) // CHUNK) * CHUNK
+    ov_k = jnp.roll(ov, oc - nb_al, axis=0)
 
     if init_zkey is None:
         init_zkey = jnp.zeros((nt, npx), jnp.int32)
@@ -934,8 +965,8 @@ def raster_fused_pallas(
         # scoped VMEM (4K runs 1088 candidate rows: group 8 put the whole
         # kernel 512 KB over the 48 MB scoped limit).
         slab_tile_bytes = 2 * (oc + maxc) * REC_CH * 4
-        gmax = max(1, (6 << 20) // slab_tile_bytes)
-        group = next(g for g in (8, 4, 2, 1) if g <= gmax and k % g == 0)
+        gmax = max(1, GROUP_SLAB_BYTES // slab_tile_bytes)
+        group = next(g for g in GROUP_SIZES if g <= gmax and k % g == 0)
         kernel = functools.partial(
             _fused_kernel,
             tile_h=tile_h,
@@ -974,6 +1005,8 @@ def raster_fused_pallas(
             * len(out_fields),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                **({"vmem_limit_bytes": GROUP_VMEM_LIMIT}
+                   if GROUP_VMEM_LIMIT else {}),
             ),
             interpret=interpret,
         )
@@ -1099,11 +1132,11 @@ def raster_fused_pallas(
             lb_al = (lb // CHUNK) * CHUNK
             cnt_k = kept + (lb - lb_al)
             out = make_call_gw(k, group)(
-                ids, lb_al, cnt_k, nb_p[None], win, ov, pair_rec, zk_in
+                ids, lb_al, cnt_k, nb_p[None], win, ov_k, pair_rec, zk_in
             )
         else:
             out = make_call(k)(
-                ids, starts_p, counts_p, nb_p[None], ov, pair_rec, zk_in
+                ids, starts_p, counts_p, nb_p[None], ov_k, pair_rec, zk_in
             )
         zk_new = out[0].reshape(k, npx)
         fields_p = {
