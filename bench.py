@@ -509,6 +509,66 @@ def bench_stretch_4k(report: dict) -> None:
     report["configs"]["stretch_4k_shadows_ibl"] = round(
         _time_scan(frame_body, iters=2), 2)
 
+    # 4K stage breakdown (VERDICT r1 item 6): production-shaped bodies —
+    # compacted slot planes, the real shadow map, the real psoup — timed
+    # with the same in-jit scan harness as the headline stages. Each
+    # standalone stage carries ~0.3-0.7 ms of harness floor.
+    from bibim_tpu.ops import fused
+    from bibim_tpu.ops import shadow as sh_ops
+    from bibim_tpu.ops import texture_quad as tq
+    from bibim_tpu.ops.ibl import ibl_ambient
+    from bibim_tpu.pipeline.framegraph import (
+        _assemble_and_raster,
+        _shadow_map_planar,
+    )
+
+    live_cap = s.live_tile_cap or (s.tiles_x * s.tiles_y)
+
+    @jax.jit
+    def probe4k(scene_data, view_block):
+        px, _z, _d, _soup, psoup = _assemble_and_raster(
+            scene_data, view_block, s)
+        live = jnp.any(px.tri_id >= 0, axis=1)
+        ids, _ = fused._compact_tile_list(live, live_cap)
+        px_c = jax.tree_util.tree_map(lambda p: p[ids], px)
+        smap, _sd = _shadow_map_planar(psoup, scene_data.lights, s)
+        return px_c, psoup, smap
+
+    px_c, psoup, smap = probe4k(data, vb)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def _perturb(tree, c):
+        return jax.tree_util.tree_map(
+            lambda p: p + c.astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
+    half = jax.tree_util.tree_map(lambda p: p * 0 + 0.5, px_c.uv[0])
+    report["stages_4k"] = {
+        "raster_resolve": round(_time_scan_stage(
+            lambda c: _assemble_and_raster(
+                data, vb._replace(view=vb.view + c), s)[:3], iters=2), 2),
+        "shadow_map_raster": round(_time_scan_stage(
+            lambda c: (lambda sm_d: (sm_d[0].quads, sm_d[0].light_vp,
+                                     sm_d[1]))(
+                _shadow_map_planar(_perturb(psoup, c), data.lights, s)),
+            iters=2), 2),
+        "pcf_visibility": round(_time_scan_stage(
+            lambda c: sh_ops.shadow_factor(
+                smap, tuple(w + c for w in px_c.world), s.shadow_bias),
+            iters=2), 2),
+        "material_sample": round(_time_scan_stage(
+            lambda c: tq.sample_material(
+                mats, px_c.uv[0] + c, px_c.uv[1],
+                tile_h=s.tile_h, tile_w=s.tile_w,
+                use_pallas=use_pallas), iters=2), 2),
+        "ibl_ambient": round(_time_scan_stage(
+            lambda c: ibl_ambient(
+                ibl, tuple(n + c for n in px_c.normal),
+                tuple(vb.view_pos[i] - w for i, w in enumerate(px_c.world)),
+                px_c.color, half, half, half + 0.5,
+                s.tile_h, s.tile_w, use_pallas=use_pallas), iters=2), 2),
+    }
+
 
 def _progress(msg: str) -> None:
     """Stage progress on stderr (stdout stays the one JSON line)."""
