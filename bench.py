@@ -480,9 +480,11 @@ def bench_stretch_4k(report: dict) -> None:
     base = RenderSettings(width=w, height=h, outputs="image",
                           enable_shadows=True, enable_ibl=True,
                           span_cap=32,
-                          shadow_candidates=2048, shadow_passes=3,
+                          shadow_fit_batches=scene.shadow_fit_batches,
                           overlay_max_tiles=1024)
     data = scene.scene_data()
+    # Shadow capacities (candidates/passes/tile cap) are derived from the
+    # light-view probe inside autotune_settings — no hand caps.
     s, _ = autotune_settings(data, vb, base, margin=1.05)
 
     import dataclasses
@@ -519,10 +521,12 @@ def bench_stretch_4k(report: dict) -> None:
     from bibim_tpu.ops.ibl import ibl_ambient
     from bibim_tpu.pipeline.framegraph import (
         _assemble_and_raster,
+        _shadow_fit_ranges,
         _shadow_map_planar,
     )
 
     live_cap = s.live_tile_cap or (s.tiles_x * s.tiles_y)
+    fit_tri, _fit_vert = _shadow_fit_ranges(data, s)
 
     @jax.jit
     def probe4k(scene_data, view_block):
@@ -531,7 +535,8 @@ def bench_stretch_4k(report: dict) -> None:
         live = jnp.any(px.tri_id >= 0, axis=1)
         ids, _ = fused._compact_tile_list(live, live_cap)
         px_c = jax.tree_util.tree_map(lambda p: p[ids], px)
-        smap, _sd = _shadow_map_planar(psoup, scene_data.lights, s)
+        smap, _sd = _shadow_map_planar(psoup, scene_data.lights, s,
+                                       fit_ranges=fit_tri)
         return px_c, psoup, smap
 
     px_c, psoup, smap = probe4k(data, vb)
@@ -550,11 +555,16 @@ def bench_stretch_4k(report: dict) -> None:
         "shadow_map_raster": round(_time_scan_stage(
             lambda c: (lambda sm_d: (sm_d[0].quads, sm_d[0].light_vp,
                                      sm_d[1]))(
-                _shadow_map_planar(_perturb(psoup, c), data.lights, s)),
+                _shadow_map_planar(_perturb(psoup, c), data.lights, s,
+                                   fit_ranges=fit_tri)),
             iters=2), 2),
         "pcf_visibility": round(_time_scan_stage(
-            lambda c: sh_ops.shadow_factor(
-                smap, tuple(w + c for w in px_c.world), s.shadow_bias),
+            (lambda c: sh_ops.shadow_factor_compact(
+                smap, tuple(w + c for w in px_c.world),
+                px_c.tri_id >= 0, s.shadow_query_tile_cap, s.shadow_bias))
+            if s.shadow_query_tile_cap is not None else
+            (lambda c: sh_ops.shadow_factor(
+                smap, tuple(w + c for w in px_c.world), s.shadow_bias)),
             iters=2), 2),
         "material_sample": round(_time_scan_stage(
             lambda c: tq.sample_material(

@@ -195,6 +195,8 @@ def main(argv=None) -> int:
         show_hud=args.hud,
         srgb_output=not args.no_srgb,
         enable_shadows=args.shadows,
+        shadow_fit_batches=(getattr(scene, "shadow_fit_batches", None)
+                            if args.shadows else None),
         enable_ibl=args.ibl,
         batch_material_ids=getattr(scene, "material_ids", None),
         **({"max_candidates": args.max_candidates}

@@ -155,6 +155,9 @@ def render_frame_sharded(
     smap = None
     if settings.enable_shadows and scene.lights.num_lights > 0:
         use_planar = _use_planar(scene, settings)
+        from bibim_tpu.pipeline.framegraph import _shadow_fit_ranges
+
+        tri_ranges, vert_ranges = _shadow_fit_ranges(scene, settings)
 
         @jax.jit  # one dispatch for the whole map build (CLAUDE.md rule 5)
         def build_smap(batches, view, proj, lights):
@@ -162,11 +165,13 @@ def render_frame_sharded(
                 psoup_full = assemble_scene_planar(
                     batches, view, proj, settings.batch_material_ids
                 )
-                return _shadow_map_planar(psoup_full, lights, settings)
+                return _shadow_map_planar(psoup_full, lights, settings,
+                                          fit_ranges=tri_ranges)
             soup_full = assemble_scene(
                 batches, view, proj, settings.batch_material_ids
             )
-            return _shadow_map_from_soup(soup_full, lights, settings)
+            return _shadow_map_from_soup(soup_full, lights, settings,
+                                         fit_ranges=vert_ranges)
 
         smap, sh_diag = build_smap(scene.batches, view_block.view,
                                    view_block.proj, scene.lights)
@@ -257,11 +262,24 @@ def render_frame_sharded(
         if "smap" in extras:
             from bibim_tpu.ops import shadow as sh
 
-            light_vis = {
-                settings.shadow_light: sh.shadow_factor(
+            if settings.shadow_query_tile_cap is not None:
+                # Footprint-compacted PCF per band (the full-frame cap is
+                # a conservative bound on any band's footprint); dropped
+                # footprint tiles join the band diags → psum'd + checked.
+                vis, q_dropped = sh.shadow_factor_compact(
+                    extras["smap"], px.world, px.tri_id >= 0,
+                    settings.shadow_query_tile_cap, settings.shadow_bias,
+                )
+                diags.append(fused.BinDiag(
+                    dropped_overflow=jnp.int32(0),
+                    dropped_cap=jnp.int32(0),
+                    dropped_pairs=jnp.int32(0), dropped_tiles=q_dropped,
+                ))
+            else:
+                vis = sh.shadow_factor(
                     extras["smap"], px.world, settings.shadow_bias
                 )
-            }
+            light_vis = {settings.shadow_light: vis}
         from bibim_tpu.pipeline.framegraph import (
             _is_quad_tuple,
             _sampled_hdr,

@@ -207,6 +207,136 @@ def probe_frame_caps(scene, view_block, settings,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _probe_shadow_jit(scene, view_block, settings):
+    """Light-view binning demands (the shadow raster's own concentration
+    profile — the main-camera probe says nothing about it). Replicates
+    the front half of framegraph._shadow_map_planar, then bins uncapped."""
+    from bibim_tpu.ops import shadow as sh
+    from bibim_tpu.pipeline.framegraph import (
+        _shadow_fit_ranges,
+        _world_bounds_planar,
+    )
+
+    size = settings.shadow_size
+    psoup = assemble_scene_planar(
+        scene.batches, view_block.view, view_block.proj,
+        settings.batch_material_ids,
+    )
+    wmin, wmax = _world_bounds_planar(psoup.world)
+    tri_ranges, _ = _shadow_fit_ranges(scene, settings)
+    fmin = fmax = None
+    if tri_ranges:
+        fmin, fmax = _world_bounds_planar(psoup.world, tri_ranges)
+    lvp = sh.light_view_proj(
+        scene.lights.dir[settings.shadow_light], wmin, wmax,
+        fit_min=fmin, fit_max=fmax,
+    )
+    clip_l = tuple(
+        tuple(
+            lvp[m, 0] * psoup.world[0][c] + lvp[m, 1] * psoup.world[1][c]
+            + lvp[m, 2] * psoup.world[2][c] + lvp[m, 3]
+            for c in range(3)
+        )
+        for m in range(4)
+    )
+    setup_l = triangle_setup_planar(clip_l, size, size)
+    n_tris = setup_l.valid.shape[0]
+    (_, _starts, counts, big_ids, n_big, _, tiles_y, tiles_x) = (
+        fused.bin_pairs(
+            setup_l, size, size, settings.tile_h, settings.tile_w,
+            span_cap=settings.span_cap,
+            overflow_cap=max(64, min(n_tris, 1 << 14)),
+            max_candidates=1 << 22, pair_budget=None,
+        )
+    )
+    nt = tiles_y * tiles_x
+    big_valid = big_ids >= 0
+    bidx = jnp.maximum(big_ids, 0)
+    coef_cols = [
+        getattr(setup_l, name)[k][bidx]
+        for name in ("edge_a", "edge_b", "edge_c", "z_coef", "w_coef")
+        for k in range(3)
+    ]
+    ov = jnp.stack(coef_cols, axis=-1) * big_valid.astype(jnp.float32)[
+        :, None
+    ]
+    ov = jnp.pad(ov, ((0, 0), (0, fused.REC_CH - ov.shape[1])))
+    live0 = (counts > 0) | fused._big_cover_mask(
+        ov, big_ids, nt, tiles_x, settings.tile_h, settings.tile_w
+    )
+    # Screen-side PCF footprint: covered main-view pixels whose light
+    # clip position lands inside the (possibly caster-fitted) map — sizes
+    # shadow_query_tile_cap. Open capacities like probe_frame_caps.
+    from bibim_tpu.pipeline.framegraph import _assemble_and_raster
+
+    open_settings = dataclasses.replace(
+        settings,
+        max_candidates=1024, raster_passes=8,
+        overflow_cap=512, pair_budget=1 << 21,
+        live_tile_cap=None, raster_tile_cap=None,
+        enable_shadows=False,
+        xla_cap=max(settings.xla_cap, 2048),
+    )
+    px, _, _, _, _ = _assemble_and_raster(scene, view_block, open_settings)
+    smap_stub = sh.ShadowMap(quads=jnp.zeros((1, 4)), light_vp=lvp, size=size)
+    cx, cy, cz = sh._light_clip(smap_stub, px.world)
+    q_live = jnp.any(
+        sh._inside_frustum(cx, cy, cz) & (px.tri_id >= 0), axis=1
+    )
+    return {
+        "max_candidates": jnp.max(counts),
+        "total_pairs": jnp.sum(counts),
+        "n_big": n_big,
+        "live_tiles": jnp.sum(live0.astype(jnp.int32)),
+        "query_tiles": jnp.sum(q_live.astype(jnp.int32)),
+    }
+
+
+def derive_shadow_settings(scene, view_block, settings,
+                           margin: float = 1.25):
+    """Probe the light view and derive the shadow raster's capacities
+    (shadow_candidates/passes, shadow_tile_cap; pair_budget/overflow_cap
+    raised if the light view demands more than the main camera).
+
+    Light projections concentrate the scene into few map tiles (config 5:
+    3 live of 1024, worst tile 3708 candidates), so the derived grid is
+    compacted and the windows sized to the measured worst tile (measured:
+    8.3 → 2.2 ms at 4K, tools/exp_shadowprobe.py). All caps stay
+    validated: the shadow pass's BinDiag is psum'd/checked like the main
+    pass's, so a probe gone stale fails loudly."""
+    from bibim_tpu.pipeline.framegraph import _use_planar
+
+    if not _use_planar(scene, settings):
+        return settings  # legacy-layout scenes keep hand-set shadow caps
+    out = {k: int(v) for k, v in
+           _probe_shadow_jit(scene, view_block, settings).items()}
+    nt = (-(-settings.shadow_size // settings.tile_w)
+          * -(-settings.shadow_size // settings.tile_h))
+    mc = _bucket(int(out["max_candidates"] * margin), floor=64)
+    passes = 1
+    if mc > 1024:
+        passes = -(-mc // 1024)
+        mc = 1024
+    tcap = _bucket(int(out["live_tiles"] * margin) + 8, floor=64)
+    nt_screen = (-(-settings.width // settings.tile_w)
+                 * -(-settings.height // settings.tile_h))
+    qcap = _bucket(int(out["query_tiles"] * margin) + 8, floor=64)
+    return dataclasses.replace(
+        settings,
+        shadow_candidates=mc,
+        shadow_passes=passes,
+        shadow_tile_cap=tcap if tcap < nt else None,
+        shadow_query_tile_cap=qcap if qcap < nt_screen else None,
+        pair_budget=max(settings.pair_budget,
+                        _bucket(int(out["total_pairs"] * margin),
+                                floor=4096)),
+        overflow_cap=max(settings.overflow_cap,
+                         _bucket(int(out["n_big"] * margin) + 16,
+                                 floor=64)),
+    )
+
+
 def _bucket(x: int, floor: int = 64) -> int:
     """Round up to a coarse grid (granularity ≈ 3% of magnitude) so
     nearby demands share a jit specialization."""
@@ -364,4 +494,8 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
                 ),
             ),
         )
+    if derived.enable_shadows and getattr(scene, "lights", None) is not None \
+            and scene.lights.num_lights > 0:
+        derived = derive_shadow_settings(scene, view_block, derived,
+                                         margin=margin)
     return derived, probe

@@ -206,6 +206,27 @@ class RenderSettings:
     shadow_light: int = 0  # index of the shadow-casting light
     shadow_size: int = 1024  # shadow map resolution (multiple of 128)
     shadow_bias: float = 2e-3
+    # Compact pass-0 grid for the shadow raster (the light-view analog of
+    # raster_tile_cap): light projections concentrate the scene into few
+    # map tiles, so the full shadow grid is mostly dead steps. None =
+    # full grid. Validated capacity (BinDiag.dropped_tiles via sh_diag);
+    # autotune derives it from a light-view probe.
+    shadow_tile_cap: int | None = None
+    # Compact the screen-side PCF quad gather to the tiles whose covered
+    # pixels land inside the light frustum (shadow_factor_compact). With
+    # a caster-fitted map most pixels are outside the fitted XY and
+    # resolve lit with no gather. None = full-rate PCF. Validated
+    # capacity (dropped tiles merge into the shadow BinDiag); autotune
+    # derives it from the main-view footprint.
+    shadow_query_tile_cap: int | None = None
+    # Batch indices whose AABB fits the shadow map's X/Y extents (the
+    # CASTERS; ops/shadow.py light_view_proj). None = fit the whole scene.
+    # Excluded batches still rasterize into the map (correct occluders
+    # inside the fitted region) and their pixels outside it resolve to
+    # fully lit — mark a batch non-fit only if no shadow it casts outside
+    # the casters' footprint matters (e.g. the 100× ground plane, which
+    # otherwise dilutes the map to ~14 texels across the shader ball).
+    shadow_fit_batches: tuple | None = None
     enable_ibl: bool = False  # split-sum IBL ambient (pass ibl= to
     # render_frame; replaces the constant 0.03·albedo·ao term)
 
@@ -262,7 +283,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             settings: RenderSettings, cap=None, init_zkey=None,
             skip_empty=True, overflow_cap=None, passes=None,
             viewport=None, main_pass=False, span_cap=None,
-            drop_fields=None):
+            drop_fields=None, tile_cap=None):
     """``viewport`` = (full_frame_height, y_origin) for band rendering: the
     Pallas path consumes band-rebased records (shift_record_table_y), the
     XLA fallback re-derives its own setup from clip and needs the band
@@ -283,7 +304,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             pair_budget=settings.pair_budget,
             passes=passes,
             raster_tile_cap=(settings.raster_tile_cap if main_pass
-                             else None),
+                             else tile_cap),
             span_mid_cap=(settings.span_mid_cap if main_pass else None),
             group_pair_cap=(settings.group_pair_cap if main_pass
                             else None),
@@ -923,16 +944,60 @@ def _composite_tbn(ldr3_img, soup, depth_img, view_proj,
     return tuple(ldr[..., c] for c in range(3))
 
 
-def _shadow_map_from_soup(soup, lights, settings: RenderSettings):
+def _shadow_fit_ranges(scene, settings: RenderSettings):
+    """Static (start, end) slices of the concatenated triangle planes and
+    vertex rows for ``settings.shadow_fit_batches`` (None, None when the
+    fit covers the whole scene)."""
+    if settings.shadow_fit_batches is None:
+        return None, None
+    tri, vert = [], []
+    t0 = v0 = 0
+    for bi, b in enumerate(scene.batches):
+        n_i = b.model.shape[0]
+        t1 = t0 + n_i * b.indices.shape[0]
+        v1 = v0 + n_i * b.positions.shape[0]
+        if bi in settings.shadow_fit_batches:
+            tri.append((t0, t1))
+            vert.append((v0, v1))
+        t0, v0 = t1, v1
+    return tuple(tri), tuple(vert)
+
+
+def _world_bounds_planar(world, ranges=None):
+    """(min, max) (3,) bounds of corner-planar world planes, optionally
+    over static (start, end) triangle slices."""
+    sl = ranges if ranges else ((0, None),)
+    wmin = jnp.stack([
+        jnp.min(jnp.stack([world[k][c][s:e].min()
+                           for c in range(3) for (s, e) in sl]))
+        for k in range(3)
+    ])
+    wmax = jnp.stack([
+        jnp.max(jnp.stack([world[k][c][s:e].max()
+                           for c in range(3) for (s, e) in sl]))
+        for k in range(3)
+    ])
+    return wmin, wmax
+
+
+def _shadow_map_from_soup(soup, lights, settings: RenderSettings,
+                          fit_ranges=None):
     """Depth-only light pass through the same fused raster → ShadowMap
-    (band-independent; ops/shadow.py)."""
+    (band-independent; ops/shadow.py). ``fit_ranges`` = static vertex-row
+    slices of the caster batches (shadow_fit_batches)."""
     from bibim_tpu.ops import shadow as sh
 
     size = settings.shadow_size
     d = lights.dir[settings.shadow_light]
     wmin = soup.world.min(axis=0)
     wmax = soup.world.max(axis=0)
-    lvp = sh.light_view_proj(d, wmin, wmax)
+    fmin = fmax = None
+    if fit_ranges:
+        fit_rows = jnp.concatenate(
+            [soup.world[s:e] for (s, e) in fit_ranges])
+        fmin = fit_rows.min(axis=0)
+        fmax = fit_rows.max(axis=0)
+    lvp = sh.light_view_proj(d, wmin, wmax, fit_min=fmin, fit_max=fmax)
 
     p4 = jnp.concatenate([soup.world, jnp.ones_like(soup.world[..., :1])],
                          axis=-1)
@@ -950,6 +1015,7 @@ def _shadow_map_from_soup(soup, lights, settings: RenderSettings):
         rec_l, setup_l, clip_l, soup.tris, size, size, settings,
         cap=settings.shadow_candidates,
         passes=settings.shadow_passes or settings.raster_passes,
+        tile_cap=settings.shadow_tile_cap,
     )
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
@@ -957,33 +1023,48 @@ def _shadow_map_from_soup(soup, lights, settings: RenderSettings):
     return sh.build_shadow_map(depth_img, lvp, size), sh_diag
 
 
-def _shadow_visibility(soup, px, lights, settings: RenderSettings):
+def _shadow_visibility(soup, px, lights, settings: RenderSettings,
+                       fit_ranges=None):
     """Shadow map + planar PCF visibility for the shadow-casting light."""
+    smap, sh_diag = _shadow_map_from_soup(soup, lights, settings,
+                                          fit_ranges=fit_ranges)
+    return _pcf_vis(smap, px, settings, sh_diag)
+
+
+def _pcf_vis(smap, px, settings: RenderSettings, sh_diag):
+    """Screen-side PCF visibility — footprint-compacted when
+    shadow_query_tile_cap is set (the gather only runs for tiles whose
+    covered pixels land inside the light frustum; dropped footprint tiles
+    merge into the shadow pass's BinDiag)."""
     from bibim_tpu.ops import shadow as sh
 
-    smap, sh_diag = _shadow_map_from_soup(soup, lights, settings)
+    if settings.shadow_query_tile_cap is not None:
+        vis, dropped = sh.shadow_factor_compact(
+            smap, px.world, px.tri_id >= 0,
+            settings.shadow_query_tile_cap, settings.shadow_bias,
+        )
+        sh_diag = sh_diag._replace(
+            dropped_tiles=sh_diag.dropped_tiles + dropped
+        )
+        return vis, sh_diag
     return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
 
-def _shadow_map_planar(psoup, lights, settings: RenderSettings):
+def _shadow_map_planar(psoup, lights, settings: RenderSettings,
+                       fit_ranges=None):
     """Corner-planar :func:`_shadow_map_from_soup` (dense (T,) light-space
-    transform + planar setup/record build)."""
+    transform + planar setup/record build). ``fit_ranges`` = static
+    triangle-plane slices of the caster batches (shadow_fit_batches)."""
     from bibim_tpu.ops import shadow as sh
     from bibim_tpu.ops.geometry import PlanarSoup
 
     size = settings.shadow_size
     d = lights.dir[settings.shadow_light]
-    wmin = jnp.stack([
-        jnp.minimum(jnp.minimum(psoup.world[k][0].min(),
-                                psoup.world[k][1].min()),
-                    psoup.world[k][2].min()) for k in range(3)
-    ])
-    wmax = jnp.stack([
-        jnp.maximum(jnp.maximum(psoup.world[k][0].max(),
-                                psoup.world[k][1].max()),
-                    psoup.world[k][2].max()) for k in range(3)
-    ])
-    lvp = sh.light_view_proj(d, wmin, wmax)
+    wmin, wmax = _world_bounds_planar(psoup.world)
+    fmin = fmax = None
+    if fit_ranges:
+        fmin, fmax = _world_bounds_planar(psoup.world, fit_ranges)
+    lvp = sh.light_view_proj(d, wmin, wmax, fit_min=fmin, fit_max=fmax)
 
     clip_l = tuple(
         tuple(
@@ -1008,6 +1089,7 @@ def _shadow_map_planar(psoup, lights, settings: RenderSettings):
         cap=settings.shadow_candidates,
         passes=settings.shadow_passes or settings.raster_passes,
         drop_fields=_SHADOW_DROP,
+        tile_cap=settings.shadow_tile_cap,
     )
     tiles_x = -(-size // settings.tile_w)
     depth_img = fused.untile(px_l.depth, size, size, tiles_x,
@@ -1015,17 +1097,20 @@ def _shadow_map_planar(psoup, lights, settings: RenderSettings):
     return sh.build_shadow_map(depth_img, lvp, size), sh_diag
 
 
-def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings):
-    from bibim_tpu.ops import shadow as sh
+def _shadow_visibility_planar(psoup, px, lights, settings: RenderSettings,
+                              fit_ranges=None):
+    smap, sh_diag = _shadow_map_planar(psoup, lights, settings,
+                                       fit_ranges=fit_ranges)
+    return _pcf_vis(smap, px, settings, sh_diag)
 
-    smap, sh_diag = _shadow_map_planar(psoup, lights, settings)
-    return sh.shadow_factor(smap, px.world, settings.shadow_bias), sh_diag
 
-
-def _shadow_vis_any(soup, psoup, px, lights, settings: RenderSettings):
+def _shadow_vis_any(soup, psoup, px, scene, settings: RenderSettings):
+    tri_ranges, vert_ranges = _shadow_fit_ranges(scene, settings)
     if psoup is not None:
-        return _shadow_visibility_planar(psoup, px, lights, settings)
-    return _shadow_visibility(soup, px, lights, settings)
+        return _shadow_visibility_planar(psoup, px, scene.lights, settings,
+                                         fit_ranges=tri_ranges)
+    return _shadow_visibility(soup, px, scene.lights, settings,
+                              fit_ranges=vert_ranges)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -1112,7 +1197,7 @@ def render_frame(
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
             vis_plane, sh_diag = _shadow_vis_any(
-                soup, psoup, px, scene.lights, settings
+                soup, psoup, px, scene, settings
             )
             light_vis = {settings.shadow_light: vis_plane}
             diags.append(sh_diag)
@@ -1132,7 +1217,7 @@ def render_frame(
         light_vis = None
         if settings.enable_shadows and scene.lights.num_lights > 0:
             vis_plane, sh_diag = _shadow_vis_any(
-                soup, psoup, px, scene.lights, settings
+                soup, psoup, px, scene, settings
             )
             light_vis = {settings.shadow_light: vis_plane}
             diags.append(sh_diag)

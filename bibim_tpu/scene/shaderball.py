@@ -83,6 +83,11 @@ class ShaderBallScene(SceneBase):
     selected_material_index: int = 1  # scene.h:213 GUI.SelectedMaterial = 1
     angle: float = -90.0  # scene.h:207
     spin: bool = False  # scene.cpp:175 has the 30°/s spin commented out
+    # The ball (batch 0) is the interesting shadow caster; fitting the
+    # light frustum's XY to it instead of the 100× ground plane gives the
+    # shadow map ~70× more texels across the ball (the plane still
+    # rasterizes into the map as an occluder/receiver).
+    shadow_fit_batches = (0,)
     _plane: DrawBatch | None = field(default=None, repr=False)
     _ball: DrawBatch | None = field(default=None, repr=False)
     _lights: object = field(default=None, repr=False)

@@ -125,6 +125,37 @@ class TestAutotune:
             else:
                 assert after[k] >= bigger[k]
 
+    def test_shadow_caps_derived_and_validated(self):
+        """enable_shadows derives light-view capacities (the light
+        projection's concentration profile is invisible to the main-camera
+        probe) and the tuned frame renders with zero drops and the same
+        image as hand-set caps."""
+        scene = _scene()
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_shadows=True, shadow_size=128)
+        tuned, _ = autotune_settings(scene, _view(), base)
+        assert tuned.shadow_candidates is not None
+        assert tuned.shadow_passes is not None and tuned.shadow_passes >= 1
+        nt_light = (128 // base.tile_h) * (128 // base.tile_w)
+        assert (tuned.shadow_tile_cap is None
+                or tuned.shadow_tile_cap <= nt_light)
+        fp = FrameParams(jnp.int32(1), jnp.float32(1.0))
+        out = render_frame(
+            scene, _view(), fp, _mats(), None,
+            dataclasses.replace(tuned, outputs="image+diag"),
+        )
+        d = out["bin_diag"]
+        for leaf in (d.dropped_overflow, d.dropped_cap, d.dropped_pairs,
+                     d.dropped_tiles):
+            assert int(np.asarray(leaf)) == 0
+        hand = render_frame(
+            scene, _view(), fp, _mats(), None,
+            dataclasses.replace(base, shadow_candidates=512,
+                                shadow_passes=1),
+        )
+        np.testing.assert_array_equal(np.asarray(out["image"]),
+                                      np.asarray(hand["image"]))
+
     def test_image_diag_outputs_match_image(self):
         """outputs='image+diag' is the production frame + scalars."""
         scene = _scene()

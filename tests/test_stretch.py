@@ -96,6 +96,54 @@ class TestShadows:
         # Shadows only darken; nothing gets brighter.
         assert (on <= off + 1).all()
 
+    def test_caster_fit_still_darkens(self):
+        """shadow_fit_batches fits the map's XY to the casters (the
+        blocker, batch 1); the blocker's shadow survives and nothing
+        brightens (the ground still rasterizes into the map as an
+        occluder/receiver; pixels outside the fitted XY resolve lit)."""
+        scene = _occluder_scene()
+        s_off = RenderSettings(width=W, height=H, xla_cap=256)
+        s_fit = RenderSettings(width=W, height=H, xla_cap=256,
+                               enable_shadows=True, shadow_size=128,
+                               shadow_fit_batches=(1,))
+        off = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["image"]
+        ).astype(int)
+        on = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_fit)["image"]
+        ).astype(int)
+        darkened = (off.sum(-1) - on.sum(-1)) > 30
+        assert darkened.sum() > 50, "no shadowed pixels with caster fit"
+        assert (on <= off + 1).all()
+
+    def test_query_compaction_exact(self):
+        """Footprint-compacted PCF (shadow_query_tile_cap) is bit-exact
+        vs the full-rate gather when the cap holds the footprint, and a
+        too-small cap surfaces as dropped_tiles instead of failing
+        silently (dropped footprint tiles render unshadowed)."""
+        import dataclasses
+
+        scene = _occluder_scene()
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_shadows=True, shadow_size=128,
+                              shadow_fit_batches=(1,))
+        nt = base.tiles_x * base.tiles_y
+        full = render_frame(scene, _view(), _fp(), _mat(), None, base)
+        compact = render_frame(
+            scene, _view(), _fp(), _mat(), None,
+            dataclasses.replace(base, shadow_query_tile_cap=nt - 1,
+                                outputs="image+diag"),
+        )
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(compact["image"]))
+        assert int(np.asarray(compact["bin_diag"].dropped_tiles)) == 0
+        tiny = render_frame(
+            scene, _view(), _fp(), _mat(), None,
+            dataclasses.replace(base, shadow_query_tile_cap=1,
+                                outputs="image+diag"),
+        )
+        assert int(np.asarray(tiny["bin_diag"].dropped_tiles)) > 0
+
     def test_point_lit_regions_unaffected(self):
         """Only the shadow-casting light is attenuated."""
         scene = _occluder_scene()

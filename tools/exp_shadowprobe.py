@@ -108,14 +108,25 @@ def main():
               f"{(size // settings.tile_h) * (size // settings.tile_w)}",
               flush=True)
 
+    @jax.jit
+    def make_psoup(scene_data):
+        return assemble_scene_planar(scene_data.batches, vb.view, vb.proj,
+                                     None)
+
+    psoup = make_psoup(data)
+
     def timed(name, st):
+        # WARNING (measured): perturbing only the VIEW matrix lets XLA
+        # hoist the whole world→lvp→raster chain out of the scan (world
+        # planes are view-independent) — the scan must perturb psoup
+        # itself (tools/exp_harness rule).
         @jax.jit
-        def run(scene_data):
+        def run(psoup, lights):
             def step(carry, _):
-                psoup = assemble_scene_planar(
-                    scene_data.batches, vb.view + carry, vb.proj, None)
-                smap, diag = _shadow_map_planar(psoup, scene_data.lights,
-                                                st)
+                ps = jax.tree_util.tree_map(
+                    lambda p: p + carry.astype(p.dtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p, psoup)
+                smap, diag = _shadow_map_planar(ps, lights, st)
                 dep = (jnp.sum(smap.quads) * 1e-30
                        + jnp.sum(jnp.stack(jax.tree_util.tree_leaves(diag))
                                  .astype(jnp.float32)) * 1e-30)
@@ -125,31 +136,25 @@ def main():
                                length=SCAN_ITERS)
             return outs
 
-        out = run(data)
+        out = run(psoup, data.lights)
         sync(out)
         t0 = time.perf_counter()
         for _ in range(4):
-            out = run(data)
+            out = run(psoup, data.lights)
         sync(out)
         ms = (time.perf_counter() - t0) / 4 / SCAN_ITERS * 1e3
-        print(f"{name:40s} {ms:8.3f} ms", flush=True)
+        print(f"{name:44s} {ms:8.3f} ms", flush=True)
 
-    timed("hand-set cap=2048 x3 span=32", settings)
-
-    # Derived: worst span with small overflow, 1024-window passes.
-    for span in (8, 16, 32):
-        mc, pairs, n_big, live = stats[f"span{span}"]
-        cap = _bucket(int(mc * 1.05), floor=64)
-        passes = max(1, -(-cap // 1024))
-        cap = min(cap, 1024) if passes > 1 else cap
+    mc, pairs, n_big, live = stats["span32"]
+    tcap = _bucket(int(live * 1.25) + 8, floor=64)
+    for span in (32, 16, 8):
         st = dataclasses.replace(
-            settings, shadow_candidates=cap, shadow_passes=passes,
-            span_cap=span,
-            overflow_cap=_bucket(int(n_big * 1.05) + 16, floor=64),
+            settings, shadow_candidates=1024, shadow_passes=4,
+            shadow_tile_cap=tcap, span_cap=span,
             pair_budget=max(settings.pair_budget,
                             _bucket(int(pairs * 1.05), floor=4096)),
         )
-        timed(f"derived span={span} cap={cap} x{passes}", st)
+        timed(f"tile_cap={tcap} cap=1024 x4 span={span}", st)
 
 
 if __name__ == "__main__":
