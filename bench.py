@@ -444,7 +444,7 @@ def bench_stretch_4k(report: dict) -> None:
     """Config 5 (stretch): 4K frame — PBR + shadow map + IBL + overlays."""
     from bibim_tpu import math3d as m3
     from bibim_tpu.assets.materials import create_pbr_material_set
-    from bibim_tpu.ops.ibl import make_ibl
+    from bibim_tpu.ops.ibl import make_ibl_sh
     from bibim_tpu.pipeline import (
         FrameParams,
         RenderSettings,
@@ -462,7 +462,7 @@ def bench_stretch_4k(report: dict) -> None:
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
     )
-    ibl = jax.device_put(make_ibl())
+    ibl = jax.device_put(make_ibl_sh())
     overlay = make_overlay_resources()
     vb = ViewBlock(
         view=jnp.asarray(cam.get_view_matrix()),

@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shadow-map the first light (stretch capability)")
     p.add_argument("--ibl", action="store_true",
                    help="procedural-sky split-sum IBL ambient (stretch)")
+    p.add_argument("--ibl-tables", action="store_true",
+                   help="use the equirect-table IBL path instead of the "
+                        "analytic SphPoly+SG fit (oracle/debug)")
     p.add_argument("--no-write", action="store_true",
                    help="render without PNG output or full-frame egress "
                         "(sustained render-loop throughput; frames sync "
@@ -234,9 +237,9 @@ def main(argv=None) -> int:
 
     ibl_maps = None
     if args.ibl:
-        from bibim_tpu.ops.ibl import make_ibl
+        from bibim_tpu.ops.ibl import make_ibl, make_ibl_sh
 
-        ibl_maps = make_ibl()
+        ibl_maps = make_ibl() if args.ibl_tables else make_ibl_sh()
 
     readback = DoubleBufferedReadback(depth=2)
     clock = Stopwatch()

@@ -67,32 +67,36 @@ def make_procedural_sky(h: int = 64, w: int = 128,
     return (sky + sun).astype(np.float32)
 
 
-def _convolve(env: np.ndarray, out_h: int, out_w: int,
-              power: float) -> np.ndarray:
-    """Brute-force cosine-power convolution of an equirect map (numpy,
-    bind time — the maps are tiny)."""
-    eh, ew = env.shape[:2]
-    tv = (np.arange(eh) + 0.5) / eh * np.pi
-    tu = (np.arange(ew) + 0.5) / ew * 2 * np.pi - np.pi
+def _equirect_dirs(h: int, w: int):
+    """Unit directions + sinθ solid-angle weights for an equirect grid
+    (matches make_procedural_sky's parameterization)."""
+    tv = (np.arange(h) + 0.5) / h * np.pi
+    tu = (np.arange(w) + 0.5) / w * 2 * np.pi - np.pi
     et, ep = np.meshgrid(tv, tu, indexing="ij")
-    env_dirs = np.stack(
+    dirs = np.stack(
         [np.sin(et) * np.cos(ep), np.cos(et), np.sin(et) * np.sin(ep)],
         axis=-1,
     ).reshape(-1, 3)
-    solid = np.sin(et).reshape(-1)  # dΩ ∝ sinθ
+    return dirs, np.sin(et).reshape(-1)
+
+
+def _convolve(env: np.ndarray, out_h: int, out_w: int,
+              power: float) -> np.ndarray:
+    """Brute-force cosine-power convolution of an equirect map (numpy,
+    bind time — the maps are tiny). Chunked over output pixels so the
+    (O, E) weight matrix never materializes whole."""
+    eh, ew = env.shape[:2]
+    env_dirs, solid = _equirect_dirs(eh, ew)
     texels = env.reshape(-1, 3)
+    out_dirs, _ = _equirect_dirs(out_h, out_w)
 
-    ov = (np.arange(out_h) + 0.5) / out_h * np.pi
-    ou = (np.arange(out_w) + 0.5) / out_w * 2 * np.pi - np.pi
-    ot, op = np.meshgrid(ov, ou, indexing="ij")
-    out_dirs = np.stack(
-        [np.sin(ot) * np.cos(op), np.cos(ot), np.sin(ot) * np.sin(op)],
-        axis=-1,
-    ).reshape(-1, 3)
-
-    cosw = np.clip(out_dirs @ env_dirs.T, 0.0, 1.0) ** power  # (O, E)
-    wsum = cosw * solid[None, :]
-    out = (wsum @ texels) / np.maximum(wsum.sum(axis=1, keepdims=True), 1e-9)
+    out = np.empty((out_h * out_w, 3), np.float32)
+    for lo in range(0, out_dirs.shape[0], 1024):
+        chunk = out_dirs[lo:lo + 1024]
+        cosw = np.clip(chunk @ env_dirs.T, 0.0, 1.0) ** power  # (o, E)
+        wsum = cosw * solid[None, :]
+        out[lo:lo + 1024] = (wsum @ texels) / np.maximum(
+            wsum.sum(axis=1, keepdims=True), 1e-9)
     return out.reshape(out_h, out_w, 3).astype(np.float32)
 
 
@@ -128,6 +132,175 @@ jax.tree_util.register_pytree_node(
 )
 
 
+# ---------------------------------------------------------------------------
+# Analytic IBL (production path): every product is a cos^p convolution of
+# the environment, i.e. smooth by construction — so instead of baking u8
+# equirect tables and paying one-hot MXU selects per pixel (the whole
+# sampling cost of the table path), represent each product as a low-degree
+# polynomial on the sphere plus ONE spherical Gaussian for the sharp sun
+# lobe, both fit at bind time. Runtime evaluation is pure elementwise VPU
+# math straight from direction planes — no equirect atan2/arccos, no
+# tables, no gathers. (Degree-≤L polynomials restricted to the sphere span
+# exactly the spherical harmonics up to band L; least-squares on monomials
+# avoids hand-rolled SH basis formulas.)
+# ---------------------------------------------------------------------------
+
+
+class SphPoly(NamedTuple):
+    """color(d) ≈ Σ_b coef[b]·x^i y^j z^k  +  sg_amp·exp(sg_sharp·(d·a−1))
+    for unit d. ``degree`` is static (pytree aux); arrays are leaves."""
+
+    coef: jnp.ndarray  # (nbasis, 3) f32
+    sg_axis: jnp.ndarray  # (3,) f32 unit
+    sg_amp: jnp.ndarray  # (3,) f32 (zeros = no SG)
+    sg_sharp: jnp.ndarray  # () f32
+    degree: int
+
+
+jax.tree_util.register_pytree_node(
+    SphPoly,
+    lambda t: ((t.coef, t.sg_axis, t.sg_amp, t.sg_sharp), (t.degree,)),
+    lambda aux, ch: SphPoly(*ch, aux[0]),
+)
+
+
+class IblSH(NamedTuple):
+    """Analytic IBL products (plain NamedTuple pytree of SphPoly)."""
+
+    irradiance: SphPoly
+    spec_gloss: SphPoly
+    spec_rough: SphPoly
+
+
+def _monomial_powers(degree: int):
+    return [(i, j, k)
+            for total in range(degree + 1)
+            for i in range(total + 1)
+            for j in range(total - i + 1)
+            for k in (total - i - j,)]
+
+
+def _monomials_np(dirs: np.ndarray, degree: int) -> np.ndarray:
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    cols = [x ** i * y ** j * z ** k
+            for i, j, k in _monomial_powers(degree)]
+    return np.stack(cols, axis=1)
+
+
+def _fit_sph_poly(img: np.ndarray, degree: int, with_sg: bool,
+                  iters: int = 4) -> SphPoly:
+    """Weighted least-squares fit of an equirect product map. With
+    ``with_sg``, alternate SG-on-residual / poly-on-remainder so the poly
+    never has to ring around the sun lobe."""
+    h, w = img.shape[:2]
+    dirs, solid = _equirect_dirs(h, w)
+    y = img.reshape(-1, 3).astype(np.float64)
+    sw = np.sqrt(solid)[:, None]
+    basis = _monomials_np(dirs, degree)
+
+    def poly_fit(target):
+        c, *_ = np.linalg.lstsq(basis * sw, target * sw, rcond=None)
+        return c
+
+    sg_axis = np.array([0.0, 1.0, 0.0])
+    sg_amp = np.zeros(3)
+    sg_sharp = 1.0
+    coef = poly_fit(y)
+    if with_sg:
+        lams = np.exp(np.linspace(np.log(4.0), np.log(2048.0), 28))
+        for _ in range(iters):
+            resid = y - basis @ coef
+            lum = resid @ np.array([0.2126, 0.7152, 0.0722])
+            peak = int(np.argmax(lum))
+            # refine the axis as the energy centroid near the peak
+            near = np.clip(dirs @ dirs[peak], 0.0, None) ** 64
+            wgt = np.clip(lum, 0.0, None) * near * solid
+            axis = dirs.T @ wgt
+            nrm = np.linalg.norm(axis)
+            sg_axis = axis / nrm if nrm > 1e-12 else dirs[peak]
+            mu = dirs @ sg_axis
+            best = (np.inf, None, None)
+            for lam in lams:
+                g = np.exp(lam * (mu - 1.0))
+                denom = float(np.sum(solid * g * g))
+                if denom < 1e-12:
+                    continue
+                amp = (g * solid) @ resid / denom
+                err = float(np.sum(
+                    solid[:, None] * (resid - g[:, None] * amp[None]) ** 2))
+                if err < best[0]:
+                    best = (err, lam, amp)
+            _, sg_sharp, sg_amp = best
+            sg_amp = np.maximum(sg_amp, 0.0)
+            g = np.exp(sg_sharp * (dirs @ sg_axis - 1.0))
+            coef = poly_fit(y - g[:, None] * sg_amp[None])
+    return SphPoly(
+        coef=jnp.asarray(coef, jnp.float32),
+        sg_axis=jnp.asarray(sg_axis, jnp.float32),
+        sg_amp=jnp.asarray(sg_amp, jnp.float32),
+        sg_sharp=jnp.asarray(sg_sharp, jnp.float32),
+        degree=degree,
+    )
+
+
+def sph_poly_error(poly: SphPoly, img: np.ndarray) -> float:
+    """Max abs fit error over the map grid, relative to the map max."""
+    h, w = img.shape[:2]
+    dirs, _ = _equirect_dirs(h, w)
+    got = np.asarray(_monomials_np(dirs, poly.degree) @
+                     np.asarray(poly.coef, np.float64))
+    amp = np.asarray(poly.sg_amp, np.float64)
+    if amp.any():
+        g = np.exp(float(poly.sg_sharp)
+                   * (dirs @ np.asarray(poly.sg_axis, np.float64) - 1.0))
+        got = got + g[:, None] * amp[None]
+    err = np.abs(got - img.reshape(-1, 3).astype(np.float64))
+    return float(err.max() / max(float(img.max()), 1e-9))
+
+
+def make_ibl_sh(env: np.ndarray | None = None) -> IblSH:
+    """Precompute the analytic IBL products (production path — see the
+    module docstring for why this replaces the table path on TPU). The
+    convolved maps exist only transiently as fit targets."""
+    if env is None:
+        env = make_procedural_sky()
+    irr = _convolve(env, 16, 32, power=1.0)
+    rough = _convolve(env, 24, 48, power=6.0)
+    gloss = _convolve(env, 48, 96, power=160.0)
+    return IblSH(
+        irradiance=_fit_sph_poly(irr, degree=2, with_sg=False),
+        spec_gloss=_fit_sph_poly(gloss, degree=4, with_sg=True),
+        spec_rough=_fit_sph_poly(rough, degree=4, with_sg=True),
+    )
+
+
+def _eval_sph_poly(p: SphPoly, d):
+    """Evaluate a SphPoly at unit-direction planes (static unroll — a few
+    hundred elementwise FMAs that XLA fuses into the surrounding chain)."""
+    pows = []
+    for plane in d:
+        col = [None, plane]
+        for _ in range(p.degree - 1):
+            col.append(col[-1] * plane)
+        pows.append(col)
+    out = [None, None, None]
+    for b, (i, j, k) in enumerate(_monomial_powers(p.degree)):
+        mono = None
+        for axis, power in ((0, i), (1, j), (2, k)):
+            if power:
+                term = pows[axis][power]
+                mono = term if mono is None else mono * term
+        for c in range(3):
+            w = p.coef[b, c]
+            term = w if mono is None else mono * w
+            out[c] = term if out[c] is None else out[c] + term
+    g = jnp.exp(p.sg_sharp * (
+        d[0] * p.sg_axis[0] + d[1] * p.sg_axis[1] + d[2] * p.sg_axis[2]
+        - 1.0))
+    return tuple(jnp.maximum(out[c] + p.sg_amp[c] * g, 0.0)
+                 for c in range(3))
+
+
 def _dir_to_uv(d):
     """Equirect uv from unit direction planes (matches make_procedural_sky:
     v = θ/π from +Y, u = (atan2(z, x) + π) / 2π)."""
@@ -143,25 +316,32 @@ def _sample_env(tables, u, v, scale, tile_h, tile_w, use_pallas):
     return tuple(s[k] * scale for k in ("alb_r", "alb_g", "alb_b"))
 
 
-def ibl_ambient(ibl: IblMaps, normal, view_dir, albedo, metallic, roughness,
+def ibl_ambient(ibl, normal, view_dir, albedo, metallic, roughness,
                 ao, tile_h: int = 8, tile_w: int = 128,
                 use_pallas: bool | None = None):
     """Split-sum ambient (replaces the reference's 0.03·albedo·ao when IBL
-    is enabled). All args are planar channel tuples/planes."""
+    is enabled). All args are planar channel tuples/planes. ``ibl`` is
+    either the analytic IblSH (production: pure elementwise math) or the
+    table-path IblMaps (oracle: one-hot MXU equirect samples)."""
     n = normalize3(normal)
     v = normalize3(view_dir)
     ndv = jnp.maximum(dot3(n, v), 0.0)
-    # reflect(-v, n)
+    # reflect(-v, n); unit because n and v are
     r = tuple(2.0 * ndv * n[c] - v[c] for c in range(3))
 
-    ui, vi = _dir_to_uv(n)
-    irr = _sample_env(ibl.irradiance, ui, vi, ibl.hdr_scale, tile_h, tile_w,
-                      use_pallas)
-    ur, vr = _dir_to_uv(normalize3(r))
-    sg = _sample_env(ibl.spec_gloss, ur, vr, ibl.hdr_scale, tile_h, tile_w,
-                     use_pallas)
-    sr = _sample_env(ibl.spec_rough, ur, vr, ibl.hdr_scale, tile_h, tile_w,
-                     use_pallas)
+    if isinstance(ibl, IblSH):
+        irr = _eval_sph_poly(ibl.irradiance, n)
+        sg = _eval_sph_poly(ibl.spec_gloss, r)
+        sr = _eval_sph_poly(ibl.spec_rough, r)
+    else:
+        ui, vi = _dir_to_uv(n)
+        irr = _sample_env(ibl.irradiance, ui, vi, ibl.hdr_scale, tile_h,
+                          tile_w, use_pallas)
+        ur, vr = _dir_to_uv(normalize3(r))
+        sg = _sample_env(ibl.spec_gloss, ur, vr, ibl.hdr_scale, tile_h,
+                         tile_w, use_pallas)
+        sr = _sample_env(ibl.spec_rough, ur, vr, ibl.hdr_scale, tile_h,
+                         tile_w, use_pallas)
     spec_env = tuple(
         sg[c] * (1.0 - roughness) + sr[c] * roughness for c in range(3)
     )

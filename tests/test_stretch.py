@@ -211,3 +211,62 @@ class TestIbl:
             render_frame(scene, _view(), _fp(), _mat(), None, s_off)["tri_id"]
         ) >= 0
         assert on[hit].astype(int).mean() > off[hit].astype(int).mean() * 0.5
+
+    def test_analytic_fit_matches_convolved_products(self):
+        """The SphPoly+SG fit must track the brute-force convolved maps
+        (the table path's ground truth) to a few percent of each map's
+        peak — tighter than the table path's u8 quantization for the dim
+        products."""
+        from bibim_tpu.ops.ibl import (_convolve, _fit_sph_poly,
+                                       make_procedural_sky, sph_poly_error)
+
+        env = make_procedural_sky()
+        irr = _convolve(env, 16, 32, power=1.0)
+        rough = _convolve(env, 24, 48, power=6.0)
+        gloss = _convolve(env, 48, 96, power=160.0)
+        assert sph_poly_error(_fit_sph_poly(irr, 2, False), irr) < 0.02
+        assert sph_poly_error(_fit_sph_poly(rough, 4, True), rough) < 0.02
+        assert sph_poly_error(_fit_sph_poly(gloss, 4, True), gloss) < 0.05
+
+    def test_analytic_matches_table_ambient(self):
+        """ibl_ambient with IblSH must agree with the IblMaps oracle on
+        random shading inputs (both approximate the same convolved
+        products; tolerance covers u8 quantization + fit error)."""
+        import jax.numpy as jnp
+        from bibim_tpu.ops.ibl import ibl_ambient, make_ibl, make_ibl_sh
+
+        tabs = make_ibl()
+        sh = make_ibl_sh()
+        rng = np.random.default_rng(7)
+        n = tuple(jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+                  for _ in range(3))
+        v = tuple(jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+                  for _ in range(3))
+        alb = tuple(jnp.asarray(rng.uniform(0.1, 1.0, (4, 128)), jnp.float32)
+                    for _ in range(3))
+        met = jnp.asarray(rng.uniform(0, 1, (4, 128)), jnp.float32)
+        rgh = jnp.asarray(rng.uniform(0.05, 1, (4, 128)), jnp.float32)
+        ao = jnp.ones((4, 128), jnp.float32)
+        a = ibl_ambient(tabs, n, v, alb, met, rgh, ao, 4, 128,
+                        use_pallas=False)
+        b = ibl_ambient(sh, n, v, alb, met, rgh, ao, 4, 128)
+        scale = max(float(np.asarray(c).max()) for c in a)
+        for c in range(3):
+            err = np.abs(np.asarray(a[c]) - np.asarray(b[c]))
+            assert err.max() < 0.12 * scale, err.max() / scale
+
+    def test_analytic_ibl_renders(self):
+        from bibim_tpu.ops.ibl import make_ibl_sh
+
+        scene = _occluder_scene()
+        s_on = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_ibl=True)
+        s_off = RenderSettings(width=W, height=H, xla_cap=256)
+        on = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_on,
+                         ibl=make_ibl_sh())["image"]
+        )
+        off = np.asarray(
+            render_frame(scene, _view(), _fp(), _mat(), None, s_off)["image"]
+        )
+        assert not np.array_equal(on, off)

@@ -132,6 +132,13 @@ def main():
         ibl, tuple(n + c for n in px_c.normal), view_dir, albedo, met,
         rough, ao, s.tile_h, s.tile_w, use_pallas=True))
 
+    from bibim_tpu.ops.ibl import make_ibl_sh
+
+    ibl_sh = jax.device_put(make_ibl_sh())
+    timed("ibl_sh_full", lambda c: ibl_ambient(
+        ibl_sh, tuple(n + c for n in px_c.normal), view_dir, albedo, met,
+        rough, ao, s.tile_h, s.tile_w))
+
     def uv_math(c):
         n = normalize3(tuple(p + c for p in px_c.normal))
         v = normalize3(view_dir)
