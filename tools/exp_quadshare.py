@@ -98,7 +98,9 @@ def main():
     data = scene.scene_data()
     vb = ViewBlock(view=view, proj=proj, view_pos=jnp.asarray(cam.pos),
                    enable_normal_map=jnp.int32(0))
-    base = RenderSettings(width=W, height=H, outputs="image")
+    # Mirror bench_stretch_4k's base (span_cap=32: the 4K ground-plane
+    # triangles overflow the default 16 and get DROPPED, halving coverage)
+    base = RenderSettings(width=W, height=H, outputs="image", span_cap=32)
     s, _ = autotune_settings(data, vb, base, margin=1.05)
     print(f"caps: live={s.live_tile_cap} raster={s.raster_tile_cap} "
           f"pairs={s.pair_budget}", flush=True)
@@ -108,7 +110,7 @@ def main():
         psoup = assemble_scene_planar(batches, view, proj, None)
         setup = triangle_setup_planar(psoup.clip, W, H)
         rec = fused.build_record_table_planar(setup, psoup)
-        px, _, _ = fused.raster_fused_pallas(
+        px, _, diag = fused.raster_fused_pallas(
             rec, setup, W, H, max_candidates=s.max_candidates,
             span_cap=s.span_cap, pair_budget=s.pair_budget,
             raster_tile_cap=s.raster_tile_cap,
@@ -117,11 +119,13 @@ def main():
         live = jnp.any(px.tri_id >= 0, axis=1)
         ids, _ = fused._compact_tile_list(live, s.live_tile_cap)
         return (px.uv[0][ids], px.uv[1][ids], px.tri_id[ids],
-                jnp.sum(live, dtype=jnp.int32))
+                jnp.sum(live, dtype=jnp.int32), diag)
 
-    u, v, tri, n_live = get_uv(data.batches)
+    u, v, tri, n_live, diag = get_uv(data.batches)
     nt, npx = u.shape
-    print(f"live tiles {int(n_live)} / cap {nt}; slots {nt * npx}",
+    print(f"live tiles {int(n_live)} / cap {nt}; slots {nt * npx}; "
+          f"drops ovf={int(diag.dropped_overflow)} "
+          f"cap={int(diag.dropped_cap)} pairs={int(diag.dropped_pairs)}",
           flush=True)
 
     mats = material_quads_from_set(create_pbr_material_set(),
@@ -170,10 +174,8 @@ def main():
               + "/".join(f"{p:.3f}" for p in hist), flush=True)
 
     b = tq.BLOCK_B
-    # window 5 (current rows): all bases in one block
-    blk_x = np.where(qc, x0 // b, BIG)
-    blk_y = np.where(qc, y0 // b, BIG)
 
+    # window 5 (current rows): all bases in one block
     def same_block(q):
         mn = q.min(axis=(2, 4))
         mx = np.where(quadify(cov), q, -BIG).max(axis=(2, 4))
