@@ -405,11 +405,14 @@ class TestShardedRendering:
             np.asarray(single["image"]), np.asarray(sharded)
         )
 
-    def test_sharded_shadows_and_ibl_match_single(self):
+    @pytest.mark.parametrize("ibl_kind", ["tables", "analytic"])
+    def test_sharded_shadows_and_ibl_match_single(self, ibl_kind):
         """Shadow map builds once outside the shard_map; IBL shades
-        band-locally — sharded output matches single-chip."""
+        band-locally — sharded output matches single-chip. Covers both
+        the equirect-table oracle and the production SphPoly+SG pytree
+        (static ``degree`` aux must survive shard_map replication)."""
         import jax
-        from bibim_tpu.ops.ibl import make_ibl
+        from bibim_tpu.ops.ibl import make_ibl, make_ibl_sh
         from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
         from bibim_tpu.scene.lights import make_lights
 
@@ -421,7 +424,7 @@ class TestShardedRendering:
         ])
         scene = SceneData(batches=(batch_from_mesh(mesh_obj, model),),
                           lights=lights)
-        ibl = make_ibl()
+        ibl = make_ibl() if ibl_kind == "tables" else make_ibl_sh()
         settings = RenderSettings(width=W, height=H, xla_cap=256,
                                   enable_shadows=True, enable_ibl=True,
                                   shadow_size=128)
