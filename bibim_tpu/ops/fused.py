@@ -264,31 +264,68 @@ def bin_pairs(
     big = setup.valid & (area > span_cap)
     dropped_mid = jnp.int32(0)
 
+    def slot_tile(k, live_k):
+        """Tile id of a triangle's k-th bbox tile as a FULL-LANE (T,)
+        plane. The naive (T, span) expansion puts the span on the minor
+        axis (span/128 lane occupancy) and pays a variable-divisor
+        integer div per slot — measured ~1.5 ms of config 4's 3.0 ms
+        binning (tools/exp_bin64.py). Per-k planes replace k//span_w
+        with a compare-sum ladder (floor(k/w) = Σ_{m≤k} [m·w ≤ k]) and
+        run at 128/128 lanes. Slot order changes (k-major, not
+        tri-major) but the unstable unique-pair sort output is
+        identical."""
+        if k == 0:
+            dy = jnp.zeros_like(span_w)
+        else:
+            dy = (span_w <= k).astype(jnp.int32)
+            for m in range(2, k + 1):
+                dy = dy + (m * span_w <= k).astype(jnp.int32)
+        dx = k - dy * span_w
+        return jnp.where(live_k, (ty0 + dy) * tiles_x + (tx0 + dx), nt)
+
     if span_mid_cap is not None and span_cap > SPAN_DENSE:
         t = area.shape[0]
-        # Dense class: every triangle, SPAN_DENSE slots.
-        kd = jnp.arange(SPAN_DENSE, dtype=jnp.int32)
-        dxd = kd[None, :] % span_w[:, None]
-        dyd = kd[None, :] // span_w[:, None]
-        tile_d = (ty0[:, None] + dyd) * tiles_x + (tx0[:, None] + dxd)
+        # Dense class: every triangle, SPAN_DENSE slots (k-major planes).
         dense = small & (area <= SPAN_DENSE)
-        live_d = dense[:, None] & (kd[None, :] < area[:, None])
-        tile_d = jnp.where(live_d, tile_d, nt)
+        tile_d = jnp.stack(
+            [slot_tile(k, dense & (k < area)) for k in range(SPAN_DENSE)]
+        )
         tri_d = jnp.broadcast_to(
-            jnp.arange(t, dtype=jnp.int32)[:, None], (t, SPAN_DENSE)
+            jnp.arange(t, dtype=jnp.int32)[None, :], (SPAN_DENSE, t)
         )
 
         # Mid class: compacted list of triangles spanning
-        # (SPAN_DENSE, span_cap] tiles.
+        # (SPAN_DENSE, span_cap] tiles. ONE top_k compacts BOTH the mid
+        # and the big/overflow class (disjoint masks): packed keys rank
+        # every big triangle (ascending id) before every mid triangle
+        # (ascending id), so bigs occupy a prefix and mids follow at
+        # offset n_big — two 156k-row top_k calls were ~1.1 ms of config
+        # 4's binning (tools/exp_bin64.py). If bigs overflow their cap
+        # they crowd mids out of the window; both overflows stay loudly
+        # counted (dropped_overflow / dropped_mid).
+        assert t < (1 << 28)
         mid = small & (area > SPAN_DENSE)
-        negm = jnp.where(mid, -jnp.arange(t, dtype=jnp.int32),
-                         jnp.int32(-(1 << 30)))
-        k_top = min(span_mid_cap, t)
-        topm, _ = lax.top_k(negm, k_top)
-        mid_ids = jnp.where(topm > -(1 << 30), -topm, -1)
-        if k_top < span_mid_cap:
-            mid_ids = jnp.pad(mid_ids, (0, span_mid_cap - k_top),
-                              constant_values=-1)
+        big_base = jnp.int32(3 << 28)
+        mid_base = jnp.int32(1 << 28)
+        ids_iota = jnp.arange(t, dtype=jnp.int32)
+        key = jnp.where(
+            big, big_base - ids_iota,
+            jnp.where(mid, mid_base - ids_iota, jnp.int32(-(1 << 30))),
+        )
+        k_sel = overflow_cap + span_mid_cap
+        k_top = min(k_sel, t)
+        top, _ = lax.top_k(key, k_top)
+        if k_top < k_sel:
+            top = jnp.pad(top, (0, k_sel - k_top),
+                          constant_values=-(1 << 30))
+        big_ids = jnp.where(top[:overflow_cap] > jnp.int32(2 << 28),
+                            big_base - top[:overflow_cap], -1)
+        n_big = jnp.minimum(jnp.sum(big, dtype=jnp.int32), overflow_cap)
+        mid_win = lax.dynamic_slice(top, (n_big,), (span_mid_cap,))
+        mid_ids = jnp.where(
+            (mid_win > 0) & (mid_win <= mid_base),
+            mid_base - mid_win, -1,
+        )
         msel = jnp.maximum(mid_ids, 0)
         mvalid = mid_ids >= 0
         tx0m = tx0[msel]
@@ -314,19 +351,25 @@ def bin_pairs(
         kept_mid_pairs = jnp.sum(area_m)
         dropped_mid = (total_mid_pairs - kept_mid_pairs).astype(jnp.int32)
     else:
-        k = jnp.arange(span_cap, dtype=jnp.int32)
-        dx = k[None, :] % span_w[:, None]
-        dy = k[None, :] // span_w[:, None]
-        tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
-        live = small[:, None] & (k[None, :] < area[:, None])
-        tile = jnp.where(live, tile, nt)  # sentinel sorts to the tail
-
+        t = area.shape[0]
+        tile = jnp.stack(
+            [slot_tile(k, small & (k < area)) for k in range(span_cap)]
+        )
         flat_tile = tile.reshape(-1)
         tri_of_pair = jnp.broadcast_to(
-            jnp.arange(flat_tile.shape[0] // span_cap,
-                       dtype=jnp.int32)[:, None],
-            (flat_tile.shape[0] // span_cap, span_cap),
+            jnp.arange(t, dtype=jnp.int32)[None, :], (span_cap, t)
         ).reshape(-1)
+        # Smallest overflow_cap indices of `big` via top_k on negated
+        # ids (nonzero() was measured slower on TPU).
+        neg = jnp.where(big, -jnp.arange(t, dtype=jnp.int32),
+                        jnp.int32(-(1 << 30)))
+        k_top = min(overflow_cap, t)
+        top, _ = lax.top_k(neg, k_top)
+        big_ids = jnp.where(top > -(1 << 30), -top, -1)
+        if k_top < overflow_cap:
+            big_ids = jnp.pad(big_ids, (0, overflow_cap - k_top),
+                              constant_values=-1)
+        n_big = jnp.minimum(jnp.sum(big, dtype=jnp.int32), overflow_cap)
     # Multi-operand sort carries the payload through the sort — sorting an
     # argsort permutation and gathering afterwards costs an extra
     # P-element gather (~8 ns/row: 80 ms at 10M pairs). Sorting UNSTABLY
@@ -348,18 +391,6 @@ def bin_pairs(
     ).astype(jnp.int32)
     starts = boundaries[:-1]
     counts_raw = boundaries[1:] - starts
-
-    # Smallest overflow_cap indices of `big` via top_k on negated ids
-    # (nonzero() was measured slower on TPU).
-    neg = jnp.where(big, -jnp.arange(big.shape[0], dtype=jnp.int32),
-                    jnp.int32(-(1 << 30)))
-    k_top = min(overflow_cap, big.shape[0])
-    top, _ = lax.top_k(neg, k_top)
-    big_ids = jnp.where(top > -(1 << 30), -top, -1)
-    if k_top < overflow_cap:
-        big_ids = jnp.pad(big_ids, (0, overflow_cap - k_top),
-                          constant_values=-1)
-    n_big = jnp.minimum(jnp.sum(big, dtype=jnp.int32), overflow_cap)
 
     counts = jnp.minimum(counts_raw, max_candidates)
     dropped_pairs = jnp.int32(0)

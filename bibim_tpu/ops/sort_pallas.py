@@ -149,6 +149,15 @@ def sort_pairs(flat_tile: jnp.ndarray, tri_of_pair: jnp.ndarray, nt: int,
             and p >= 4096  # tiny lists aren't worth a kernel launch
         )
     if not use_vmem or tri_bits is None:
+        if tri_bits is not None and jax.default_backend() == "tpu":
+            # Past the VMEM cap but still int32-packable (config 4's
+            # 315k slots): a 1-key packed lax.sort is ~0.2 ms faster
+            # than the 2-key unstable sort (tools/exp_bin64.py:
+            # 0.95 vs 1.18 standalone).
+            packed = (flat_tile << tri_bits) | tri_of_pair
+            sorted_packed = lax.sort(packed, is_stable=False)
+            return (sorted_packed >> tri_bits,
+                    sorted_packed & ((1 << tri_bits) - 1))
         return lax.sort((flat_tile, tri_of_pair), num_keys=2,
                         is_stable=False)
     packed = (flat_tile << tri_bits) | tri_of_pair

@@ -54,7 +54,7 @@ class CapProbe(NamedTuple):
     # entry sizes the span-class mid list (fused.SPAN_DENSE).
     span_big: tuple = ()  # ((span, n_big, pairs), ...)
     n_tris: int = 0
-    dense_tiles: int = 0  # tiles denser than one 1024-candidate window
+    dense_tiles: int = 0  # tiles denser than one 512-candidate window
     # (sizes dense_tile_cap for multi-pass configs)
     group_win: int = 0  # worst 8-consecutive-live-tile candidate window
     # (sizes the group-window kernel's group_pair_cap)
@@ -158,9 +158,9 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         "n_big": n_big,
         "covered_tiles": bin_live,
         "group_win": group_win,
-        # Multi-pass configs clamp max_candidates at 1024 (derive), so
-        # tiles beyond one window = counts > 1024.
-        "dense_tiles": jnp.sum((counts > 1024).astype(jnp.int32)),
+        # Multi-pass configs clamp max_candidates at 512 (derive), so
+        # tiles beyond one window = counts > 512.
+        "dense_tiles": jnp.sum((counts > 512).astype(jnp.int32)),
         **span_stats,
     }
     if measure_coverage:
@@ -395,10 +395,15 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     mc = _bucket(int(probe.max_candidates * margin), floor=64)
     passes = 1
     if mc > 1024:
-        # Dense tiles: depth-chained 1024-candidate windows beat one huge
-        # resolve (config-4 sweep, tools/exp_c4.py).
-        passes = -(-mc // 1024)
-        mc = 1024
+        # Dense tiles: depth-chained 512-candidate windows beat both one
+        # huge resolve and 1024-windows now that extra passes run on a
+        # compacted dense-tile grid — the per-tile resolve matmul's row
+        # count is the kernel's dominant term at instanced density
+        # (tools/exp_x64raster.py: maxc 2112/1pass 9.66 ms, 1024/3 8.08,
+        # 512/6+dense128 7.41 on config 4; tools/exp_c4.py is the older
+        # pre-compaction sweep).
+        passes = -(-mc // 512)
+        mc = 512
     live = _bucket(int(probe.covered_tiles * margin), floor=64)
     raster = _bucket(int(probe.bin_tiles * margin), floor=64)
 

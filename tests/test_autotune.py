@@ -97,7 +97,7 @@ class TestAutotune:
         probe = CapProbe(n_tiles=2025, bin_tiles=1000, covered_tiles=900,
                          max_candidates=2100, total_pairs=150000, n_big=10)
         s = derive_settings(base, probe, margin=1.25)
-        assert s.max_candidates == 1024
+        assert s.max_candidates == 512
         assert s.raster_passes * s.max_candidates >= 2100 * 1.25
         assert s.live_tile_cap is not None and s.live_tile_cap < 2025
         assert s.pair_budget >= 150000 * 1.25

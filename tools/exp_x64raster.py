@@ -1,0 +1,169 @@
+"""Attribute config 4's (x64) ~8.5 ms raster stage.
+
+The x64 frame is raster-bound (tools/exp_x64frame.py: big-table sampling
+is only ~1.9 ms in-frame), and tools/exp_trisize.py shows 95% of its
+binned pairs come from sub-16x8-px triangles — so this measures where
+the raster milliseconds actually sit before designing a small-triangle
+path: binning+sort (315k-slot dense expansion falls back to lax.sort
+past the 2^17 in-VMEM cap), the pair-record gather, and the kernel's
+sensitivity to resolve rows (maxc/passes splits).
+
+Run: python tools/exp_x64raster.py [n_instances]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+WIDTH, HEIGHT = 1920, 1080
+SCAN_ITERS = 8
+
+
+def sync(x):
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
+
+
+def timeit(name, fn, iters=4):
+    out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    print(f"{name:52s} "
+          f"{(time.perf_counter() - t0) / iters / SCAN_ITERS * 1e3:8.2f} ms",
+          flush=True)
+    return out
+
+
+def scan8(body):
+    @jax.jit
+    def run():
+        def step(carry, _):
+            return body(carry)
+
+        _, outs = lax.scan(step, jnp.float32(0), None, length=SCAN_ITERS)
+        return outs
+
+    return run
+
+
+def dep_f(x):
+    return (jnp.sum(x.astype(jnp.float32)) * 1e-30).astype(jnp.float32)
+
+
+def main():
+    n_inst = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    from bibim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.ops import fused
+    from bibim_tpu.ops.geometry import assemble_scene_planar
+    from bibim_tpu.ops.raster import triangle_setup_planar
+    from bibim_tpu.pipeline import RenderSettings, ViewBlock
+    from bibim_tpu.pipeline.autotune import autotune_settings
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+    from bibim_tpu.scene.culling import cull_scene_instances
+
+    print(f"device: {jax.devices()[0]}, instances: {n_inst}", flush=True)
+    scene = ShaderBallScene(num_instances=n_inst)
+    cam = FreeLookCamera(pos=np.array([8.0, 6.0, -14.0], np.float32))
+    view = jnp.asarray(cam.get_view_matrix())
+    proj = m3.perspective(60.0, WIDTH / HEIGHT, 0.1, 1000.0)
+    vb = ViewBlock(view=view, proj=proj, view_pos=jnp.asarray(cam.pos),
+                   enable_normal_map=jnp.int32(0))
+    data = scene.scene_data()
+    data = cull_scene_instances(data, np.asarray(view), np.asarray(proj))
+    s, probe = autotune_settings(
+        data, vb, RenderSettings(width=WIDTH, height=HEIGHT,
+                                 outputs="image"),
+        margin=1.05,
+    )
+    print("derived:", {k: getattr(s, k) for k in (
+        "max_candidates", "raster_passes", "span_cap", "span_mid_cap",
+        "overflow_cap", "pair_budget", "live_tile_cap",
+        "raster_tile_cap", "dense_tile_cap")}, flush=True)
+
+    def geom(view_m):
+        psoup = assemble_scene_planar(data.batches, view_m, proj, None)
+        setup = triangle_setup_planar(psoup.clip, WIDTH, HEIGHT)
+        rec = fused.build_record_table_planar(setup, psoup)
+        return rec, setup
+
+    rec, setup = jax.jit(geom)(view)
+    oc = ((s.overflow_cap + 7) // 8) * 8
+
+    def bin_body(carry):
+        st = jax.tree_util.tree_map(
+            lambda x: x, setup)  # no cheap input perturbation: perturb via
+        # bbox shift below instead (int planes); use rec-side carry.
+        sorted_tri, starts, counts, big_ids, n_big, diag, ty, tx = (
+            fused.bin_pairs(
+                st, WIDTH, HEIGHT, 8, 128, s.span_cap, oc,
+                s.max_candidates * s.raster_passes,
+                pair_budget=s.pair_budget, span_mid_cap=s.span_mid_cap,
+            )
+        )
+        # carry chains through counts so the sort isn't CSE'd; add carry
+        # as an int offset into starts to defeat hoisting.
+        dep = (dep_f(sorted_tri) + dep_f(counts)
+               + carry * jnp.float32(1e-30))
+        return dep.astype(jnp.float32), counts[:1]
+
+    timeit("bin_pairs (expand+sort+searchsorted)", scan8(bin_body))
+
+    def bin_gather_body(carry):
+        sorted_tri, starts, counts, big_ids, n_big, diag, ty, tx = (
+            fused.bin_pairs(
+                setup, WIDTH, HEIGHT, 8, 128, s.span_cap, oc,
+                s.max_candidates * s.raster_passes,
+                pair_budget=s.pair_budget, span_mid_cap=s.span_mid_cap,
+            )
+        )
+        pair_rec = (rec * (1.0 + carry))[sorted_tri]
+        return dep_f(pair_rec), pair_rec[:1, :1]
+
+    timeit("bin + pair-record gather", scan8(bin_gather_body))
+
+    def raster_at(name, **over):
+        kw = dict(
+            max_candidates=s.max_candidates, span_cap=s.span_cap,
+            span_mid_cap=s.span_mid_cap, overflow_cap=s.overflow_cap,
+            pair_budget=s.pair_budget, raster_tile_cap=s.raster_tile_cap,
+            dense_tile_cap=s.dense_tile_cap, passes=s.raster_passes,
+            drop_fields=("depth", "cr", "cg", "cb", "matf", "b0", "b1"),
+        )
+        kw.update(over)
+
+        def body(carry):
+            px, zkey, diag = fused.raster_fused_pallas(
+                rec * (1.0 + carry), setup, WIDTH, HEIGHT, **kw)
+            dep = dep_f(px.uv[0]) + dep_f(zkey.astype(jnp.float32))
+            return dep.astype(jnp.float32), (zkey[:1, :1], diag)
+
+        out = timeit(name, scan8(body))
+        diag = jax.tree_util.tree_map(lambda x: np.asarray(x[-1]), out[1])
+        print(f"    diag: {diag}", flush=True)
+
+    raster_at("full raster (prod caps)")
+    raster_at("full raster maxc=2112 passes=1",
+              max_candidates=2112, passes=1)
+    raster_at("full raster maxc=512 passes=6",
+              max_candidates=512, passes=6)
+    raster_at("full raster maxc=512 passes=6 dense=128",
+              max_candidates=512, passes=6, dense_tile_cap=128)
+
+
+if __name__ == "__main__":
+    main()
