@@ -53,6 +53,9 @@ _LOW3 = ~7  # clears the 3 lane-index bits from a packed depth key
 # see make_call). Module-level so experiments can sweep them.
 GROUP_SIZES = (8, 4, 2, 1)
 GROUP_SLAB_BYTES = 6 << 20
+NSUB_FINE = 8  # fine-bin subtiles per coarse tile (raster_fused_pallas
+# fine_bins): tile_w/8 = 16-px-wide bins, tile_h tall — one VPU row
+# (128 px) of pixels per subtile.
 GROUP_VMEM_LIMIT = None  # scoped-VMEM override for big groups (bytes)
 # Record rows are 128 f32 wide: Mosaic DMA slices must be lane-aligned
 # (128), and the MXU pads the resolve matmul's M dim to 128 regardless.
@@ -684,6 +687,226 @@ def _fused_kernel(
             resolve()
 
 
+def _resolve_field_planes(scratch, best_cand, rows, px, py, out_fields):
+    """Resolve winner records for one tile's pixels and compute the
+    requested output field planes ((1, NPX) each). Shared by the kernel
+    variants whose resolve runs over the full coarse-tile pixel row."""
+    npx = px.shape[1]
+    recT = _resolve_winner(scratch, best_cand, rows, npx)
+
+    def r(k):
+        return recT[k : k + 1, :]  # (1, NPX)
+
+    idf = r(_ID)
+    hit = idf >= 0.5
+    e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
+    e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
+    e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
+    esum = e0 + e1 + e2
+    inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum), approx=False)
+    b0 = jnp.where(hit, e0 * inv, 0.0)
+    b1 = jnp.where(hit, e1 * inv, 0.0)
+    b2 = jnp.where(hit, e2 * inv, 0.0)
+
+    def depth_val():
+        zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
+        wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
+        return jnp.where(
+            hit,
+            zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
+                               approx=False),
+            0.0,
+        )
+
+    def blend(base):
+        return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
+
+    return {
+        name: _FIELD_VALS[name](depth_val, blend, r, idf, b0, b1)
+        for name in out_fields
+    }
+
+
+def _fused_kernel_fine(
+    # scalar prefetch: tile slot → screen tile / candidate-window start;
+    # per-SUBTILE window-local base (8-aligned) and count; n_big
+    ids_ref, starts_ref, lb_ref, cnt_ref, nbig_ref,
+    # inputs
+    ov_ref,  # (OC, 128) f32 overflow records, VMEM
+    tab_ref,  # (P_pad, 128) f32 sorted pair records, HBM (manual DMA)
+    init_ref,  # (G, th, tw) int32 initial depth keys
+    *refs,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    oc: int,
+    maxc: int,
+    skip_empty: bool,
+    group: int,
+    nsub: int,
+    out_fields: tuple = _OUT_FIELDS,
+):
+    """FINE-SUBTILE variant of :func:`_fused_kernel` (pass 0 of
+    small-triangle-dominated scenes, e.g. dense instancing).
+
+    The per-tile kernel tests every candidate chunk against all
+    tile_h×tile_w pixels, but when most binned pairs come from triangles
+    smaller than a (tile_w/nsub)×tile_h SUBTILE (config 4: 95% of pairs
+    are sub-16×8 px, tools/exp_trisize.py), ~7/8 of that coverage math is
+    provably dead. Here the pair list is binned at subtile granularity
+    (one coarse tile = ``nsub`` consecutive fine bins, so the coarse
+    candidate window stays ONE contiguous DMA) and the coverage loop
+    tests each subtile's own candidates against only its 128 pixels:
+    per-iteration work is nsub × (CHUNK, 128) = the same vector volume as
+    one (CHUNK, npx) chunk, but it consumes nsub chunks of candidates.
+
+    Exactness: subtile bases align down to CHUNK, so up to 7 prefix rows
+    from the previous subtile are retested — a triangle covering pixels
+    of subtile g always has its own pair in g (coverage ⊆ bbox), which
+    sits at a later loop position and wins the duplicate tie, so keys and
+    draw-order tie-breaks match the coarse kernel. The overflow prefix is
+    tested per-subtile inside the same single fori_loop (segment select
+    on scalars), keeping the one-loop-per-tile structure.
+
+    Layout: all tile blocks (init, zkey, fields) are in FINE order — row
+    g holds subtile g's 128 pixels (y·sub_w + xl) — so every in-kernel
+    access is a native sublane slice/concat; the driver permutes blocks
+    to/from screen order on the XLA side (a (k,8,8,16) transpose,
+    ~µs-scale) instead of paying Mosaic lane/sublane relayouts per
+    tile."""
+    zkey_out = refs[0]
+    outs = dict(zip(out_fields, refs[1 : 1 + len(out_fields)]))
+    slabs, sem = refs[1 + len(out_fields) :]
+    npx = tile_h * tile_w
+    sub_w = tile_w // nsub
+    spx = tile_h * sub_w  # 128: one VPU row of pixels per subtile
+
+    i = pl.program_id(0)
+    nb = nbig_ref[0]
+    n_steps = pl.num_programs(0)
+    slot = lax.rem(i, 2)
+
+    def tile_dma(step, j, s):
+        return pltpu.make_async_copy(
+            tab_ref.at[pl.ds(starts_ref[step * group + j], maxc), :],
+            slabs.at[s, j, pl.ds(oc, maxc), :],
+            sem.at[s, j],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(group):
+            slabs[0, j, 0:oc, :] = ov_ref[:]  # overflow prefix, copied once
+            slabs[1, j, 0:oc, :] = ov_ref[:]
+            tile_dma(0, j, 0).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        for j in range(group):
+            tile_dma(i + 1, j, 1 - slot).start()
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, spx), 1)
+    chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, spx), 0)
+    pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+
+    nb_al = lax.div(nb + (CHUNK - 1), CHUNK) * CHUNK
+    nov = lax.div(nb_al, CHUNK)  # overflow chunks (shared by all subtiles)
+    ov_base = oc - nb_al
+
+    for j in range(group):
+        scratch = slabs.at[slot, j]
+        tid = ids_ref[i * group + j]
+        row = tid // tiles_x
+        col = lax.rem(tid, tiles_x)
+        init_c = init_ref[j]  # (nsub, spx) fine-ordered (driver permutes)
+        tile_dma(i, j, slot).wait()
+
+        pxs, pys, carries, bases, cnts = [], [], [], [], []
+        for g in range(nsub):
+            px = (lane % sub_w + col * tile_w
+                  + g * sub_w).astype(jnp.float32) + 0.5
+            py = (lane // sub_w + row * tile_h).astype(jnp.float32) + 0.5
+            ik = init_c[g : g + 1, :]  # (1, spx) sublane slice
+            carries.append((ik & _LOW3,
+                            jnp.full((1, spx), -1, jnp.int32)))
+            pxs.append(px)
+            pys.append(py)
+            bases.append(oc + lb_ref[(i * group + j) * nsub + g])
+            cnts.append(cnt_ref[(i * group + j) * nsub + g])
+
+        max_cnt = cnts[0]
+        for g in range(1, nsub):
+            max_cnt = jnp.maximum(max_cnt, cnts[g])
+        ncand = lax.div(max_cnt + (CHUNK - 1), CHUNK)
+
+        def body(c, carries, bases=bases, cnts=cnts, pxs=pxs, pys=pys):
+            in_ov = c < nov
+            k_ov = c * CHUNK
+            k_cd = (c - nov) * CHUNK
+            new = []
+            for g in range(nsub):
+                base = jnp.where(in_ov, ov_base, bases[g])
+                k = jnp.where(in_ov, k_ov, k_cd)
+                count = jnp.where(in_ov, nb_al, cnts[g])
+                # The loop runs to the group's max chunk count; clamp the
+                # slab slice for exhausted subtiles (their rows are dead
+                # via the `live` mask in _chunk_test, so the clamped
+                # reread is never accepted).
+                off = jnp.minimum(base + k, oc + maxc - CHUNK)
+                blk = scratch[pl.ds(off, CHUNK), :]
+                new.append(
+                    _chunk_test(blk, pxs[g], pys[g], chunk_idx, k, base,
+                                count, carries[g])
+                )
+            return tuple(new)
+
+        carries = lax.fori_loop(0, nov + ncand, body, tuple(carries),
+                                unroll=False)
+
+        # Outputs stay fine-ordered: row g = subtile g (sublane concat of
+        # the (1, spx) carries); the driver transposes back to screen
+        # order. The resolve runs once over all npx fine-ordered pixels.
+        zkey_out[j] = jnp.concatenate(
+            [carries[g][0] for g in range(nsub)], axis=0
+        )
+        # Sublane concat + row fold (the same reshape class the coarse
+        # kernel uses for init_ref): a lane-dim concat of (1, 128) rows
+        # at different sublane offsets is not a Mosaic-supported op.
+        cand_all = jnp.concatenate(
+            [carries[g][1] for g in range(nsub)], axis=0
+        ).reshape(1, npx)  # fine-ordered
+
+        gl = pix // spx  # subtile index of each fine-ordered position
+        ll = pix % spx
+        pxf = (ll % sub_w + gl * sub_w
+               + col * tile_w).astype(jnp.float32) + 0.5
+        pyf = (ll // sub_w + row * tile_h).astype(jnp.float32) + 0.5
+
+        def resolve(scratch=scratch, cand_all=cand_all, pxf=pxf, pyf=pyf,
+                    j=j):
+            planes = _resolve_field_planes(scratch, cand_all, oc + maxc,
+                                           pxf, pyf, out_fields)
+            for name in out_fields:
+                outs[name][j] = planes[name].reshape(tile_h, tile_w)
+
+        def write_empty(j=j):
+            for name in out_fields:
+                outs[name][j] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+        if skip_empty:
+            any_hit = jnp.any(cand_all >= 0)
+
+            @pl.when(any_hit)
+            def _():
+                resolve()
+
+            @pl.when(jnp.logical_not(any_hit))
+            def _():
+                write_empty()
+        else:
+            resolve()
+
+
 def _fused_kernel_gw(
     # scalar prefetch: tile slot → screen tile / window-local candidate
     # base (8-aligned) / effective count; per-step window start row; n_big
@@ -917,6 +1140,11 @@ def raster_fused_pallas(
     drop_fields: tuple = (),  # static output pruning: FusedPixels fields
     # the caller never reads (their planes come back as zeros); saves the
     # kernel's blend math and output DMA for those planes.
+    fine_bins: bool = False,  # bin at (tile_w/8)-wide SUBTILE granularity
+    # and run pass 0 with the fine-subtile kernel (_fused_kernel_fine):
+    # ~8x less dead coverage math when most triangles are subtile-sized
+    # (dense instancing). Extra passes and the overflow list are
+    # unchanged; mutually exclusive with group_pair_cap (fine wins).
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -943,12 +1171,37 @@ def raster_fused_pallas(
     oc = ((overflow_cap + CHUNK - 1) // CHUNK) * CHUNK
     npx = tile_h * tile_w
 
-    sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
-        bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
-                  maxc * passes, pair_budget=pair_budget,
-                  span_mid_cap=span_mid_cap)
-    )
-    nt = tiles_y * tiles_x
+    nsub = NSUB_FINE if fine_bins else 1
+    if fine_bins:
+        # Fine binning: nsub consecutive fine bins per coarse tile (the
+        # fine tile id linearization ty·(tiles_x·nsub)+txf groups them),
+        # so each coarse tile's candidate window stays ONE contiguous
+        # run of the sorted pair list. Binning must see the PADDED width
+        # (tiles_x·tile_w) so fine columns fold exactly nsub-per-coarse.
+        tiles_x = -(-width // tile_w)
+        sorted_tri, starts_f, counts_f, big_ids, n_big, diag, tiles_y, _ = (
+            bin_pairs(setup, tiles_x * tile_w, height, tile_h,
+                      tile_w // nsub, span_cap, oc, maxc * passes,
+                      pair_budget=pair_budget, span_mid_cap=span_mid_cap)
+        )
+        nt = tiles_y * tiles_x
+        starts_m = starts_f.reshape(nt, nsub)  # (NT, nsub)
+        counts_m = counts_f.reshape(nt, nsub)
+        starts = starts_m[:, 0]
+        counts_raw_c = jnp.sum(counts_m, axis=1)
+        counts = jnp.minimum(counts_raw_c, maxc * passes)
+        diag = diag._replace(
+            dropped_cap=diag.dropped_cap
+            + jnp.sum(jnp.maximum(counts_raw_c - maxc * passes, 0))
+        )
+        lb_raw = starts_m - starts[:, None]  # window-local subtile bases
+    else:
+        sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
+            bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
+                      maxc * passes, pair_budget=pair_budget,
+                      span_mid_cap=span_mid_cap)
+        )
+        nt = tiles_y * tiles_x
 
     # Gather pair records once, pad so any DMA window of any pass stays in
     # bounds.
@@ -957,7 +1210,8 @@ def raster_fused_pallas(
     # live-tile list; raw full-grid order would group differently and
     # could exceed the probed bound on the probed frame itself.
     use_gw = (group_pair_cap is not None and passes == 1
-              and raster_tile_cap is not None and raster_tile_cap <= nt)
+              and raster_tile_cap is not None and raster_tile_cap <= nt
+              and not fine_bins)
     gcap = 0
     if use_gw:
         gcap = ((group_pair_cap + CHUNK - 1) // CHUNK) * CHUNK
@@ -1088,6 +1342,55 @@ def raster_fused_pallas(
             interpret=interpret,
         )
 
+    def make_call_fine(k):
+        slab_tile_bytes = 2 * (oc + maxc) * REC_CH * 4
+        gmax = max(1, GROUP_SLAB_BYTES // slab_tile_bytes)
+        group = next(g for g in GROUP_SIZES if g <= gmax and k % g == 0)
+        kernel = functools.partial(
+            _fused_kernel_fine,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            oc=oc,
+            maxc=maxc,
+            skip_empty=skip_empty,
+            group=group,
+            nsub=nsub,
+            out_fields=out_fields,
+        )
+        plane_spec = pl.BlockSpec((group, tile_h, tile_w),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((oc, REC_CH), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            plane_spec,  # initial depth keys (zeros = clear)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(k // group,),
+            in_specs=in_specs,
+            out_specs=[plane_spec] * n_out,
+            scratch_shapes=[
+                pltpu.VMEM((2, group, oc + maxc, REC_CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, group)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
+            + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
+            * len(out_fields),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                **({"vmem_limit_bytes": GROUP_VMEM_LIMIT}
+                   if GROUP_VMEM_LIMIT else {}),
+            ),
+            interpret=interpret,
+        )
+
     fields = None
     zkey = init_zkey
     arange_nt = jnp.arange(nt, dtype=jnp.int32)
@@ -1140,7 +1443,40 @@ def raster_fused_pallas(
                 slot_live_p, jnp.clip(counts[ids] - p * maxc, 0, maxc), 0
             )
             zk_in = zkey[ids].reshape(k, tile_h, tile_w)
-        if p == 0 and use_gw:
+        if p == 0 and fine_bins:
+            # Fine-subtile pass 0: per-slot subtile bases/counts into the
+            # coarse window. Subtiles whose base exceeds the pass-0
+            # window keep nothing here (dense extra passes pick their
+            # rows up from the same fine-ordered list); bases align down
+            # to CHUNK — the ≤7 prefix rows retested belong to earlier
+            # subtiles and lose duplicate ties exactly (kernel doc).
+            lbp = lb_raw[ids]  # (k, nsub)
+            cfp = counts_m[ids]
+            kept = jnp.clip(maxc - lbp, 0, cfp)
+            lb_al = (lbp // CHUNK) * CHUNK
+            cntk = jnp.where(kept > 0, kept + (lbp - lb_al), 0)
+            if scatter_ids is not None:
+                cntk = cntk * slot_live[:, None].astype(jnp.int32)
+            sub_w = tile_w // nsub
+            # Screen order ↔ fine order (kernel rows = subtiles): a tiny
+            # (k, th, nsub, sub_w) transpose on the XLA side keeps every
+            # in-kernel access a native sublane slice.
+            zk_fine = (
+                zk_in.reshape(k, tile_h, nsub, sub_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(k, tile_h, tile_w)
+            )
+            out = make_call_fine(k)(
+                ids, starts_p, lb_al.reshape(-1), cntk.reshape(-1),
+                nb_p[None], ov_k, pair_rec, zk_fine
+            )
+            out = [
+                o.reshape(k, nsub, tile_h, sub_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(k, tile_h, tile_w)
+                for o in out
+            ]
+        elif p == 0 and use_gw:
             # Group-window path: each group of `group` compact slots
             # fetches ONE contiguous candidate window (the sorted pair
             # list is contiguous in compact-id order) and resolves all
@@ -1173,10 +1509,14 @@ def raster_fused_pallas(
         fields_p = {
             f: v.reshape(k, npx) for f, v in zip(out_fields, out[1:])
         }
-        if p == 0 and k < nt:
+        if p == 0 and scatter_ids is not None:
             # Unlisted tiles keep clear/init depth (masked like the
             # kernel's own writes) and miss-valued (zero) fields; dead
             # compact slots drop their writes (out-of-bounds target).
+            # Gate on compaction, NOT k < nt: at raster_tile_cap == nt
+            # the slot list is still a live-first permutation, and a
+            # direct assign would place tiles at compact-slot order
+            # whenever any tile is dead.
             zkey = (zkey & _LOW3).at[scatter_ids].set(zk_new, mode="drop")
             fields = {
                 f: jnp.zeros((nt, npx), jnp.float32).at[scatter_ids].set(

@@ -58,6 +58,9 @@ class CapProbe(NamedTuple):
     # (sizes dense_tile_cap for multi-pass configs)
     group_win: int = 0  # worst 8-consecutive-live-tile candidate window
     # (sizes the group-window kernel's group_pair_cap)
+    small_pair_frac: float = 0.0  # fraction of live pairs from triangles
+    # with bbox ≤ (tile_w/8 × tile_h) px — the fine-subtile kernel's win
+    # is proportional to this (fused.raster_fused_pallas fine_bins)
 
 
 @functools.partial(
@@ -88,15 +91,24 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
     # Uncapped binning: huge max_candidates/overflow so nothing clamps;
     # span_cap stays at the production setting (it defines the
     # small/big-triangle split the capacities are measured against).
-    (_, starts, counts, big_ids, n_big, _, tiles_y, tiles_x) = (
+    # fine_bins probes at subtile granularity — pair/window/overflow
+    # demands differ (a triangle pairs once per 16-px subtile), while
+    # window stats reduce back to coarse tiles (the kernel's DMA unit).
+    tiles_x = -(-width // settings.tile_w)
+    nsub = fused.NSUB_FINE if settings.fine_bins else 1
+    (_, starts, counts_b, big_ids, n_big, _, tiles_y, _) = (
         fused.bin_pairs(
-            setup, width, height, settings.tile_h, settings.tile_w,
+            setup, tiles_x * settings.tile_w if nsub > 1 else width,
+            height, settings.tile_h, settings.tile_w // nsub,
             span_cap=settings.span_cap,
             overflow_cap=max(64, min(n_tris, 1 << 14)),
             max_candidates=1 << 22, pair_budget=None,
         )
     )
     nt = tiles_y * tiles_x
+    total_pairs = jnp.sum(counts_b)
+    counts = (counts_b if nsub == 1
+              else jnp.sum(counts_b.reshape(nt, nsub), axis=1))
     # Pass-0 grid liveness includes conservative big-triangle cover (the
     # 100× ground plane rasterizes from the overflow list, not the bins —
     # raster_tile_cap must budget for those tiles too). Build the 15
@@ -126,7 +138,8 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         bx0, by0, bx1, by1 = (setup.bbox[:, i] for i in range(4))
     else:
         bx0, by0, bx1, by1 = setup.bbox
-    area = ((bx1 // settings.tile_w) - (bx0 // settings.tile_w) + 1) * (
+    bin_w = settings.tile_w // nsub
+    area = ((bx1 // bin_w) - (bx0 // bin_w) + 1) * (
         (by1 // settings.tile_h) - (by0 // settings.tile_h) + 1
     )
     span_stats = {}
@@ -136,6 +149,11 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         span_stats[f"span{k}_pairs"] = jnp.sum(
             jnp.where(setup.valid & (area <= k), area, 0)
         )
+    # Subtile-sized-triangle pair share (sizes the fine_bins decision).
+    sub_small = (setup.valid
+                 & (bx1 - bx0 < settings.tile_w // fused.NSUB_FINE)
+                 & (by1 - by0 < settings.tile_h))
+    span_stats["small_pairs"] = jnp.sum(jnp.where(sub_small, area, 0))
 
     # Worst group window: the group-window kernel fetches each 8-tile
     # compact group's contiguous candidate range in one DMA — its static
@@ -154,7 +172,7 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         + jnp.int32(n_tris),
         "bin_tiles": bin_live,
         "max_candidates": jnp.max(counts),
-        "total_pairs": jnp.sum(counts),
+        "total_pairs": total_pairs,
         "n_big": n_big,
         "covered_tiles": bin_live,
         "group_win": group_win,
@@ -204,6 +222,7 @@ def probe_frame_caps(scene, view_block, settings,
         n_tris=out["n_tris"],
         group_win=out["group_win"],
         dense_tiles=out["dense_tiles"],
+        small_pair_frac=out["small_pairs"] / max(out["total_pairs"], 1),
     )
 
 
@@ -444,6 +463,8 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     # pixel's one-hot span the group's rows). Derivation stays opt-in:
     # pass a group_pair_cap-bearing settings object to use it.
     group_pair = settings.group_pair_cap
+    if settings.fine_bins:
+        group_pair = None  # mutually exclusive kernels (fine wins)
     if group_pair is not None and passes == 1 and probe.group_win > 0:
         group_pair = _bucket(int(probe.group_win * margin) + 8, floor=64)
     elif passes != 1:
@@ -487,6 +508,13 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
                                   measure_coverage=False)
         probe = probe2._replace(covered_tiles=probe.covered_tiles)
         derived = derive_settings(base2, probe, margin=margin)
+    # NOTE: auto-enabling fine_bins here (census small_pair_frac ≥ 0.75
+    # + ≥96 candidates/live-tile) was measured a LOSS on config 4 — the
+    # per-subtile lockstep loop runs at the MAX subtile depth and the
+    # instanced scene's candidates cluster in 1-2 subtiles per tile
+    # (tools/exp_fine.py: 8.6 ms vs 5.7 coarse). fine_bins stays a
+    # user-forced setting; when forced, the probe above already measured
+    # fine-granularity demands (span_cap in fine units).
     if derived.show_lights and getattr(scene, "lights", None) is not None \
             and scene.lights.num_lights > 0:
         derived = dataclasses.replace(

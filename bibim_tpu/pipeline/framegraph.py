@@ -191,6 +191,13 @@ class RenderSettings:
     # of per tile. Static row budget for a group's window — a validated
     # capacity (overflow → BinDiag.dropped_cap); autotune derives it.
     group_pair_cap: int | None = None
+    # Fine-subtile main raster pass (fused.raster_fused_pallas
+    # fine_bins): bin at (tile_w/8)-px subtile granularity and test each
+    # subtile's candidates against only its 128 pixels — ~8x less dead
+    # coverage math when most binned pairs come from subtile-sized
+    # triangles (dense instancing; autotune derives it from the pair
+    # census). span_cap/span_mid_cap/pair_budget are then in FINE units.
+    fine_bins: bool = False
     # Scenes built via batch_from_mesh are de-indexed (triangle list is a
     # global arange), letting corner fetches be reshapes instead of
     # gathers. Set False for hand-built DrawBatches with shared vertices.
@@ -313,6 +320,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
             drop_fields=(drop_fields if drop_fields is not None
                          else (_prunable_fields(settings) if main_pass
                                else ())),
+            fine_bins=settings.fine_bins and main_pass,
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,

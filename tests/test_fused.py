@@ -364,6 +364,69 @@ class TestMultiPass:
                                    _untile(px_c.depth)[hit], atol=1e-6)
 
 
+class TestFineBins:
+    """Fine-subtile pass-0 kernel (fine_bins): bit-identical images to
+    the coarse kernel — binning granularity must not change keys, winner
+    records, or draw-order tie-breaks."""
+
+    def test_matches_coarse_kernel(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, interpret=True, **CAPS)
+        px_c, zk_c, _ = fused.raster_fused_pallas(rec, setup, W, H, **kw)
+        px_f, zk_f, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, fine_bins=True, **kw
+        )
+        assert int(diag.dropped_cap) == 0
+        np.testing.assert_array_equal(np.asarray(zk_c), np.asarray(zk_f))
+        for a, b in zip(jax.tree_util.tree_leaves(px_c),
+                        jax.tree_util.tree_leaves(px_f)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fine_multipass_and_compact(self, scene_soup, rec_setup):
+        """Windows + dense extra passes + pass-0 compaction compose with
+        fine binning (the x64 production shape)."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, overflow_cap=512, span_cap=128,
+                  interpret=True)
+        px_one, zk_one, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=2048, **kw
+        )
+        nt = zk_one.shape[0]
+        px_f, zk_f, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, max_candidates=512, passes=4,
+            raster_tile_cap=nt, dense_tile_cap=24, fine_bins=True, **kw
+        )
+        assert int(diag.dropped_tiles) == 0
+        np.testing.assert_array_equal(_untile(px_one.tri_id),
+                                      _untile(px_f.tri_id))
+        np.testing.assert_array_equal(np.asarray(zk_one),
+                                      np.asarray(zk_f))
+        hit = _untile(px_one.tri_id) >= 0
+        np.testing.assert_allclose(_untile(px_one.depth)[hit],
+                                   _untile(px_f.depth)[hit], atol=1e-6)
+        for a, b in zip(px_one.uv, px_f.uv):
+            np.testing.assert_allclose(_untile(a)[hit], _untile(b)[hit],
+                                       atol=1e-5)
+
+    def test_fine_init_zkey_continues_depth(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(tile_h=TH, tile_w=TW, interpret=True, **CAPS)
+        _, zkey, _ = fused.raster_fused_pallas(rec, setup, W, H, **kw)
+        px_f, zk_f, _ = fused.raster_fused_pallas(
+            rec, setup, W, H, init_zkey=zkey, fine_bins=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(zk_f), np.asarray(zkey))
+
+    def test_fine_cap_drops_are_counted(self, scene_soup, rec_setup):
+        soup, (rec, setup) = scene_soup, rec_setup
+        _, _, diag = fused.raster_fused_pallas(
+            rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
+            max_candidates=16, overflow_cap=512, span_cap=128,
+            fine_bins=True,
+        )
+        assert int(diag.dropped_cap) > 0
+
+
 class TestSpanClassBinning:
     def test_span_class_pairs_identical(self):
         """span_mid_cap binning must produce the IDENTICAL per-tile
