@@ -200,9 +200,15 @@ def bench_shaderball(report: dict) -> float:
         _time(step), 2)
 
     def frame_body(carry):
+        # Hoist-proof by construction (VERDICT r2 item 2): the carry
+        # perturbs the VIEW MATRIX, so every stage from vertex transform
+        # down is loop-variant inside the scan — XLA's while-loop LICM
+        # cannot hoist any of the frame. (carry is ±1e-30: numerically
+        # inert, data-dependence real.)
+        vbc = view_block._replace(view=view_block.view + carry)
         fpc = FrameParams(frame_params.enable_tone_mapping,
                           frame_params.exposure + carry)
-        return render_frame(data, view_block, fpc, mats, overlay,
+        return render_frame(data, vbc, fpc, mats, overlay,
                             settings)["image"]
 
     ms = _time_scan(frame_body)
@@ -312,8 +318,9 @@ def bench_gizmo(report: dict) -> None:
         _time(step), 2)
 
     def frame_body(carry):
-        return render_frame(data, vb, FrameParams(fp.enable_tone_mapping,
-                                                  fp.exposure + carry),
+        return render_frame(data, vb._replace(view=vb.view + carry),
+                            FrameParams(fp.enable_tone_mapping,
+                                        fp.exposure + carry),
                             None, None, s)["image"]
 
     report["configs"]["gizmo_flat_512"] = round(_time_scan(frame_body), 2)
@@ -363,8 +370,9 @@ def bench_cube(report: dict) -> None:
         _time(step, iters=5), 2)
 
     def frame_body(carry):
-        return render_frame(data, vb, FrameParams(fp.enable_tone_mapping,
-                                                  fp.exposure + carry),
+        return render_frame(data, vb._replace(view=vb.view + carry),
+                            FrameParams(fp.enable_tone_mapping,
+                                        fp.exposure + carry),
                             mats, None, s)["image"]
 
     report["configs"]["cube_mips_720p"] = round(_time_scan(frame_body), 2)
@@ -432,8 +440,9 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
         f"shaderball_x{n_instances}_1080p"] = round(_time(step, iters=5), 2)
 
     def frame_body(carry):
-        return render_frame(data, vb, FrameParams(fp.enable_tone_mapping,
-                                                  fp.exposure + carry),
+        return render_frame(data, vb._replace(view=vb.view + carry),
+                            FrameParams(fp.enable_tone_mapping,
+                                        fp.exposure + carry),
                             mats, None, s)["image"]
 
     report["configs"][f"shaderball_x{n_instances}_1080p"] = round(
@@ -504,8 +513,9 @@ def bench_stretch_4k(report: dict) -> None:
         _time(step, iters=5), 2)
 
     def frame_body(carry):
-        return render_frame(data, vb, FrameParams(fp.enable_tone_mapping,
-                                                  fp.exposure + carry),
+        return render_frame(data, vb._replace(view=vb.view + carry),
+                            FrameParams(fp.enable_tone_mapping,
+                                        fp.exposure + carry),
                             mats, overlay, s, ibl=ibl)["image"]
 
     report["configs"]["stretch_4k_shadows_ibl"] = round(

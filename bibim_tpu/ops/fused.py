@@ -632,40 +632,11 @@ def _fused_kernel(
 
         def resolve(scratch=scratch, best_cand=best_cand, px=px, py=py,
                     j=j):
-            recT = _resolve_winner(scratch, best_cand, oc + maxc, npx)
-
-            def r(k):
-                return recT[k : k + 1, :]  # (1, NPX)
-
-            idf = r(_ID)
-            hit = idf >= 0.5
-            e0 = r(_A + 0) * px + r(_B + 0) * py + r(_C + 0)
-            e1 = r(_A + 1) * px + r(_B + 1) * py + r(_C + 1)
-            e2 = r(_A + 2) * px + r(_B + 2) * py + r(_C + 2)
-            esum = e0 + e1 + e2
-            inv = pl.reciprocal(jnp.where(esum == 0.0, 1.0, esum),
-                                approx=False)
-            b0 = jnp.where(hit, e0 * inv, 0.0)
-            b1 = jnp.where(hit, e1 * inv, 0.0)
-            b2 = jnp.where(hit, e2 * inv, 0.0)
-
-            def depth_val():
-                zn = r(_ZC) * px + r(_ZC + 1) * py + r(_ZC + 2)
-                wn = r(_WC) * px + r(_WC + 1) * py + r(_WC + 2)
-                return jnp.where(
-                    hit,
-                    zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn),
-                                       approx=False),
-                    0.0,
-                )
-
-            def blend(base):
-                return r(base) * b0 + r(base + 1) * b1 + r(base + 2) * b2
-
+            planes = _resolve_field_planes(
+                scratch, best_cand, oc + maxc, px, py, out_fields
+            )
             for name in out_fields:
-                outs[name][j] = _FIELD_VALS[name](
-                    depth_val, blend, r, idf, b0, b1
-                ).reshape(tile_h, tile_w)
+                outs[name][j] = planes[name].reshape(tile_h, tile_w)
 
         def write_empty(j=j):
             for name in out_fields:
@@ -1160,6 +1131,17 @@ def raster_fused_pallas(
     reference, with no big/small split, would pick the later draw). This
     requires a bit-exact z tie across the split — unobserved in practice.
 
+    A second knife-edge exists for ``fine_bins`` with ``passes`` > 1: the
+    dense extra passes run the COARSE kernel over the fine-ordered
+    candidate window and test every row against all tile pixels, so a
+    lower-draw triangle whose duplicate pair sits in a later fine bin
+    occupies a later window position and wins the >= tie against the
+    correct pass-0 winner when their depths are bit-equal. Pass 0 itself
+    and coarse multipass are exact (coarse binning orders each window by
+    draw order). Like the big/small split above, this needs a bit-exact
+    z tie between two different triangles overlapping the same pixel —
+    unobserved in practice and absent from all golden configs.
+
     ``passes`` > 1 handles tiles denser than ``max_candidates`` without
     inflating the one-hot resolve: pass p covers candidate window
     [p·maxc, (p+1)·maxc), depth-chained via the previous pass's keys.
@@ -1173,6 +1155,14 @@ def raster_fused_pallas(
 
     nsub = NSUB_FINE if fine_bins else 1
     if fine_bins:
+        # The fine kernel's layout equates row g of the driver-permuted
+        # (tile_h, tile_w) block with subtile g, which holds only when
+        # tile_h == NSUB_FINE (i.e. tile_h * sub_w == tile_w). Any other
+        # VPU-legal shape would fail deep in tracing with an opaque
+        # carry-shape error — reject it here instead.
+        assert tile_h == NSUB_FINE and tile_h * (tile_w // NSUB_FINE) == (
+            tile_w
+        ), f"fine_bins requires tile_h == {NSUB_FINE} (got {tile_h})"
         # Fine binning: nsub consecutive fine bins per coarse tile (the
         # fine tile id linearization ty·(tiles_x·nsub)+txf groups them),
         # so each coarse tile's candidate window stays ONE contiguous

@@ -325,6 +325,20 @@ def _sampled_kernel(lparams_ref, gparams_ref, *refs, plan, num_lights,
             )
             for k, s in enumerate(present):
                 slots[s] = acc[k]
+        elif grp[0] == "mipblock":
+            present, cs = grp[1], grp[2]
+            qt_ref = refs[pos]
+            g = {
+                k: refs[pos + 1 + i][...]
+                for i, k in enumerate(tq._MIP_GEOM_KEYS)
+            }
+            pos += 1 + len(tq._MIP_GEOM_KEYS)
+            acc = tq.mip_block_blend_acc(
+                lambda row, qt_ref=qt_ref: qt_ref[:, row, :],
+                g, cs, len(present),
+            )
+            for k, s in enumerate(present):
+                slots[s] = acc[k]
         else:  # direct precomputed slot planes
             for s in grp[1]:
                 slots[s] = refs[pos][...]
@@ -440,6 +454,15 @@ def shade_sampled_pallas(
             for k in ("idx", "tx", "ty"):
                 arrays.append(grp[k])
                 plane_kinds.append("plane")
+        elif grp["kind"] == "mipblock":
+            from bibim_tpu.ops import texture_quad as tq
+
+            plan.append(("mipblock", grp["present"], grp["cs"]))
+            arrays.append(grp["qt"])
+            plane_kinds.append("qt")
+            for k in tq._MIP_GEOM_KEYS:
+                arrays.append(grp[k])
+                plane_kinds.append("plane")
         else:
             plan.append(("direct", grp["present"]))
             for p in grp["planes"]:
@@ -479,7 +502,7 @@ def shade_sampled_pallas(
     for a, kind in zip(arrays, plane_kinds):
         if kind == "qt":
             in_specs.append(
-                pl.BlockSpec((g, 128, npx), lambda i: (i, 0, 0),
+                pl.BlockSpec((g, a.shape[1], npx), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             )
         elif kind == "tex":

@@ -931,6 +931,15 @@ def sample_material_mips(tables: tuple, u, v, tile_h: int = 8,
         use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
+        if isinstance(table, MipBlockMulti):
+            zid = jnp.zeros(u.shape, jnp.int32)
+            if use_pallas:
+                out.update(sample_mip_block_pallas(
+                    table, zid, u, v, tile_h, tile_w, interpret=interpret))
+            else:
+                out.update(sample_mip_block(table, zid, u, v, tile_h,
+                                            tile_w))
+            continue
         rows = table.quads.shape[0]
         if (use_pallas and len(table.heights) == 1 and rows <= SMALL_ROWS
                 and table.quads.dtype == jnp.uint8):
@@ -1113,6 +1122,454 @@ def sample_mip_multi(table: MipQuadMulti, mat_id, u, v, tile_h: int,
     }
 
 
+# ---------------------------------------------------------------------------
+# Mip BLOCK tables — one gather per TRILINEAR sample in the fast row
+# regime. The paired MipQuad layout above already reached one gather per
+# sample, but its table has one row per TEXEL (1.7M rows for a 1024²
+# two-material albedo group — the slow >2^20 gather regime, ~11 ns/row
+# random) and its 52-byte rows blend on (N, C) slices at 4/128-lane
+# occupancy. Here one u8 row per 4×4 texel block of each level carries:
+#   - the (B+1)² = 5×5 wrap-correct CHILD neighborhood (any bilinear
+#     footprint whose top-left tap lies in the block), and
+#   - the covering 4×4 PARENT-level neighborhood (the parent bilinear
+#     footprint of any uv inside the block spans parent texels
+#     [2bx−1, 2bx+3) × [2by−1, 2by+3) — see mip_block_prep),
+# so a full trilinear sample = ONE row gather; row count drops 16× into
+# the ≤2^19 fast regime and the 41-tap blend runs full-lane in Pallas
+# (taps on sublanes, pixels on lanes — the level-0 BlockTable pattern).
+# Channel stride is exact (len(present), not ceil4): 3 channels × 41
+# taps = 123 B → one 128 B lane row.
+# ---------------------------------------------------------------------------
+
+MB_B = 4  # texels per block edge
+MB_S = MB_B + 1  # child taps per axis
+MB_P = 4  # parent taps per axis
+MB_TAPS = MB_S * MB_S + MB_P * MB_P  # 41
+
+
+class MipBlockMulti(NamedTuple):
+    """Neighborhood-block mip tables for one slot group of one or more
+    materials, merged flat. Static per-(material, level) geometry makes
+    level + material routing unrolled vector selects; ``offsets`` are
+    BLOCK-row offsets. ``last_parent[mat]`` says whether the deepest
+    built level still has a real parent level stored (pyramids deeper
+    than the last 4-divisible level), i.e. whether frac may stay > 0
+    there."""
+
+    blocks: jnp.ndarray  # (total_blocks, row_bytes) u8, row_bytes % 128 == 0
+    heights: tuple  # [mat][level], static (built levels only)
+    widths: tuple
+    offsets: tuple  # [mat][level] flat block-row offsets, static
+    present: tuple
+    last_parent: tuple  # [mat] bool, static
+
+
+jax.tree_util.register_pytree_node(
+    MipBlockMulti,
+    lambda t: ((t.blocks,), (t.heights, t.widths, t.offsets, t.present,
+                             t.last_parent)),
+    lambda aux, ch: MipBlockMulti(ch[0], *aux),
+)
+
+
+def _build_mip_block_group(texs: list, present: tuple) -> MipBlockMulti:
+    """Pack one material's mip pyramid (list of (h, w, cs) u8 texel
+    images, level 0 first) into block rows. Levels are built while the
+    dims stay 4-divisible AND each next level exactly halves (the
+    remaining tail of the pyramid is reachable only through the last
+    built level's stored parent taps)."""
+    cs = len(present)
+    row_bytes = -(-(MB_TAPS * cs) // 128) * 128
+    heights, widths, offsets, parts = [], [], [], []
+    off = 0
+    for li, tex in enumerate(texs):
+        h, w = tex.shape[:2]
+        if h % MB_B or w % MB_B or h < MB_B or w < MB_B:
+            break
+        has_next = li + 1 < len(texs)
+        if has_next and texs[li + 1].shape[:2] != (h // 2, w // 2):
+            raise ValueError("mip pyramid must halve exactly per level "
+                             f"({texs[li + 1].shape[:2]} after ({h}, {w}))")
+        nby, nbx = h // MB_B, w // MB_B
+        ay = (np.arange(nby) * MB_B)[:, None]
+        ax = (np.arange(nbx) * MB_B)[None, :]
+        taps = [tex[(ay + j) % h, (ax + i) % w]
+                for j in range(MB_S) for i in range(MB_S)]
+        if has_next:
+            par = texs[li + 1]
+            h2, w2 = par.shape[:2]
+            py = (np.arange(nby) * 2 - 1)[:, None]
+            px = (np.arange(nbx) * 2 - 1)[None, :]
+            taps += [par[(py + j) % h2, (px + i) % w2]
+                     for j in range(MB_P) for i in range(MB_P)]
+        else:  # true last level: frac is forced to 0, block unused
+            taps += [np.zeros((nby, nbx, cs), np.uint8)] * (MB_P * MB_P)
+        raw = np.concatenate(taps, axis=-1).reshape(nby * nbx, MB_TAPS * cs)
+        if raw.shape[1] != row_bytes:
+            raw = np.pad(raw, ((0, 0), (0, row_bytes - raw.shape[1])))
+        parts.append(raw)
+        heights.append(h)
+        widths.append(w)
+        offsets.append(off)
+        off += nby * nbx
+    if not parts:
+        raise ValueError("mip block tables need a ≥4×4, 4-divisible base")
+    last_parent = len(heights) < len(texs)
+    return MipBlockMulti(
+        blocks=jnp.asarray(np.concatenate(parts, axis=0)),
+        heights=(tuple(heights),),
+        widths=(tuple(widths),),
+        offsets=(tuple(offsets),),
+        present=present,
+        last_parent=(last_parent,),
+    )
+
+
+def build_mip_block_tables(mip_maps: dict) -> tuple:
+    """Like :func:`build_mip_quad_tables` but producing MipBlockMulti
+    groups (single-material). Groups whose base is too small for blocks
+    (< 4×4) fall back to the quad layout (the MXU small path serves them
+    anyway)."""
+    groups: dict = {}
+    for slot, mips in mip_maps.items():
+        key = (int(mips[0].shape[0]), int(mips[0].shape[1]))
+        groups.setdefault(key, {})[slot] = mips
+
+    tables = []
+    for (h0, w0), slot_mips in sorted(groups.items()):
+        present = tuple(sorted(slot_mips, key=SLOTS.index))
+        levels = len(next(iter(slot_mips.values())))
+        if h0 % MB_B or w0 % MB_B or h0 < MB_B or w0 < MB_B or levels == 1:
+            tables.extend(build_mip_quad_tables(
+                {s: slot_mips[s] for s in present}))
+            continue
+        cs = len(present)
+        texs = []
+        for li in range(levels):
+            any_level = next(iter(slot_mips.values()))[li]
+            h, w = int(any_level.shape[0]), int(any_level.shape[1])
+            tex = np.zeros((h, w, cs), np.uint8)
+            for k, slot in enumerate(present):
+                img = slot_mips[slot][li]
+                tex[:, :, k] = img[:, :, 0] if img.ndim == 3 else img
+            texs.append(tex)
+        tables.append(_build_mip_block_group(texs, present))
+    return tuple(tables)
+
+
+def merge_mip_block_materials(materials: tuple) -> tuple:
+    """Merge per-material tuples of MipBlockMulti / MipQuadTable groups
+    (from :func:`build_mip_block_tables`) into multi-material groups.
+    Quad-layout groups merge via :func:`merge_mip_quad_materials`."""
+    by_present = [
+        {t.present: t for t in mat_tables} for mat_tables in materials
+    ]
+    keys = set(by_present[0])
+    for bp in by_present[1:]:
+        if set(bp) != keys:
+            raise ValueError(
+                "materials partition slots differently — cannot merge "
+                f"({sorted(keys)} vs {sorted(bp)})"
+            )
+    merged = []
+    quad_groups = []
+    for present in sorted(keys):
+        tabs = [bp[present] for bp in by_present]
+        kinds = {type(t) for t in tabs}
+        if kinds == {MipQuadTable}:
+            quad_groups.append(tabs)
+            continue
+        if kinds != {MipBlockMulti}:
+            raise ValueError(
+                f"slot group {present}: mixed block/quad layouts across "
+                "materials — give every material the same builder"
+            )
+        heights, widths, offsets, last_parent, parts = [], [], [], [], []
+        base = 0
+        for t in tabs:
+            assert len(t.heights) == 1, "merge inputs are single-material"
+            heights.append(t.heights[0])
+            widths.append(t.widths[0])
+            offsets.append(tuple(o + base for o in t.offsets[0]))
+            last_parent.append(t.last_parent[0])
+            parts.append(t.blocks)
+            base += t.blocks.shape[0]
+        rb = {p.shape[1] for p in parts}
+        if len(rb) != 1:
+            raise ValueError("row-byte widths differ across materials")
+        merged.append(MipBlockMulti(
+            blocks=jnp.concatenate(parts, axis=0),
+            heights=tuple(heights),
+            widths=tuple(widths),
+            offsets=tuple(offsets),
+            present=present,
+            last_parent=tuple(last_parent),
+        ))
+    if quad_groups:
+        merged.extend(merge_mip_quad_materials(tuple(
+            tuple(g[m] for g in quad_groups)
+            for m in range(len(materials))
+        )))
+    return tuple(merged)
+
+
+def _mip_block_geometry(table: MipBlockMulti, mat_id, u, v, tile_h: int,
+                        tile_w: int) -> dict:
+    """Per-pixel footprint planes for block-row trilinear sampling: the
+    gather index plus everything the 41-tap blend needs. All (NT, NPX).
+
+    Parent-tap indices: child block bx covers texels [4bx, 4bx+4), so
+    fx ∈ [4bx, 4bx+4) and the parent coordinate fx2 = fx/2 − 0.25 has
+    x02 = floor(fx2) ∈ {2bx−1, 2bx, 2bx+1}; taps x02, x02+1 lie in the
+    stored [2bx−1, 2bx+3) window. With w even, x02 mod w2 ≡ the same
+    residue regardless of REPEAT wraps, so pxi = (x02 − (2bx−1)) mod w2
+    ∈ {0, 1, 2} indexes the stored window exactly (stored taps are
+    themselves wrapped, so tiny parent levels alias correctly)."""
+    n_mats = len(table.heights)
+
+    lod = None
+    for mi in range(n_mats):
+        l = quad_lod_planar(u, v, tile_h, tile_w,
+                            table.heights[mi][0], table.widths[mi][0])
+        lod = l if lod is None else jnp.where(mat_id == mi, l, lod)
+    max_level = None
+    for mi in range(n_mats):
+        ml = jnp.int32(len(table.heights[mi]) - 1)
+        max_level = ml if max_level is None else jnp.where(
+            mat_id == mi, ml, max_level)
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, max_level)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)
+    # At the deepest built level, frac blends into the stored parent taps
+    # when the pyramid continues past the built chain; a true last level
+    # stores zero parent taps and forces frac to 0 (MipQuadTable rule).
+    at_last = l0 == max_level
+    no_parent = None
+    for mi in range(n_mats):
+        flag = jnp.bool_(not table.last_parent[mi])
+        no_parent = flag if no_parent is None else jnp.where(
+            mat_id == mi, flag, no_parent)
+    frac = jnp.where(at_last & no_parent, 0.0, frac)
+
+    h = w = off = nbx = None
+    for mi in range(n_mats):
+        is_m = mat_id == mi
+        for li in range(len(table.heights[mi])):
+            is_ml = is_m & (l0 == li)
+            h = jnp.where(is_ml, float(table.heights[mi][li]),
+                          1.0 if h is None else h)
+            w = jnp.where(is_ml, float(table.widths[mi][li]),
+                          1.0 if w is None else w)
+            off = jnp.where(is_ml, table.offsets[mi][li],
+                            0 if off is None else off)
+            nbx = jnp.where(is_ml, table.widths[mi][li] // MB_B,
+                            1 if nbx is None else nbx)
+
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    x0i = jnp.remainder(x0.astype(jnp.int32), wi)
+    y0i = jnp.remainder(y0.astype(jnp.int32), hi)
+    bx = x0i // MB_B
+    by = y0i // MB_B
+    idx = off + by * nbx + bx
+    lx = x0i - bx * MB_B
+    ly = y0i - by * MB_B
+
+    w2i = jnp.maximum(wi // 2, 1)
+    h2i = jnp.maximum(hi // 2, 1)
+    fx2 = u * w2i.astype(jnp.float32) - 0.5
+    fy2 = v * h2i.astype(jnp.float32) - 0.5
+    x02 = jnp.floor(fx2)
+    y02 = jnp.floor(fy2)
+    tx2 = fx2 - x02
+    ty2 = fy2 - y02
+    pxi = jnp.remainder(x02.astype(jnp.int32) - (2 * bx - 1), w2i)
+    pyi = jnp.remainder(y02.astype(jnp.int32) - (2 * by - 1), h2i)
+    return {
+        "idx": idx, "lx": lx, "ly": ly, "tx": tx, "ty": ty,
+        "pxi": pxi, "pyi": pyi, "tx2": tx2, "ty2": ty2, "frac": frac,
+    }
+
+
+def mip_block_blend_acc(tap_of_row, g, cs: int, n_out: int):
+    """41-tap trilinear blend at full VPU width (taps on sublanes, pixels
+    on lanes). ``g`` is the geometry-plane dict from
+    :func:`_mip_block_geometry`; ``tap_of_row(row)`` returns one u8 tap
+    row castable via i32. Accumulation order matches the MipQuad oracle:
+    child taps row-major (the 4 live ones add in w00/w01/w10/w11 order,
+    dead taps contribute exact fp zeros), then parent taps row-major,
+    then own·(1−frac) + par·frac — the _sample_paired op order."""
+    lx, ly, tx, ty = g["lx"], g["ly"], g["tx"], g["ty"]
+    pxi, pyi, tx2, ty2 = g["pxi"], g["pyi"], g["tx2"], g["ty2"]
+    frac = g["frac"]
+
+    def accum(base_tap, n_axis, xi, yi, txw, tyw):
+        one_m_tx = 1.0 - txw
+        one_m_ty = 1.0 - tyw
+        acc = [None] * n_out
+        for j in range(n_axis):
+            wy = (jnp.where(yi == j, one_m_ty, 0.0)
+                  + jnp.where(yi + 1 == j, tyw, 0.0))
+            for i in range(n_axis):
+                wx = (jnp.where(xi == i, one_m_tx, 0.0)
+                      + jnp.where(xi + 1 == i, txw, 0.0))
+                wgt = wx * wy
+                for c in range(n_out):
+                    row = (base_tap + j * n_axis + i) * cs + c
+                    tap = tap_of_row(row).astype(jnp.int32).astype(
+                        jnp.float32) * (1.0 / 255.0)
+                    term = tap * wgt
+                    acc[c] = term if acc[c] is None else acc[c] + term
+        return acc
+
+    own = accum(0, MB_S, lx, ly, tx, ty)
+    par = accum(MB_S * MB_S, MB_P, pxi, pyi, tx2, ty2)
+    one_m_fr = 1.0 - frac
+    return [own[c] * one_m_fr + par[c] * frac for c in range(n_out)]
+
+
+def sample_mip_block(table: MipBlockMulti, mat_id, u, v, tile_h: int,
+                     tile_w: int) -> dict:
+    """XLA reference path for block-row trilinear sampling (CPU fallback
+    and the Pallas kernel's oracle). Same gather, same blend op order —
+    the tap rows are (N,) slices of the transposed gathered rows."""
+    g = _mip_block_geometry(table, mat_id, u, v, tile_h, tile_w)
+    q = table.blocks[g["idx"].reshape(-1)]  # (N, row_bytes) u8
+    qt = q.T  # (row_bytes, N)
+    shape = u.shape
+    gp = {k: v2.reshape(-1) for k, v2 in g.items()}
+    acc = mip_block_blend_acc(
+        lambda row: qt[row], gp, len(table.present), len(table.present)
+    )
+    return {
+        slot: acc[k].reshape(shape)
+        for k, slot in enumerate(table.present)
+    }
+
+
+def mip_block_prep(table: MipBlockMulti, mat_id, u, v, tile_h: int,
+                   tile_w: int) -> dict:
+    """XLA-side prep for in-kernel block trilinear blending: the gather +
+    one batched transpose to (NT, row_bytes, NPX) + the geometry planes.
+    Shared by :func:`sample_mip_block_pallas` and the fused sampled-shade
+    kernel (ops/shading_pallas.shade_sampled_pallas)."""
+    nt, npx = u.shape
+    g = _mip_block_geometry(table, mat_id, u, v, tile_h, tile_w)
+    q = table.blocks[g["idx"].reshape(-1)]
+    lanes = table.blocks.shape[1]
+    qt = jnp.transpose(q.reshape(nt, npx, lanes), (0, 2, 1))
+    out = {"kind": "mipblock", "qt": qt, "present": table.present,
+           "cs": len(table.present)}
+    for k in _MIP_GEOM_KEYS:
+        out[k] = g[k]
+    return out
+
+
+_MIP_GEOM_KEYS = ("lx", "ly", "tx", "ty", "pxi", "pyi", "tx2", "ty2",
+                  "frac")
+
+
+def _mip_block_kernel(qt_ref, *refs, cs, n_out):
+    g = {k: refs[i][...] for i, k in enumerate(_MIP_GEOM_KEYS)}
+    out_refs = refs[len(_MIP_GEOM_KEYS):]
+    acc = mip_block_blend_acc(
+        lambda row: qt_ref[:, row, :], g, cs, n_out,
+    )
+    for c, out in enumerate(out_refs):
+        out[...] = acc[c]
+
+
+def small_prep_multi(table: MipQuadMulti, mat_id, u, v) -> dict:
+    """XLA-side prep for the in-kernel small-table MXU sample of a merged
+    single-level multi-material group (e.g. neutral fallback maps):
+    material routing becomes a static-unrolled per-pixel row-offset
+    select — same contract as :func:`small_prep`."""
+    assert table.quads.dtype == jnp.uint8, "MXU path needs u8 tables"
+    assert all(len(h) == 1 for h in table.heights), "single-level only"
+    idx = tx = ty = None
+    for mi in range(len(table.heights)):
+        i_m, tx_m, ty_m = _footprint(
+            u, v, table.heights[mi][0], table.widths[mi][0]
+        )
+        i_m = i_m + table.offsets[mi][0]
+        is_m = mat_id == mi
+        idx = i_m if idx is None else jnp.where(is_m, i_m, idx)
+        tx = tx_m if tx is None else jnp.where(is_m, tx_m, tx)
+        ty = ty_m if ty is None else jnp.where(is_m, ty_m, ty)
+    rows = table.quads.shape[0]
+    rows_pad = max(8, -(-rows // 8) * 8)
+    texf = table.quads.astype(jnp.float32)  # integer-valued: bf16-exact
+    if rows_pad != rows:
+        texf = jnp.pad(texf, ((0, rows_pad - rows), (0, 0)))
+    return {
+        "kind": "small",
+        "tex": texf,
+        "idx": idx,
+        "tx": tx,
+        "ty": ty,
+        "present": table.present,
+        "cpad": table.quads.shape[1] // 4,
+        "rows": rows_pad,
+    }
+
+
+def sample_mip_block_pallas(table: MipBlockMulti, mat_id, u, v,
+                            tile_h: int, tile_w: int,
+                            interpret: bool = False) -> dict:
+    """Block-row trilinear sampling with the 41-tap blend fused into one
+    Pallas pass (taps on sublanes, pixels on lanes — the
+    sample_table_block_pallas pattern)."""
+    nt, npx = u.shape
+    prep = mip_block_prep(table, mat_id, u, v, tile_h, tile_w)
+    qt = prep["qt"]
+    lanes = qt.shape[1]
+
+    g = min(BLOCK_TILE_BATCH, nt)
+    nt_pad = -(-nt // g) * g
+
+    def plane(x):
+        p = x.reshape(nt, npx)
+        if nt_pad != nt:
+            p = jnp.pad(p, ((0, nt_pad - nt), (0, 0)))
+        return p
+
+    if nt_pad != nt:
+        qt = jnp.pad(qt, ((0, nt_pad - nt), (0, 0), (0, 0)))
+
+    n_out = len(table.present)
+    kernel = functools.partial(_mip_block_kernel, cs=prep["cs"],
+                               n_out=n_out)
+    pspec = pl.BlockSpec((g, npx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, lanes, npx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pspec] * len(_MIP_GEOM_KEYS),
+        out_specs=[pspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((nt_pad, npx), jnp.float32)]
+        * n_out,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # 41-tap unroll temporaries, same class as the 25-tap kernel.
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qt, *[plane(prep[k]) for k in _MIP_GEOM_KEYS])
+    if n_out == 1 and not isinstance(out, (list, tuple)):
+        out = [out]
+    return {
+        slot: o[:nt] for slot, o in zip(table.present, out)
+    }
+
+
 def sample_material_mips_multi(tables: tuple, mat_id, u, v,
                                tile_h: int = 8, tile_w: int = 128,
                                use_pallas: bool | None = None,
@@ -1126,6 +1583,15 @@ def sample_material_mips_multi(tables: tuple, mat_id, u, v,
         use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
+        if isinstance(table, MipBlockMulti):
+            if use_pallas:
+                out.update(sample_mip_block_pallas(
+                    table, mat_id, u, v, tile_h, tile_w,
+                    interpret=interpret))
+            else:
+                out.update(sample_mip_block(table, mat_id, u, v, tile_h,
+                                            tile_w))
+            continue
         rows = table.quads.shape[0]
         single = all(len(h) == 1 for h in table.heights)
         if (use_pallas and single and rows <= SMALL_ROWS

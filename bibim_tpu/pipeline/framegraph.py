@@ -397,9 +397,11 @@ def _sample_materials(materials, px: fused.FusedPixels,
     """Material routing: single binding, or per-pixel select over a tuple of
     bindings by the winning triangle's batch material id (the per-draw
     material descriptor binding analog, scene.cpp:198-200)."""
-    if isinstance(materials, (tuple, list)) and materials             and isinstance(materials[0], tq.MipQuadMulti):
+    if isinstance(materials, (tuple, list)) and materials \
+            and isinstance(materials[0], (tq.MipQuadMulti,
+                                          tq.MipBlockMulti)):
         # Pre-merged multi-material mip tables: routing costs no extra
-        # gathers (see merge_mip_quad_materials).
+        # gathers (see merge_mip_quad_materials / merge_mip_block_materials).
         u, v = px.uv
         return tq.sample_material_mips_multi(
             materials, px.mat_id, u, v, settings.tile_h, settings.tile_w,
@@ -444,10 +446,13 @@ def _scene_record_table(soup, setup, settings: RenderSettings):
 
 
 def _is_quad_tuple(m) -> bool:
-    """True for a single material binding made of Quad/Block tables — the
-    shape the fused sampled-shade kernel consumes."""
+    """True for a material binding the fused sampled-shade kernel can
+    consume: a tuple of Quad/Block tables (single material) or merged
+    multi-material mip groups (MipBlockMulti / MipQuadMulti — per-pixel
+    material routing happens in the prep planes)."""
     return (isinstance(m, (tuple, list)) and bool(m)
-            and all(isinstance(t, (tq.QuadTable, tq.BlockTable))
+            and all(isinstance(t, (tq.QuadTable, tq.BlockTable,
+                                   tq.MipBlockMulti, tq.MipQuadMulti))
                     for t in m))
 
 
@@ -468,6 +473,25 @@ def _sampled_hdr(px, materials, lights, view_block,
     u, v = px.uv
     groups = []
     for t in materials:
+        if isinstance(t, tq.MipBlockMulti):
+            # Trilinear mips: one block-row gather per pixel, the 41-tap
+            # level blend runs in-kernel (BASELINE config 2).
+            groups.append(tq.mip_block_prep(
+                t, px.mat_id, u, v, settings.tile_h, settings.tile_w))
+            continue
+        if isinstance(t, tq.MipQuadMulti):
+            rows_pad = max(8, -(-t.quads.shape[0] // 8) * 8)
+            if (all(len(h) == 1 for h in t.heights)
+                    and t.quads.dtype == jnp.uint8
+                    and rows_pad <= SAMPLED_SMALL_ROWS):
+                groups.append(tq.small_prep_multi(t, px.mat_id, u, v))
+            else:
+                slots = tq.sample_material_mips_multi(
+                    (t,), px.mat_id, u, v, settings.tile_h,
+                    settings.tile_w, use_pallas=_use_pallas(settings))
+                groups.append({"kind": "direct", "present": t.present,
+                               "planes": [slots[s] for s in t.present]})
+            continue
         rows_pad = max(8, -(-t.height * t.width // 8) * 8)
         if isinstance(t, tq.BlockTable):
             groups.append(tq.block_prep(t, u, v))
@@ -506,7 +530,7 @@ def _planar_materials(m) -> bool:
         if not m:
             return False
         if isinstance(m[0], (tq.QuadTable, tq.BlockTable, tq.MipQuadTable,
-                             tq.MipQuadMulti)):
+                             tq.MipQuadMulti, tq.MipBlockMulti)):
             return True
         return all(_planar_materials(x) for x in m)
     return False

@@ -64,18 +64,26 @@ class CubeScene(SceneBase):
         return (0, 1)
 
 
-def cube_scene_materials(with_mips: bool = True):
+def cube_scene_materials(with_mips: bool = True, layout: str = "block"):
     """Materials for CubeScene: (uv_debug, texture.jpg) albedos.
 
-    Returns a tuple usable as render_frame's ``materials`` — mip-quad
-    tables when ``with_mips`` (trilinear fast path), MaterialTextures
-    otherwise (level-0 bilinear, reference sampler parity)."""
+    Returns a tuple usable as render_frame's ``materials`` — mip block
+    tables when ``with_mips`` (one-gather trilinear + in-kernel 41-tap
+    blend, the production path; ``layout="quad"`` keeps the paired
+    mip-quad tables as the oracle form), MaterialTextures otherwise
+    (level-0 bilinear, reference sampler parity)."""
     import jax.numpy as jnp
 
     from bibim_tpu.ops.texture_quad import (
-        build_mip_quad_tables, merge_mip_quad_materials,
+        build_mip_block_tables, build_mip_quad_tables,
+        merge_mip_block_materials, merge_mip_quad_materials,
     )
     from bibim_tpu.pipeline.framegraph import MaterialTextures
+
+    build = (build_mip_block_tables if layout == "block"
+             else build_mip_quad_tables)
+    merge = (merge_mip_block_materials if layout == "block"
+             else merge_mip_quad_materials)
 
     root = get_resource_root()
     uv_debug = load_image_rgba8(root.common("uv_debug.png"))
@@ -95,7 +103,7 @@ def cube_scene_materials(with_mips: bool = True):
         if with_mips:
             alb_mips = build_mip_pyramid(albedo)
             mats.append(
-                build_mip_quad_tables({
+                build({
                     "alb_r": [m[:, :, 0:1] for m in alb_mips],
                     "alb_g": [m[:, :, 1:2] for m in alb_mips],
                     "alb_b": [m[:, :, 2:3] for m in alb_mips],
@@ -120,5 +128,5 @@ def cube_scene_materials(with_mips: bool = True):
                 )
             )
     if with_mips:
-        return merge_mip_quad_materials(tuple(mats))
+        return merge(tuple(mats))
     return tuple(mats)

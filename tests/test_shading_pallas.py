@@ -248,6 +248,78 @@ class TestShadeSampledPallas:
                         False)
         _assert_close_rel(want, got)
 
+    def test_mipblock_group(self):
+        """Trilinear mip-block groups (config 2's binding) inside the
+        fused kernel vs the XLA mip sampler + oracle shade chain."""
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.ops.shading_pallas import shade_sampled_pallas
+        from bibim_tpu.ops.shading_planar import apply_normal_map
+
+        rng = np.random.default_rng(21)
+
+        def pyramid(base, ch):
+            out, s = [], base
+            while s >= 4:
+                out.append(rng.integers(0, 256, (s, s, ch), np.uint8))
+                s //= 2
+            return out
+
+        def build_one():
+            alb = pyramid(32, 3)
+            neutral = rng.integers(0, 256, (4, 4, 1), np.uint8)
+            return tq.build_mip_block_tables({
+                "alb_r": [m[:, :, 0:1] for m in alb],
+                "alb_g": [m[:, :, 1:2] for m in alb],
+                "alb_b": [m[:, :, 2:3] for m in alb],
+                "metallic": [neutral], "roughness": [neutral],
+                "ao": [neutral],
+            })
+
+        merged = tq.merge_mip_block_materials((build_one(), build_one()))
+        kinds = {type(t).__name__ for t in merged}
+        assert kinds == {"MipBlockMulti", "MipQuadMulti"}
+
+        px = self._px(9)
+        mat_id = (jnp.arange(NT * NPX, dtype=jnp.int32) % 2).reshape(
+            (NT, NPX))
+        lights = _lights()
+        vp = jnp.asarray([0.0, 1.0, -3.0])
+
+        slots = tq.sample_material_mips_multi(
+            merged, mat_id, px["u"], px["v"], tile_h=8, tile_w=128,
+            use_pallas=False)
+        albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
+        nmap = (slots["nrm_x"], slots["nrm_y"], slots["nrm_z"])
+        normal = apply_normal_map(px["normal"], px["tangent"], nmap,
+                                  jnp.int32(0))
+        valid = px["valid"]
+
+        def mq(x):
+            return jnp.where(valid, x, 0.0).astype(jnp.float16).astype(
+                jnp.float32)
+
+        want = shade_pbr_planar(
+            tuple(mq(c) for c in px["world"]), tuple(mq(c) for c in normal),
+            tuple(mq(c) for c in albedo), mq(slots["metallic"]),
+            mq(slots["roughness"]), mq(slots["ao"]), lights, vp,
+        )
+        want = tuple(jnp.where(valid, c, 0.0) for c in want)
+
+        groups = []
+        for t in merged:
+            if isinstance(t, tq.MipBlockMulti):
+                groups.append(tq.mip_block_prep(t, mat_id, px["u"],
+                                                px["v"], 8, 128))
+            else:
+                groups.append(tq.small_prep_multi(t, mat_id, px["u"],
+                                                  px["v"]))
+        got = shade_sampled_pallas(
+            groups, px["world"], px["normal"], px["tangent"], valid,
+            lights, vp, jnp.int32(0), gbuffer_mode=True, quantize=True,
+            interpret=True,
+        )
+        _assert_close(want, got)
+
     def test_direct_planes_group(self):
         # Big-table groups sampled upstream enter as direct slot planes.
         from bibim_tpu.ops import texture_quad as tq

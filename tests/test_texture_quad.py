@@ -184,6 +184,111 @@ class TestPairedTrilinear:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestMipBlockTable:
+    """Mip block tables (one gather per TRILINEAR sample): must match the
+    paired mip-quad oracle exactly — same taps, same accumulation order,
+    dead taps adding exact zeros."""
+
+    def _pyramid(self, rng, base=32, ch=3):
+        sizes = []
+        s = base
+        while s >= 4:
+            sizes.append(s)
+            s //= 2
+        return [rng.integers(0, 256, (s, s, ch), np.uint8) for s in sizes]
+
+    def test_builder_layout(self):
+        rng = np.random.default_rng(2)
+        mips = self._pyramid(rng, base=64)
+        maps = {"alb_r": [m[:, :, 0:1] for m in mips],
+                "alb_g": [m[:, :, 1:2] for m in mips],
+                "alb_b": [m[:, :, 2:3] for m in mips]}
+        (t,) = tq.build_mip_block_tables(maps)
+        assert isinstance(t, tq.MipBlockMulti)
+        # 3 channels x 41 taps = 123 B -> one 128 B lane row
+        assert t.blocks.shape[1] == 128
+        assert t.heights == ((64, 32, 16, 8, 4),)
+        assert t.last_parent == (False,)
+        n_blocks = sum((s // 4) ** 2 for s in (64, 32, 16, 8, 4))
+        assert t.blocks.shape[0] == n_blocks
+
+    def test_matches_mip_quad_oracle_exact(self, uv_planes):
+        rng = np.random.default_rng(3)
+        mips = self._pyramid(rng, base=32, ch=1)
+        quad = tq.build_mip_quad_tables({"ao": mips})
+        (block,) = tq.build_mip_block_tables({"ao": mips})
+        u, v = uv_planes
+        want = tq.sample_mip_table(quad[0], u, v, 4, 256)
+        zid = jnp.zeros(u.shape, jnp.int32)
+        got = tq.sample_mip_block(block, zid, u, v, 4, 256)
+        np.testing.assert_array_equal(np.asarray(want["ao"]),
+                                      np.asarray(got["ao"]))
+
+    def test_pallas_matches_xla_blend(self, uv_planes):
+        rng = np.random.default_rng(5)
+        mips = self._pyramid(rng, base=32)
+        maps = {"alb_r": [m[:, :, 0:1] for m in mips],
+                "alb_g": [m[:, :, 1:2] for m in mips],
+                "alb_b": [m[:, :, 2:3] for m in mips]}
+        (block,) = tq.build_mip_block_tables(maps)
+        u, v = uv_planes
+        zid = jnp.zeros(u.shape, jnp.int32)
+        want = tq.sample_mip_block(block, zid, u, v, 4, 256)
+        got = tq.sample_mip_block_pallas(block, zid, u, v, 4, 256,
+                                         interpret=True)
+        for slot in ("alb_r", "alb_g", "alb_b"):
+            np.testing.assert_allclose(np.asarray(want[slot]),
+                                       np.asarray(got[slot]),
+                                       rtol=3e-7, atol=3e-7)
+
+    def test_multi_material_routing(self, uv_planes):
+        rng = np.random.default_rng(7)
+        m0 = tq.build_mip_block_tables(
+            {"ao": [np.full((16, 16, 1), 40, np.uint8),
+                    np.full((8, 8, 1), 40, np.uint8),
+                    np.full((4, 4, 1), 40, np.uint8)]})
+        m1 = tq.build_mip_block_tables(
+            {"ao": [np.full((32, 32, 1), 200, np.uint8),
+                    np.full((16, 16, 1), 200, np.uint8),
+                    np.full((8, 8, 1), 200, np.uint8),
+                    np.full((4, 4, 1), 200, np.uint8)]})
+        merged = tq.merge_mip_block_materials((m0, m1))
+        assert len(merged) == 1
+        u, v = uv_planes
+        mat_id = (jnp.arange(u.size, dtype=jnp.int32) % 2).reshape(u.shape)
+        out = tq.sample_material_mips_multi(merged, mat_id, u, v,
+                                            tile_h=4, tile_w=256,
+                                            use_pallas=False)
+        got = np.asarray(out["ao"]).ravel()
+        want = np.where(np.arange(got.size) % 2 == 0, 40 / 255.0,
+                        200 / 255.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_truncated_chain_saturates_at_parent(self):
+        """A pyramid whose tail is not 4-divisible stops building early;
+        lods past the built chain saturate at the stored parent level."""
+        rng = np.random.default_rng(9)
+        mips = [rng.integers(0, 256, (s, s, 1), np.uint8)
+                for s in (16, 8, 4, 2, 1)]
+        (t,) = tq.build_mip_block_tables({"ao": mips})
+        assert t.heights == ((16, 8, 4),)
+        assert t.last_parent == (True,)
+        # Huge lod (tiny uv gradient scaled): the blend must produce the
+        # deepest reachable level (level 3 = 2x2), fully (frac -> 1).
+        nt, npx = 1, 1024
+        base = jnp.linspace(0.0, 64.0, npx, dtype=jnp.float32)
+        u = base.reshape(nt, npx)
+        v = base.reshape(nt, npx)
+        zid = jnp.zeros((nt, npx), jnp.int32)
+        out = tq.sample_mip_block(t, zid, u, v, 4, 256)
+        # level-3 (2x2) bilinear average region: all outputs must lie in
+        # the convex hull of that level's texels.
+        lvl3 = mips[3][:, :, 0].astype(np.float32) / 255.0
+        lo, hi = lvl3.min(), lvl3.max()
+        got = np.asarray(out["ao"])[0, 8:]  # skip the low-lod head
+        assert got.min() >= lo - 1e-6 and got.max() <= hi + 1e-6
+
+
 class TestBlockTable:
     def test_block_matches_quad_oracle_bitexact(self, uv_planes):
         """Neighborhood-block sampling must be BIT-exact with the quad

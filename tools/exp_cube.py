@@ -97,7 +97,8 @@ def main():
             mats, None, settings,
         )
         img = out["image"]
-        return jnp.sum(img[:1, :1]).astype(jnp.float32) * 1e-30, img[:1, :1]
+        dep = (jnp.sum(img, dtype=jnp.int32) & 1).astype(jnp.float32)
+        return dep * 1e-30, img[:1, :1]
 
     timeit("full frame (scan-honest)", scan8(frame_body))
 
@@ -122,7 +123,9 @@ def main():
 
     def raster_body(carry):
         px = raster(view + carry)
-        return jnp.sum(px.depth[:1, :1]) * 1e-30, px.depth[:1, :1]
+        dep = sum(jnp.sum(leaf.astype(jnp.float32))
+                  for leaf in jax.tree_util.tree_leaves(px))
+        return dep * 1e-30, px.depth[:1, :1]
 
     timeit("geom+raster+compact", scan8(raster_body))
 
@@ -132,8 +135,8 @@ def main():
 
     def sample_body(carry):
         out = tq.sample_material_mips_multi(mats, mid, u + carry, v, 8, 128)
-        leaf = out["alb_r"]
-        return jnp.sum(leaf[:1, :1]) * 1e-30, leaf[:1, :1]
+        dep = sum(jnp.sum(p) for p in out.values())
+        return dep * 1e-30, out["alb_r"][:1, :1]
 
     timeit("trilinear multi sample (all slots)", scan8(sample_body))
 
@@ -156,7 +159,7 @@ def main():
     # LOD plane math alone
     def lod_body(carry):
         l = tq.quad_lod_planar(u + carry, v, 8, 128, 2048, 2048)
-        return jnp.sum(l[:1, :1]) * 1e-30, l[:1, :1]
+        return jnp.sum(l) * 1e-30, l[:1, :1]
 
     timeit("quad_lod_planar", scan8(lod_body))
 

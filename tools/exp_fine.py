@@ -117,7 +117,15 @@ def main():
             px, zkey, diag = fused.raster_fused_pallas(
                 rec * (1.0 + carry), setup, WIDTH, HEIGHT,
                 fine_bins=fine, **kw)
-            dep = dep_f(px.uv[0]) + dep_f(zkey.astype(jnp.float32))
+            # Carry depends on EVERY output leaf (px fields + zkey +
+            # diag): a uv-only carry lets XLA DCE the transpose/scatter
+            # chains of the other emitted planes — CLAUDE.md rule 8.
+            dep = dep_f(zkey.astype(jnp.float32)) + sum(
+                dep_f(leaf) for leaf in jax.tree_util.tree_leaves(px)
+            ) + sum(
+                dep_f(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(diag)
+            )
             return dep.astype(jnp.float32), (zkey[:1, :1], diag)
 
         out = timeit(name, scan8(body))
