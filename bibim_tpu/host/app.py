@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-gizmo", action="store_true")
     p.add_argument("--no-lights", action="store_true")
     p.add_argument("--no-srgb", action="store_true")
+    p.add_argument("--aniso", type=int, default=1, metavar="N",
+                   help="N-tap in-level-0 anisotropic sampling (the "
+                   "reference sampler's maxAnisotropy analog; 1 = plain "
+                   "bilinear parity)")
     p.add_argument("--shadows", action="store_true",
                    help="shadow-map the first light (stretch capability)")
     p.add_argument("--ibl", action="store_true",
@@ -197,6 +201,7 @@ def main(argv=None) -> int:
         show_tbn=args.tbn,
         show_hud=args.hud,
         srgb_output=not args.no_srgb,
+        aniso_taps=args.aniso,
         enable_shadows=args.shadows,
         shadow_fit_batches=(getattr(scene, "shadow_fit_batches", None)
                             if args.shadows else None),

@@ -745,24 +745,27 @@ def build_mip_quad_tables(mip_maps: dict) -> tuple:
     return tuple(tables)
 
 
+def _quad_diffs_planar(x, tile_h: int, tile_w: int):
+    """2×2 pixel-quad screen-space differences of one tiled-planar
+    (NT, NPX) plane — the GPU derivative model (quad-constant; tiles
+    start on even pixel coordinates, so the 2×2 quads coincide with
+    image-space quads). Returns (d/dx, d/dy) planes."""
+    nt, npx = x.shape
+    a = x.reshape(nt, tile_h // 2, 2, tile_w // 2, 2)
+    dx = a[..., 1:2] - a[..., 0:1]  # (nt, th/2, 2, tw/2, 1)
+    dx = jnp.broadcast_to(dx, a.shape).reshape(nt, npx)
+    dy = a[:, :, 1:2] - a[:, :, 0:1]  # (nt, th/2, 1, tw/2, 2)
+    dy = jnp.broadcast_to(dy, a.shape).reshape(nt, npx)
+    return dx, dy
+
+
 def quad_lod_planar(u, v, tile_h: int, tile_w: int, tex_h: int,
                     tex_w: int):
     """Per-pixel LOD from 2×2 pixel-quad uv differences on tiled-planar
-    (NT, NPX) arrays — the GPU derivative model (quad-constant), matching
-    ops.texture.quad_uv_lod's image-space formulation (tiles start on even
-    pixel coordinates, so the 2×2 quads coincide)."""
-    nt, npx = u.shape
-
-    def quad_diffs(x):
-        a = x.reshape(nt, tile_h // 2, 2, tile_w // 2, 2)
-        dx = a[..., 1:2] - a[..., 0:1]  # (nt, th/2, 2, tw/2, 1)
-        dx = jnp.broadcast_to(dx, a.shape).reshape(nt, npx)
-        dy = a[:, :, 1:2] - a[:, :, 0:1]  # (nt, th/2, 1, tw/2, 2)
-        dy = jnp.broadcast_to(dy, a.shape).reshape(nt, npx)
-        return dx, dy
-
-    du_dx, du_dy = quad_diffs(u)
-    dv_dx, dv_dy = quad_diffs(v)
+    (NT, NPX) arrays, matching ops.texture.quad_uv_lod's image-space
+    formulation."""
+    du_dx, du_dy = _quad_diffs_planar(u, tile_h, tile_w)
+    dv_dx, dv_dy = _quad_diffs_planar(v, tile_h, tile_w)
     w = jnp.float32(tex_w)
     h = jnp.float32(tex_h)
     rho_x = jnp.sqrt((du_dx * w) ** 2 + (dv_dx * h) ** 2)
@@ -770,6 +773,25 @@ def quad_lod_planar(u, v, tile_h: int, tile_w: int, tex_h: int,
     rho = jnp.maximum(rho_x, rho_y)
     lod = jnp.log2(jnp.maximum(rho, 1e-12))
     return jnp.maximum(lod, 0.0)
+
+
+def aniso_uv_steps(u, v, tile_h: int, tile_w: int):
+    """Per-pixel MAJOR-axis uv footprint vector from the quad
+    derivatives: the longer of the pixel's two screen-axis uv deltas.
+    N-tap in-level-0 anisotropic sampling (the opt-in approximation of
+    the reference's maxAnisotropy=16 sampler state, render.cpp:1355-1358)
+    averages bilinear taps at uv + t·(du, dv), t = (i+½)/N − ½ — one
+    footprint-spanning line of taps along the axis minification elongates.
+    uv-space (not texel-space) lengths pick the axis, which agrees with
+    texel-space whenever a material's maps share their aspect (the PBR
+    sets do); exactness is not required — the filter itself is
+    implementation-defined in Vulkan."""
+    du_dx, du_dy = _quad_diffs_planar(u, tile_h, tile_w)
+    dv_dx, dv_dy = _quad_diffs_planar(v, tile_h, tile_w)
+    pick_x = (du_dx * du_dx + dv_dx * dv_dx
+              >= du_dy * du_dy + dv_dy * dv_dy)
+    return (jnp.where(pick_x, du_dx, du_dy),
+            jnp.where(pick_x, dv_dx, dv_dy))
 
 
 

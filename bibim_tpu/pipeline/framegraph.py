@@ -236,6 +236,13 @@ class RenderSettings:
     shadow_fit_batches: tuple | None = None
     enable_ibl: bool = False  # split-sum IBL ambient (pass ibl= to
     # render_frame; replaces the constant 0.03·albedo·ao term)
+    # Opt-in N-tap in-level-0 anisotropic sampling: average N bilinear
+    # taps along the pixel's major UV-gradient axis (approximates the
+    # reference sampler's maxAnisotropy=16, render.cpp:1355-1358 — see
+    # README "known deviations"). 1 = plain bilinear (bit-exact parity).
+    # Costs N× the sampling gathers and bypasses the fused sampled-shade
+    # kernel, so it is a quality knob, not a production default.
+    aniso_taps: int = 1
 
     @property
     def tiles_x(self) -> int:
@@ -397,6 +404,27 @@ def _sample_materials(materials, px: fused.FusedPixels,
     """Material routing: single binding, or per-pixel select over a tuple of
     bindings by the winning triangle's batch material id (the per-draw
     material descriptor binding analog, scene.cpp:198-200)."""
+    if settings.aniso_taps > 1:
+        # N-tap in-level-0 anisotropic filtering (see RenderSettings):
+        # every sampled slot averages over taps spanning the pixel's
+        # major-axis uv footprint. Applied uniformly to all maps, as
+        # hardware sampler state would be.
+        import dataclasses
+
+        n = settings.aniso_taps
+        u, v = px.uv
+        du, dv = tq.aniso_uv_steps(u, v, settings.tile_h, settings.tile_w)
+        s1 = dataclasses.replace(settings, aniso_taps=1)
+        acc = None
+        for i in range(n):
+            t = (i + 0.5) / n - 0.5
+            tap = _sample_materials(
+                materials, px._replace(uv=(u + t * du, v + t * dv)), s1
+            )
+            acc = tap if acc is None else {
+                k: acc[k] + tap[k] for k in acc
+            }
+        return {k: acc[k] * (1.0 / n) for k in acc}
     if isinstance(materials, (tuple, list)) and materials \
             and isinstance(materials[0], (tq.MipQuadMulti,
                                           tq.MipBlockMulti)):
@@ -628,6 +656,7 @@ def _forward_hdr(px, materials, lights, view_block, settings,
     the single-pass Pallas kernel (production TPU path)."""
     valid = px.tri_id >= 0
     if (fused_shade and _is_quad_tuple(materials)
+            and settings.aniso_taps == 1
             and not (settings.enable_ibl and ibl is not None)):
         # Sampling + normal map + lighting in ONE Pallas pass (no
         # G-buffer, no quantize — forward_brdf.frag shades raw samples).
@@ -1256,7 +1285,8 @@ def render_frame(
 
         if (settings.gbuffer_viz == GBufferViz.RENDERED_SCENE
                 and _use_pallas(settings) and settings.outputs != "full"
-                and not settings.enable_ibl and _is_quad_tuple(materials)):
+                and not settings.enable_ibl and _is_quad_tuple(materials)
+                and settings.aniso_taps == 1):
             # Production TPU path: sampling + normal map + fp16 G-buffer
             # + lighting fused into ONE Pallas pass; only the hdr→fp16
             # round trip + tonemap remain as a small XLA elementwise tail
