@@ -57,6 +57,15 @@ NSUB_FINE = 8  # fine-bin subtiles per coarse tile (raster_fused_pallas
 # fine_bins): tile_w/8 = 16-px-wide bins, tile_h tall — one VPU row
 # (128 px) of pixels per subtile.
 GROUP_VMEM_LIMIT = None  # scoped-VMEM override for big groups (bytes)
+# Merged coverage schedule (raster_fused_pallas merged_coverage=True):
+# ONE fori_loop per grid step at the group's max chunk count (dead
+# chunks masked by _chunk_test's `live` — bit-identical results)
+# instead of `group` dynamic fori_loops, plus chunk-class-sorted
+# compact slots so each group's max ≈ its mean. Measured
+# (tools/exp_merged.py): config 4 (x64, 5 passes, fat windows)
+# 7.24 → 6.87 ms raster stage; the single-pass thin-tile headline
+# REGRESSES (3.73 → 4.26) — autotune enables it only for multi-pass
+# configs.
 # Record rows are 128 f32 wide: Mosaic DMA slices must be lane-aligned
 # (128), and the MXU pads the resolve matmul's M dim to 128 regardless.
 REC_CH = 128
@@ -561,6 +570,7 @@ def _fused_kernel(
     maxc: int,
     skip_empty: bool,
     group: int,
+    merged: bool = False,
     out_fields: tuple = _OUT_FIELDS,
 ):
     zkey_out = refs[0]
@@ -597,36 +607,72 @@ def _fused_kernel(
     pix = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
     chunk_idx = lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
 
+    # Per-tile addressing + carries. The coverage scan runs over
+    # [oc − ceil8(nb), oc + cnt): a dynamic fori_loop costs µs-scale
+    # fixed overhead, and the split overflow/candidate formulation paid
+    # it twice per tile. The driver tail-aligns the overflow records
+    # inside the oc prefix (live rows end exactly at row oc), so the
+    # merged scan touches only ceil8(nb) overflow chunks then the
+    # candidates, contiguously. The ≤7 alignment rows below nb and any
+    # rows past cnt are zero records (wn > 0 fails — can never cover);
+    # candidate indices are scratch rows in both segments, rows per
+    # chunk stay 8-aligned, and overflow still tests first, so
+    # keys/tie-breaks are bit-identical to the split loops. Extra
+    # dense passes (nb == 0) start at oc and pay nothing.
+    nb_al = lax.div(nb + (CHUNK - 1), CHUNK) * CHUNK
+    base = oc - nb_al
+    cnts, pxs, pys, carries = [], [], [], []
     for j in range(group):
-        scratch = slabs.at[slot, j]
         cnt = counts_ref[i * group + j]
         tid = ids_ref[i * group + j]
         row = tid // tiles_x
         col = lax.rem(tid, tiles_x)
-        px = (pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5
-        py = (pix // tile_w + row * tile_h).astype(jnp.float32) + 0.5
-
+        pxs.append((pix % tile_w + col * tile_w).astype(jnp.float32) + 0.5)
+        pys.append((pix // tile_w + row * tile_h).astype(jnp.float32)
+                   + 0.5)
+        cnts.append(nb_al + cnt)
         # The driver always materializes an init plane (zeros = clear).
         init_key = init_ref[j].reshape(1, npx) & _LOW3
-        carry = (init_key, jnp.full((1, npx), -1, jnp.int32))
-        tile_dma(i, j, slot).wait()
-        # ONE merged fori_loop over [oc − ceil8(nb), oc + cnt): a dynamic
-        # fori_loop costs µs-scale fixed overhead, and the split
-        # overflow/candidate formulation paid it twice per tile. The
-        # driver tail-aligns the overflow records inside the oc prefix
-        # (live rows end exactly at row oc), so the merged scan touches
-        # only ceil8(nb) overflow chunks then the candidates,
-        # contiguously. The ≤7 alignment rows below nb and any rows past
-        # cnt are zero records (wn > 0 fails — can never cover);
-        # candidate indices are scratch rows in both segments, rows per
-        # chunk stay 8-aligned, and overflow still tests first, so
-        # keys/tie-breaks are bit-identical to the split loops. Extra
-        # dense passes (nb == 0) start at oc and pay nothing.
-        nb_al = lax.div(nb + (CHUNK - 1), CHUNK) * CHUNK
-        base = oc - nb_al
-        best_key, best_cand = _coverage_loop(
-            scratch, px, py, chunk_idx, base, nb_al + cnt, carry
+        carries.append((init_key, jnp.full((1, npx), -1, jnp.int32)))
+
+    if merged and group > 1:
+        # ONE fori_loop for the whole group: iteration c tests chunk c
+        # of every tile (chunks past a tile's count are dead via
+        # _chunk_test's `live` mask — same keys, same tie-breaks, so
+        # results stay bit-identical to the per-tile loops). Saves
+        # (group − 1) dynamic-loop setups per step; the dead-chunk work
+        # it adds is bounded by the group's count spread, which the
+        # driver's chunk-class slot sort keeps small.
+        for j in range(group):
+            tile_dma(i, j, slot).wait()
+        cmax = cnts[0]
+        for c in cnts[1:]:
+            cmax = jnp.maximum(cmax, c)
+
+        def gbody(c, carry):
+            k = c * CHUNK
+            out = []
+            for j in range(group):
+                blk = slabs[slot, j, pl.ds(base + k, CHUNK), :]
+                out.append(_chunk_test(blk, pxs[j], pys[j], chunk_idx,
+                                       k, base, cnts[j], carry[j]))
+            return tuple(out)
+
+        carries = lax.fori_loop(
+            0, lax.div(cmax + (CHUNK - 1), CHUNK), gbody,
+            tuple(carries), unroll=False,
         )
+
+    for j in range(group):
+        scratch = slabs.at[slot, j]
+        px, py = pxs[j], pys[j]
+        if merged and group > 1:
+            best_key, best_cand = carries[j]
+        else:
+            tile_dma(i, j, slot).wait()
+            best_key, best_cand = _coverage_loop(
+                scratch, px, py, chunk_idx, base, cnts[j], carries[j]
+            )
 
         zkey_out[j] = best_key.reshape(tile_h, tile_w)
 
@@ -1116,6 +1162,12 @@ def raster_fused_pallas(
     # ~8x less dead coverage math when most triangles are subtile-sized
     # (dense instancing). Extra passes and the overflow list are
     # unchanged; mutually exclusive with group_pair_cap (fine wins).
+    merged_coverage: bool = False,  # ONE coverage fori_loop per tile
+    # group (trip count = group max; dead chunks masked — bit-identical)
+    # + chunk-class-sorted compact slots. Wins on multi-pass fat-window
+    # configs (x64: −0.37 ms), loses on the single-pass thin-tile
+    # headline — autotune derives it from raster_passes
+    # (tools/exp_merged.py).
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -1251,6 +1303,7 @@ def raster_fused_pallas(
             maxc=maxc,
             skip_empty=skip_empty,
             group=group,
+            merged=merged_coverage,
             out_fields=out_fields,
         )
         plane_spec = pl.BlockSpec((group, tile_h, tile_w),
@@ -1406,6 +1459,24 @@ def raster_fused_pallas(
             # live tile.
             n_live = jnp.minimum(jnp.sum(live0, dtype=jnp.int32), k)
             slot_live = jnp.arange(k, dtype=jnp.int32) < n_live
+            if merged_coverage and not use_gw and not fine_bins:
+                # Count-homogeneous kernel groups (merged coverage):
+                # slot order is free — outputs scatter back by tile id —
+                # so order live slots by descending CHUNK count (the
+                # merged loop's actual trip unit; dead slots sink with
+                # key 1). Sorting on BOTH keys keeps tile ids ascending
+                # within a chunk class: same trip counts, but the
+                # zkey/field gathers and scatters stay run-coherent
+                # (a 1-key sort's arbitrary tie order cost ~1 ms on
+                # config 4 — tools/exp_merged.py).
+                ckey = jnp.where(
+                    slot_live,
+                    -lax.div(jnp.minimum(counts[ids], maxc)
+                             + (CHUNK - 1), CHUNK),
+                    jnp.int32(1),
+                )
+                _, ids = lax.sort((ckey, ids), num_keys=2,
+                                  is_stable=False)
             scatter_ids = jnp.where(slot_live, ids, nt)
             starts_p = starts[ids]
             counts_p = jnp.where(slot_live, jnp.minimum(counts[ids], maxc),
@@ -1428,6 +1499,16 @@ def raster_fused_pallas(
             dropped_dense = dropped_dense + dropped_p
             n_live_p = jnp.minimum(jnp.sum(live, dtype=jnp.int32), k)
             slot_live_p = jnp.arange(k, dtype=jnp.int32) < n_live_p
+            if merged_coverage and not fine_bins:
+                # Same chunk-class ordering as pass 0 (see above).
+                ckey = jnp.where(
+                    slot_live_p,
+                    -lax.div(jnp.clip(counts[ids] - p * maxc, 0, maxc)
+                             + (CHUNK - 1), CHUNK),
+                    jnp.int32(1),
+                )
+                _, ids = lax.sort((ckey, ids), num_keys=2,
+                                  is_stable=False)
             starts_p = starts[ids] + p * maxc
             counts_p = jnp.where(
                 slot_live_p, jnp.clip(counts[ids] - p * maxc, 0, maxc), 0

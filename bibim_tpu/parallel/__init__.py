@@ -8,6 +8,9 @@ collectives at all**; only the final image gather crosses chips (over ICI).
 """
 
 from bibim_tpu.parallel.mesh import make_device_mesh
-from bibim_tpu.parallel.tile_shard import render_frame_sharded
+from bibim_tpu.parallel.tile_shard import (
+    ShardedRenderer,
+    render_frame_sharded,
+)
 
-__all__ = ["make_device_mesh", "render_frame_sharded"]
+__all__ = ["ShardedRenderer", "make_device_mesh", "render_frame_sharded"]

