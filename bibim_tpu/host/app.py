@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "off-screen casters still shadow the view)")
     p.add_argument("--max-candidates", type=int, default=None,
                    help="per-tile raster capacity override")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="live viewer: serve an MJPEG stream + browser "
+                        "event capture on http://localhost:PORT/ (the "
+                        "reference's window + present loop, "
+                        "main.cpp:192-196, 1367-1380)")
     p.add_argument("--events", default=None,
                    help="JSON event script: run an interactive session "
                         "replay (see host/session.py) instead of the "
@@ -164,7 +169,7 @@ def main(argv=None) -> int:
         save_material_previews(create_pbr_material_set(),
                                args.material_previews)
         return 0
-    if args.events:
+    if args.events or args.serve is not None:
         from bibim_tpu.host.gui import UiState
         from bibim_tpu.host.session import Session
 
@@ -176,6 +181,12 @@ def main(argv=None) -> int:
         if args.material is not None:
             ui.selected_material = args.material
         session = Session(width=width, height=height, ui=ui)
+        if args.serve is not None:
+            from bibim_tpu.host.serve import ViewerServer
+
+            ViewerServer(session, host="0.0.0.0",
+                         port=args.serve).start().serve_until_interrupt()
+            return 0
         written = 0
         for img in session.run_script(args.events, args.frames):
             path = (args.out if args.frames == 1

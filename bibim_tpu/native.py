@@ -51,6 +51,16 @@ def _load_lib():
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ]
                 lib.bibim_write_png.restype = ctypes.c_int
+            if hasattr(lib, "bibim_encode_jpeg"):
+                lib.bibim_encode_jpeg.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ]
+                lib.bibim_encode_jpeg.restype = ctypes.c_int
+                lib.bibim_free_buffer.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8)
+                ]
             return lib
     raise ImportError("libbibim_native.so not built (run `make -C native`)")
 
@@ -103,3 +113,24 @@ def write_png(path: str, image: np.ndarray, compress_level: int = 1) -> bool:
     ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     return bool(_lib.bibim_write_png(path.encode(), ptr, w, h, c,
                                      compress_level))
+
+
+def encode_jpeg(image: np.ndarray, quality: int = 85) -> bytes | None:
+    """Encode an (H, W, 3|4) uint8 array to in-memory JPEG bytes via the
+    native encoder (the live-viewer present path — host/serve.py streams
+    these as MJPEG). Returns None if the library lacks the encoder
+    (rebuild native/) or on encode failure."""
+    if not hasattr(_lib, "bibim_encode_jpeg"):
+        return None
+    arr = np.ascontiguousarray(image)
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"need (H, W, 3|4) uint8, got {arr.shape} {arr.dtype}")
+    h, w, c = arr.shape
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _lib.bibim_encode_jpeg(ptr, w, h, c, quality, ctypes.byref(out))
+    if n <= 0:
+        return None
+    data = ctypes.string_at(out, n)
+    _lib.bibim_free_buffer(out)
+    return data

@@ -244,6 +244,60 @@ int bibim_write_png(const char* path, const uint8_t* pixels, int width,
   return 1;
 }
 
+// Encode a tightly-packed RGB8/RGBA8 buffer as an in-memory JPEG — the
+// live-viewer present path (host/serve.py streams MJPEG; the reference
+// presents via its swapchain, main.cpp:1367-1380). libjpeg writes into a
+// buffer it allocates; the caller frees it with bibim_free_buffer.
+// Returns the byte count, 0 on failure.
+int bibim_encode_jpeg(const uint8_t* pixels, int width, int height,
+                      int channels, int quality, uint8_t** out_buf) {
+  if (channels != 3 && channels != 4) return 0;
+  jpeg_compress_struct cinfo;
+  JpegError jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  unsigned char* buf = nullptr;
+  unsigned long buf_len = 0;
+  std::vector<uint8_t> row;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(buf);
+    return 0;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  if (channels == 4) row.resize((size_t)width * 3);
+  const size_t stride = (size_t)width * channels;
+  while ((int)cinfo.next_scanline < height) {
+    const uint8_t* src = pixels + cinfo.next_scanline * stride;
+    JSAMPROW rp;
+    if (channels == 4) {
+      for (int x = 0; x < width; ++x) {
+        row[x * 3 + 0] = src[x * 4 + 0];
+        row[x * 3 + 1] = src[x * 4 + 1];
+        row[x * 3 + 2] = src[x * 4 + 2];
+      }
+      rp = row.data();
+    } else {
+      rp = const_cast<JSAMPROW>(src);
+    }
+    jpeg_write_scanlines(&cinfo, &rp, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out_buf = buf;
+  return (int)buf_len;
+}
+
+void bibim_free_buffer(uint8_t* buf) { free(buf); }
+
 const char* bibim_native_version() { return "bibim_native 0.1.0"; }
 
 }  // extern "C"
