@@ -137,35 +137,98 @@ def main():
             print(f"tiles with max texel-rate < {thresh}: {frac:6.1%}",
                   flush=True)
 
-        table = big[0]
-
-        # 1. Gather+transpose cost, full vs half slots.
-        def gather_at(name, step):
-            def body(carry):
-                prep = tq.block_prep(table, u[:, ::step] + carry,
-                                     v[:, ::step])
-                return dep_f(prep["qt"].astype(jnp.float32)), (
-                    prep["qt"][:1, :1, :1],)
-
-            timeit(name, scan8(body))
-
-        gather_at("block gather+transpose FULL", 1)
-        gather_at("block gather+transpose HALF (even x)", 2)
+        # (A gather+transpose-only probe was tried here and removed: its
+        # dep_f reduction over the 109 MB qt intermediate — which
+        # production consumes in-kernel instead — dominated the timing.)
 
     # 3. End-to-end sampled-shade stage both rates (sample only; the
     # fused kernel path is measured by bench stages).
+    # Rate-reduced streams keep the standard (8, 128) tile shape (the
+    # Pallas kernels hard-require it): every ``step``-th pixel, folded
+    # back into full 1024-px tiles — same row count / coherence class
+    # as an in-kernel even-x scheme, so the gather cost is the ceiling.
+    def decim(step):
+        nl2 = nl // step
+        return (u[:, ::step].reshape(nl2, npx),
+                v[:, ::step].reshape(nl2, npx))
+
     def sample_at(name, step):
+        ud, vd = decim(step)
+
         def body(carry):
             out = tq.sample_material(
-                mats, u[:, ::step] + carry, v[:, ::step],
-                s.tile_h, s.tile_w, use_pallas=True)
+                mats, ud + carry, vd, s.tile_h, s.tile_w, use_pallas=True)
             dep = sum(dep_f(p) for p in out.values())
             return dep, (out["alb_r"][:1, :1],)
 
         timeit(name, scan8(body))
 
-    sample_at("sample_material FULL", 1)
-    sample_at("sample_material HALF", 2)
+    # Row decimation (scanline interlace): drops every other TILE ROW
+    # instead of every other pixel — the gather stream keeps full
+    # x-adjacency, which 128 B-row gathers are sensitive to
+    # (docs/PERFORMANCE.md coherence cliff).
+    def decim_rows(step):
+        nl2 = nl // step
+        return (
+            u.reshape(nl, s.tile_h, s.tile_w)[:, ::step, :]
+            .reshape(nl2, npx),
+            v.reshape(nl, s.tile_h, s.tile_w)[:, ::step, :]
+            .reshape(nl2, npx),
+        )
+
+    def sample_rows_at(name, step):
+        ud, vd = decim_rows(step)
+
+        def body(carry):
+            out = tq.sample_material(
+                mats, ud + carry, vd, s.tile_h, s.tile_w, use_pallas=True)
+            dep = sum(dep_f(p) for p in out.values())
+            return dep, (out["alb_r"][:1, :1],)
+
+        timeit(name, scan8(body))
+
+    # Truncation control: HALF the tiles at FULL adjacency — separates
+    # the query-count lever from any stream-adjacency sensitivity.
+    def sample_trunc(name, frac):
+        nt = int(nl * frac)
+        ut, vt = u[:nt], v[:nt]
+
+        def body(carry):
+            out = tq.sample_material(
+                mats, ut + carry, vt, s.tile_h, s.tile_w, use_pallas=True)
+            dep = sum(dep_f(p) for p in out.values())
+            return dep, (out["alb_r"][:1, :1],)
+
+        timeit(name, scan8(body))
+
+    for rep in (1, 2):
+        print(f"-- pass {rep}", flush=True)
+        sample_at("sample_material FULL", 1)
+        sample_trunc("sample_material TRUNC 1/2 (control)", 0.5)
+        sample_trunc("sample_material TRUNC 1/4 (control)", 0.25)
+        sample_at("sample_material HALF (cols)", 2)
+        sample_at("sample_material QUARTER (cols)", 4)
+        sample_rows_at("sample_material HALF (rows)", 2)
+        sample_rows_at("sample_material QUARTER (rows)", 4)
+
+    # Reconstruct cost model: sample even-x, average neighbors for odd-x
+    # entirely in XLA (the in-kernel version would be cheaper still).
+    ud2, vd2 = decim(2)
+
+    def recon_body(carry):
+        out = tq.sample_material(
+            mats, ud2 + carry, vd2, s.tile_h, s.tile_w, use_pallas=True)
+        full = {}
+        for kname, p in out.items():
+            left = p.reshape(nl // 2 * 2, npx // 2)
+            right = jnp.concatenate([left[:, 1:], left[:, -1:]], axis=1)
+            mid = 0.5 * (left + right)
+            full[kname] = jnp.stack([left, mid], axis=-1).reshape(nl, npx)
+        dep = sum(dep_f(p) for p in full.values())
+        return dep, (full["alb_r"][:1, :1],)
+
+    timeit("sample HALF + XLA interleave reconstruct", scan8(recon_body))
+    timeit("sample HALF + XLA interleave reconstruct (rep)", scan8(recon_body))
 
 
 if __name__ == "__main__":
