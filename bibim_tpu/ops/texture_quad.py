@@ -181,7 +181,8 @@ def _build_block_table(tex: np.ndarray, h: int, w: int, present: tuple,
                       present=present)
 
 
-def sample_table_block(table: BlockTable, u, v) -> dict:
+def sample_table_block(table: BlockTable, u, v, pair_rows: bool = False,
+                       valid=None, tile_w: int = 128) -> dict:
     """One block-row gather per pixel + transpose-planar bilinear blend.
 
     Bit-exact with :func:`sample_table_xla` on the quad layout: the tap
@@ -191,27 +192,42 @@ def sample_table_block(table: BlockTable, u, v) -> dict:
     pixel) so the 25-tap blend runs at full VPU width (pixel-major
     (N, C) slices use 4/128 lanes — tools/exp_block2.py measured the
     planar blend ~0.3 ms cheaper and the whole path 4.4 ms vs 5.2 for
-    the 4.19M-row quad gather)."""
+    the 4.19M-row quad gather).
+
+    ``pair_rows``: pair-rate sampling (see :func:`block_prep`) — the XLA
+    twin of the fused kernel's pair path, same prep, same blend."""
     shape = u.shape
     h, w = table.height, table.width
     b = BLOCK_B
     s = b + 1
     nbx = w // b
     cpad = _ceil4(len(table.present))
-    uf = u.reshape(-1)
-    vf = v.reshape(-1)
-    fx = uf * w - 0.5
-    fy = vf * h - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
-    x0i = jnp.remainder(x0.astype(jnp.int32), w)
-    y0i = jnp.remainder(y0.astype(jnp.int32), h)
-    q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
-    qt = q.T.astype(jnp.float32) * (1.0 / 255.0)  # (128, N) planar
-    lx = x0i % b
-    ly = y0i % b
+    if pair_rows:
+        prep = block_prep(table, u, v, pair_rows=True, valid=valid,
+                          tile_w=tile_w)
+        nt, npx = u.shape
+        rw = table.blocks.shape[1]
+        qt = (jnp.transpose(prep["qt"], (1, 0, 2)).reshape(rw, nt * npx)
+              .astype(jnp.float32) * (1.0 / 255.0))
+        lx = prep["lx"].reshape(-1)
+        ly = prep["ly"].reshape(-1)
+        tx = prep["tx"].reshape(-1)
+        ty = prep["ty"].reshape(-1)
+    else:
+        uf = u.reshape(-1)
+        vf = v.reshape(-1)
+        fx = uf * w - 0.5
+        fy = vf * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = fx - x0
+        ty = fy - y0
+        x0i = jnp.remainder(x0.astype(jnp.int32), w)
+        y0i = jnp.remainder(y0.astype(jnp.int32), h)
+        q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
+        qt = q.T.astype(jnp.float32) * (1.0 / 255.0)  # (128, N) planar
+        lx = x0i % b
+        ly = y0i % b
     one_m_tx = 1.0 - tx
     one_m_ty = 1.0 - ty
     acc = [None] * len(table.present)
@@ -303,12 +319,26 @@ def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
         out[...] = acc[c]
 
 
-def block_prep(table: BlockTable, u, v) -> dict:
+def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
+               valid=None, tile_w: int = 128) -> dict:
     """XLA-side prep for in-kernel block-table blending: the per-pixel
     block-row gather + one batched transpose to (NT, 128, NPX) (taps on
     sublanes, pixels on lanes) + the footprint planes the blend needs.
     Shared by :func:`sample_table_block_pallas` and the fused sampled-
-    shade kernel (ops/shading_pallas.shade_sampled_pallas)."""
+    shade kernel (ops/shading_pallas.shade_sampled_pallas).
+
+    ``pair_rows``: pair-rate sampling (RenderSettings.pair_sampling) —
+    ONE row gather per vertically-adjacent pixel pair instead of one per
+    pixel. The sampling stage is gather-issue-bound
+    (docs/PERFORMANCE.md), so halving the query count halves its
+    dominant term. Each pair gathers at its representative pixel's
+    footprint (the covered one, preferring the even row) and BOTH pixels
+    re-blend at their own uv in coordinates relative to the rep's
+    (B+1)² window, taps clamped to the window edge. Rep pixels stay
+    bit-exact; partners are exact whenever their footprint lies inside
+    the rep's window (|Δtexel| ≤ B-1-lx_rep) and edge-clamped otherwise
+    — an error bounded by the pair's uv step (≈ the per-pixel texel
+    rate), measured on real content in tests/test_texture_pair.py."""
     nt, npx = u.shape
     h, w = table.height, table.width
     b = BLOCK_B
@@ -324,16 +354,70 @@ def block_prep(table: BlockTable, u, v) -> dict:
     ty = fy - y0
     x0i = jnp.remainder(x0.astype(jnp.int32), w)
     y0i = jnp.remainder(y0.astype(jnp.int32), h)
-    q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
-    # One batched block transpose: taps (minor 128) ↔ pixels (npx lanes).
-    qt = jnp.transpose(q.reshape(nt, npx, 128), (0, 2, 1))
+    if not pair_rows:
+        q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
+        # One batched block transpose: taps (minor 128) ↔ pixels (lanes).
+        qt = jnp.transpose(q.reshape(nt, npx, 128), (0, 2, 1))
+        return {
+            "kind": "block",
+            "qt": qt,
+            "lx": (x0i % b).reshape(nt, npx),
+            "ly": (y0i % b).reshape(nt, npx),
+            "tx": tx.reshape(nt, npx),
+            "ty": ty.reshape(nt, npx),
+            "present": table.present,
+            "cpad": cpad,
+        }
+
+    rows = npx // tile_w
+    assert rows % 2 == 0, "pair_rows needs an even tile_h"
+    hp = rows // 2
+
+    def pairs(p):  # (nt, npx) → (nt, hp, 2, tile_w)
+        return p.reshape(nt, hp, 2, tile_w)
+
+    x0p = pairs(x0i.reshape(nt, npx))
+    y0p = pairs(y0i.reshape(nt, npx))
+    if valid is not None:
+        vp = pairs(valid.reshape(nt, npx))
+        use_even = vp[:, :, 0, :] | ~vp[:, :, 1, :]
+    else:
+        use_even = jnp.ones((nt, hp, tile_w), jnp.bool_)
+
+    def rep(p):
+        return jnp.where(use_even, p[:, :, 0, :], p[:, :, 1, :])
+
+    xr = rep(x0p)  # (nt, hp, tile_w) rep top-left tap texel
+    yr = rep(y0p)
+    rw = table.blocks.shape[1]  # lane-padded block-row width
+    q = table.blocks[((yr // b) * nbx + (xr // b)).reshape(-1)]
+    qt = jnp.transpose(q.reshape(nt, npx // 2, rw), (0, 2, 1))
+    # Expand rows to full rate: pixel row r reads its pair's row r // 2.
+    qt = jnp.repeat(
+        qt.reshape(nt, rw, hp, tile_w), 2, axis=2
+    ).reshape(nt, rw, npx)
+
+    def full(p):  # (nt, hp, tile_w) rep plane → (nt, npx) both rows
+        return jnp.repeat(p[:, :, None, :], 2, axis=2).reshape(nt, npx)
+
+    # Window-relative footprint: tap col/row of each pixel's top-left
+    # bilinear tap measured from its pair rep's block origin, wrapped
+    # (REPEAT addressing) and clamped to the (B+1)² window.
+    bx = full((xr // b) * b)
+    by = full((yr // b) * b)
+    cx = jnp.remainder(x0i.reshape(nt, npx) - bx + w // 2, w) - w // 2
+    cy = jnp.remainder(y0i.reshape(nt, npx) - by + h // 2, h) - h // 2
+    in_x = (cx >= 0) & (cx <= b - 1)
+    in_y = (cy >= 0) & (cy <= b - 1)
+    txp = tx.reshape(nt, npx)
+    typ = ty.reshape(nt, npx)
     return {
         "kind": "block",
         "qt": qt,
-        "lx": (x0i % b).reshape(nt, npx),
-        "ly": (y0i % b).reshape(nt, npx),
-        "tx": tx.reshape(nt, npx),
-        "ty": ty.reshape(nt, npx),
+        "lx": jnp.clip(cx, 0, b - 1),
+        "ly": jnp.clip(cy, 0, b - 1),
+        "tx": jnp.where(in_x, txp, jnp.where(cx < 0, 0.0, 1.0)),
+        "ty": jnp.where(in_y, typ, jnp.where(cy < 0, 0.0, 1.0)),
         "present": table.present,
         "cpad": cpad,
     }
@@ -363,7 +447,9 @@ def small_prep(table: QuadTable, u, v) -> dict:
 
 
 def sample_table_block_pallas(table: BlockTable, u, v,
-                              interpret: bool = False) -> dict:
+                              interpret: bool = False,
+                              pair_rows: bool = False, valid=None,
+                              tile_w: int = 128) -> dict:
     """Block-table sampling with the blend fused into one Pallas pass.
 
     The XLA blend (:func:`sample_table_block`) materializes each of its
@@ -377,7 +463,8 @@ def sample_table_block_pallas(table: BlockTable, u, v,
     tolerance class)."""
     nt, npx = u.shape
     cpad = _ceil4(len(table.present))
-    prep = block_prep(table, u, v)
+    prep = block_prep(table, u, v, pair_rows=pair_rows, valid=valid,
+                      tile_w=tile_w)
     qt = prep["qt"]
     x0i_b = prep["lx"].reshape(-1)
     y0i_b = prep["ly"].reshape(-1)
@@ -615,22 +702,28 @@ def sample_table_small_pallas(table: QuadTable, u, v, tile_h: int,
 
 def sample_material(tables: tuple, u, v, tile_h: int = 8, tile_w: int = 128,
                     use_pallas: bool | None = None,
-                    interpret: bool = False) -> dict:
+                    interpret: bool = False,
+                    pair_rows: bool = False, valid=None) -> dict:
     """Sample all slots of a grouped material at planar (NT, NPX) uv.
 
     Returns a dict with every SLOTS entry (missing slots default to 0,
     matching the reference's neutral-texel fallback handled upstream in
-    materials.py). Small tables use the MXU path on TPU."""
+    materials.py). Small tables use the MXU path on TPU. ``pair_rows``
+    applies pair-rate sampling to the block-table groups (see
+    :func:`block_prep`); small/quad groups always sample per pixel."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     out = {}
     for table in tables:
         if isinstance(table, BlockTable):
             if use_pallas:
-                out.update(sample_table_block_pallas(table, u, v,
-                                                     interpret=interpret))
+                out.update(sample_table_block_pallas(
+                    table, u, v, interpret=interpret,
+                    pair_rows=pair_rows, valid=valid, tile_w=tile_w))
             else:
-                out.update(sample_table_block(table, u, v))
+                out.update(sample_table_block(
+                    table, u, v, pair_rows=pair_rows, valid=valid,
+                    tile_w=tile_w))
             continue
         rows = table.height * table.width
         if use_pallas and rows <= SMALL_ROWS:

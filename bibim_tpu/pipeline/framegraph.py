@@ -250,6 +250,17 @@ class RenderSettings:
     # Costs N× the sampling gathers and bypasses the fused sampled-shade
     # kernel, so it is a quality knob, not a production default.
     aniso_taps: int = 1
+    # Pair-rate block-table sampling: ONE texture-row gather per
+    # vertically-adjacent pixel pair on the big-map fast path, both
+    # pixels re-blended at their own uv inside the pair rep's gathered
+    # (B+1)² texel window (taps edge-clamped when outside — see
+    # ops/texture_quad.block_prep). The sampling stage is
+    # gather-issue-bound, so this halves its dominant term. Rep pixels
+    # (the covered one of each pair, preferring the even row) stay
+    # bit-exact; partners are exact at texel rates ≲ B-1 and
+    # edge-clamped past that. False = one gather per pixel (bit-exact
+    # parity; goldens and oracle tests pin this path).
+    pair_sampling: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -366,6 +377,7 @@ def _sample_one_material(mats, px: fused.FusedPixels,
         return tq.sample_material(
             mats, u, v, settings.tile_h, settings.tile_w,
             use_pallas=_use_pallas(settings),
+            pair_rows=settings.pair_sampling, valid=px.tri_id >= 0,
         )
     if isinstance(mats, tuple) and mats             and isinstance(mats[0], tq.MipQuadTable):
         return tq.sample_material_mips(
@@ -530,7 +542,9 @@ def _sampled_hdr(px, materials, lights, view_block,
             continue
         rows_pad = max(8, -(-t.height * t.width // 8) * 8)
         if isinstance(t, tq.BlockTable):
-            groups.append(tq.block_prep(t, u, v))
+            groups.append(tq.block_prep(
+                t, u, v, pair_rows=settings.pair_sampling,
+                valid=px.tri_id >= 0, tile_w=settings.tile_w))
         elif (isinstance(t, tq.QuadTable) and t.quads.dtype == jnp.uint8
               and rows_pad <= SAMPLED_SMALL_ROWS):
             groups.append(tq.small_prep(t, u, v))

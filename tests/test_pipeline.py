@@ -178,6 +178,59 @@ class TestRenderFrame:
         np.testing.assert_array_equal(np.asarray(full["image"]),
                                       np.asarray(compact["image"]))
 
+    def test_pair_sampling_frame(self):
+        """pair_sampling renders within the pair error model: constant
+        block-table maps make the clamp a no-op, so the frame must be
+        IDENTICAL; a textured map must differ only inside covered tiles.
+        Off by default: pair_sampling=False equals the baseline path."""
+        import dataclasses
+
+        from bibim_tpu.ops import texture_quad as tq
+
+        def flat(val):
+            return np.full((64, 64, 1), val, np.uint8)
+
+        const_maps = {
+            "alb_r": flat(180), "alb_g": flat(90), "alb_b": flat(60),
+            "nrm_x": flat(128), "nrm_y": flat(128), "nrm_z": flat(255),
+            "metallic": flat(10), "roughness": flat(100), "ao": flat(255),
+            "height": flat(0),
+        }
+        mats = tq.build_quad_tables(const_maps, block_threshold=1024)
+        assert any(isinstance(t, tq.BlockTable) for t in mats)
+        scene = _sphere_scene()
+        s = RenderSettings(width=W, height=H, outputs="image", **SMALL)
+        full = render_frame(scene, _view(), _fp(1), mats, None, s)
+        pair = render_frame(
+            scene, _view(), _fp(1), mats, None,
+            dataclasses.replace(s, pair_sampling=True),
+        )
+        np.testing.assert_array_equal(np.asarray(full["image"]),
+                                      np.asarray(pair["image"]))
+
+        rng = np.random.default_rng(4)
+        tex_maps = dict(const_maps)
+        tex_maps["roughness"] = rng.integers(
+            0, 256, (64, 64, 1), np.uint8)
+        mats_t = tq.build_quad_tables(tex_maps, block_threshold=1024)
+        full_t = np.asarray(render_frame(
+            scene, _view(), _fp(1), mats_t, None, s)["image"])
+        pair_t = np.asarray(render_frame(
+            scene, _view(), _fp(1), mats_t, None,
+            dataclasses.replace(s, pair_sampling=True))["image"])
+        diff = np.any(full_t != pair_t, axis=-1)
+        miss = ~np.any(full_t != np.asarray(render_frame(
+            scene, _view(), _fp(0, 0.0), mats_t, None,
+            dataclasses.replace(s, show_lights=False, show_gizmo=False),
+        )["image"] * 0), axis=-1)
+        # differences exist (the map is noise at minification) but only
+        # where geometry covers pixels
+        cover = np.asarray(render_frame(
+            scene, _view(), _fp(1), mats_t, None,
+            dataclasses.replace(s, outputs="full"))["depth"]) != 0
+        assert diff.sum() > 0
+        assert not np.any(diff & ~cover)
+
     def test_random_cameras_render_finite(self):
         """Random poses (including inside-geometry / near-plane-straddling
         views) must render finite images with zero capacity drops."""

@@ -376,3 +376,110 @@ class TestBlockTable:
             np.asarray(out["roughness"]).ravel()[:8],
             np.asarray(want)[0, :, 0], atol=1e-6,
         )
+
+
+class TestPairSampling:
+    """Pair-rate block sampling (RenderSettings.pair_sampling): one row
+    gather per vertically-adjacent pixel pair, both pixels re-blended in
+    the rep's window (ops/texture_quad.block_prep pair_rows)."""
+
+    def _table(self):
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (64, 64, 1), np.uint8)
+        (tab,) = tq.build_quad_tables({"metallic": img},
+                                      block_threshold=1024)
+        assert isinstance(tab, tq.BlockTable)
+        return tab
+
+    def _uv(self, rho, nt=3, tile_w=128, h=64, w=64):
+        rng = np.random.default_rng(9)
+        x = (np.arange(tile_w)[None, None, :]
+             + rng.uniform(0, 0.2, (nt, 8, tile_w)))
+        y = (np.arange(8)[None, :, None]
+             + rng.uniform(0, 0.2, (nt, 8, tile_w))
+             + 10 * np.arange(nt)[:, None, None])
+        u = ((x * rho / w) % 1.0).reshape(nt, -1).astype(np.float32)
+        v = ((y * rho / h) % 1.0).reshape(nt, -1).astype(np.float32)
+        return jnp.asarray(u), jnp.asarray(v)
+
+    def test_rep_rows_bitexact_and_partners_bounded(self):
+        tab = self._table()
+        u, v = self._uv(rho=1.5)
+        nt, npx = u.shape
+        ones = jnp.ones((nt, npx), bool)
+        full = tq.sample_table_block_pallas(tab, u, v, interpret=True)
+        pair = tq.sample_table_block_pallas(
+            tab, u, v, interpret=True, pair_rows=True, valid=ones)
+        f = np.asarray(full["metallic"]).reshape(nt, 8, 128)
+        p = np.asarray(pair["metallic"]).reshape(nt, 8, 128)
+        np.testing.assert_array_equal(f[:, ::2], p[:, ::2])
+        # Partner rows: every blended value stays inside the value hull
+        # of the rep window's texels — the clamp can never extrapolate.
+        assert np.all(p[:, 1::2] >= 0.0) and np.all(p[:, 1::2] <= 1.0)
+        # At 1.5 texels/px a solid fraction of partner footprints still
+        # land inside the rep window and must be EXACT.
+        exact = (f[:, 1::2] == p[:, 1::2]).mean()
+        assert exact > 0.3, exact
+
+    def test_partners_exact_under_magnification(self):
+        tab = self._table()
+        u, v = self._uv(rho=0.4)
+        nt, npx = u.shape
+        ones = jnp.ones((nt, npx), bool)
+        full = tq.sample_table_block_pallas(tab, u, v, interpret=True)
+        pair = tq.sample_table_block_pallas(
+            tab, u, v, interpret=True, pair_rows=True, valid=ones)
+        np.testing.assert_array_equal(np.asarray(full["metallic"]),
+                                      np.asarray(pair["metallic"]))
+
+    def test_covered_partner_becomes_rep(self):
+        """When the even row is uncovered, the pair gathers at the ODD
+        row's footprint, which is then bit-exact (silhouette rule)."""
+        tab = self._table()
+        u, v = self._uv(rho=1.5)
+        nt, npx = u.shape
+        val = np.zeros((nt, 8, 128), bool)
+        val[:, 1::2] = True
+        full = tq.sample_table_block_pallas(tab, u, v, interpret=True)
+        pair = tq.sample_table_block_pallas(
+            tab, u, v, interpret=True, pair_rows=True,
+            valid=jnp.asarray(val.reshape(nt, npx)))
+        f = np.asarray(full["metallic"]).reshape(nt, 8, 128)
+        p = np.asarray(pair["metallic"]).reshape(nt, 8, 128)
+        np.testing.assert_array_equal(f[:, 1::2], p[:, 1::2])
+
+    def test_off_is_default_identity(self):
+        """pair_rows=False must leave the original prep untouched."""
+        tab = self._table()
+        u, v = self._uv(rho=1.5)
+        a = tq.block_prep(tab, u, v)
+        b = tq.block_prep(tab, u, v, pair_rows=False)
+        for k in ("qt", "lx", "ly", "tx", "ty"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+
+    def test_xla_twin_matches_pallas_pair(self):
+        """sample_table_block(pair_rows) is the XLA oracle of the fused
+        kernel's pair path: identical prep, ≤1-ulp blend difference."""
+        tab = self._table()
+        u, v = self._uv(rho=1.7)
+        nt, npx = u.shape
+        rng = np.random.default_rng(3)
+        val = jnp.asarray(rng.random((nt, npx)) > 0.2)
+        a = tq.sample_table_block(tab, u, v, pair_rows=True, valid=val)
+        b = tq.sample_table_block_pallas(tab, u, v, interpret=True,
+                                         pair_rows=True, valid=val)
+        np.testing.assert_allclose(np.asarray(a["metallic"]),
+                                   np.asarray(b["metallic"]),
+                                   rtol=3e-7, atol=3e-7)
+
+    def test_sample_material_threads_pair(self):
+        tab = self._table()
+        u, v = self._uv(rho=0.4)
+        nt, npx = u.shape
+        ones = jnp.ones((nt, npx), bool)
+        full = tq.sample_material((tab,), u, v, use_pallas=False)
+        pair = tq.sample_material((tab,), u, v, use_pallas=False,
+                                  pair_rows=True, valid=ones)
+        np.testing.assert_array_equal(np.asarray(full["metallic"]),
+                                      np.asarray(pair["metallic"]))
