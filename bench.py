@@ -199,7 +199,7 @@ def bench_shaderball(report: dict) -> float:
     report.setdefault("configs_loop", {})["shaderball_pbr_1080p"] = round(
         _time(step), 2)
 
-    def frame_body(carry):
+    def frame_body(carry, s=None):
         # Hoist-proof by construction (VERDICT r2 item 2): the carry
         # perturbs the VIEW MATRIX, so every stage from vertex transform
         # down is loop-variant inside the scan — XLA's while-loop LICM
@@ -209,9 +209,18 @@ def bench_shaderball(report: dict) -> float:
         fpc = FrameParams(frame_params.enable_tone_mapping,
                           frame_params.exposure + carry)
         return render_frame(data, vbc, fpc, mats, overlay,
-                            settings)["image"]
+                            s if s is not None else settings)["image"]
 
-    ms = _time_scan(frame_body)
+    # Headline = the production sampler: quad-rate block sampling
+    # (pair_sampling=2, one texture-row gather per 2×2 pixel group,
+    # window-clamped per-pixel re-blend — docs/PERFORMANCE.md round 3;
+    # final-image delta vs exact ≤13/255 on ~2% of pixels). The exact
+    # one-gather-per-pixel sampler is reported alongside as
+    # "value_exact" — parity/golden tests pin THAT path bit-for-bit.
+    s_prod = dataclasses.replace(settings, pair_sampling=2)
+    ms = _time_scan(lambda c: frame_body(c, s_prod))
+    report["value_exact"] = round(_time_scan(frame_body), 3)
+    report["sampling"] = {"pair_sampling": 2}
 
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
@@ -439,11 +448,14 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     report.setdefault("configs_loop", {})[
         f"shaderball_x{n_instances}_1080p"] = round(_time(step, iters=5), 2)
 
+    # Production sampler (quad-rate pair_sampling, same as the headline).
+    s_prod = dataclasses.replace(s, pair_sampling=2)
+
     def frame_body(carry):
         return render_frame(data, vb._replace(view=vb.view + carry),
                             FrameParams(fp.enable_tone_mapping,
                                         fp.exposure + carry),
-                            mats, None, s)["image"]
+                            mats, None, s_prod)["image"]
 
     report["configs"][f"shaderball_x{n_instances}_1080p"] = round(
         _time_scan(frame_body), 2)
@@ -512,11 +524,15 @@ def bench_stretch_4k(report: dict) -> None:
     report.setdefault("configs_loop", {})["stretch_4k_shadows_ibl"] = round(
         _time(step, iters=5), 2)
 
+    # Production sampler + pair-rate PCF (quad-rate sampling like the
+    # headline; visibility gathers one shadow quad per pixel pair).
+    s_prod = dataclasses.replace(s, pair_sampling=2, pair_visibility=True)
+
     def frame_body(carry):
         return render_frame(data, vb._replace(view=vb.view + carry),
                             FrameParams(fp.enable_tone_mapping,
                                         fp.exposure + carry),
-                            mats, overlay, s, ibl=ibl)["image"]
+                            mats, overlay, s_prod, ibl=ibl)["image"]
 
     report["configs"]["stretch_4k_shadows_ibl"] = round(
         _time_scan(frame_body, iters=2), 2)
@@ -600,33 +616,47 @@ def _progress(msg: str) -> None:
 
 
 def main() -> None:
+    import os
+
     from bibim_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     report: dict = {"configs": {}}
 
+    # Iteration filter: BIBIM_BENCH_ONLY="3,5" runs just those configs
+    # (headline always runs — it is the metric line).
+    only = os.environ.get("BIBIM_BENCH_ONLY")
+    only_set = {c.strip() for c in only.split(",")} if only else None
+
+    def want(cfg: str) -> bool:
+        return only_set is None or cfg in only_set
+
     _progress("config 3: shaderball 1080p (headline)")
     ms = bench_shaderball(report)
     _progress(f"headline {ms:.2f} ms; config 1: gizmo 512")
-    try:
-        bench_gizmo(report)
-    except Exception as e:  # pragma: no cover - aux configs must not kill CI
-        report["configs"]["gizmo_flat_512"] = f"error: {e}"
-    _progress("config 2: cube mips 720p")
-    try:
-        bench_cube(report)
-    except Exception as e:  # pragma: no cover
-        report["configs"]["cube_mips_720p"] = f"error: {e}"
-    _progress("config 4: shaderball x64 1080p")
-    try:
-        bench_instanced(report)
-    except Exception as e:  # pragma: no cover
-        report["configs"]["shaderball_x64_1080p"] = f"error: {e}"
-    _progress("config 5: 4K shadows+IBL")
-    try:
-        bench_stretch_4k(report)
-    except Exception as e:  # pragma: no cover
-        report["configs"]["stretch_4k_shadows_ibl"] = f"error: {e}"
+    if want("1"):
+        try:
+            bench_gizmo(report)
+        except Exception as e:  # pragma: no cover - aux configs must not
+            report["configs"]["gizmo_flat_512"] = f"error: {e}"  # kill CI
+    if want("2"):
+        _progress("config 2: cube mips 720p")
+        try:
+            bench_cube(report)
+        except Exception as e:  # pragma: no cover
+            report["configs"]["cube_mips_720p"] = f"error: {e}"
+    if want("4"):
+        _progress("config 4: shaderball x64 1080p")
+        try:
+            bench_instanced(report)
+        except Exception as e:  # pragma: no cover
+            report["configs"]["shaderball_x64_1080p"] = f"error: {e}"
+    if want("5"):
+        _progress("config 5: 4K shadows+IBL")
+        try:
+            bench_stretch_4k(report)
+        except Exception as e:  # pragma: no cover
+            report["configs"]["stretch_4k_shadows_ibl"] = f"error: {e}"
     _progress("done")
 
     print(

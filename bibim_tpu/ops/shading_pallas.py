@@ -300,16 +300,26 @@ def _sampled_kernel(lparams_ref, gparams_ref, *refs, plan, num_lights,
     slots = {}
     for grp in plan:
         if grp[0] == "block":
-            present, cpad = grp[1], grp[2]
+            present, cpad, expand = grp[1], grp[2], grp[3]
             qt_ref = refs[pos]
             lx = refs[pos + 1][...]
             ly = refs[pos + 2][...]
             tx = refs[pos + 3][...]
             ty = refs[pos + 4][...]
             pos += 5
+
+            def tap_row(row, qt_ref=qt_ref, expand=expand):
+                t = qt_ref[:, row, :]
+                if expand == 1:
+                    return t
+                # Member-major pair/quad layout (texture_quad.member_perm):
+                # the rep-rate row expands to pixel rate by lane-segment
+                # concatenation — pure vector copies in VMEM, replacing a
+                # pixel-rate qt materialization through HBM.
+                return jnp.concatenate([t] * expand, axis=1)
+
             acc = tq.block_blend_acc(
-                lambda row, qt_ref=qt_ref: qt_ref[:, row, :],
-                lx, ly, tx, ty, cpad, len(present),
+                tap_row, lx, ly, tx, ty, cpad, len(present),
             )
             for k, s in enumerate(present):
                 slots[s] = acc[k]
@@ -440,7 +450,8 @@ def shade_sampled_pallas(
     plane_kinds = []  # parallel to arrays: "qt" | "tex" | "plane"
     for grp in groups:
         if grp["kind"] == "block":
-            plan.append(("block", grp["present"], grp["cpad"]))
+            plan.append(("block", grp["present"], grp["cpad"],
+                         grp.get("expand", 1)))
             arrays.append(grp["qt"])
             plane_kinds.append("qt")
             for k in ("lx", "ly", "tx", "ty"):
@@ -502,7 +513,8 @@ def shade_sampled_pallas(
     for a, kind in zip(arrays, plane_kinds):
         if kind == "qt":
             in_specs.append(
-                pl.BlockSpec((g, a.shape[1], npx), lambda i: (i, 0, 0),
+                pl.BlockSpec((g, a.shape[1], a.shape[2]),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             )
         elif kind == "tex":

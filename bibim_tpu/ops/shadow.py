@@ -132,7 +132,8 @@ def shadow_factor(shadow: ShadowMap, world, bias: float = 2e-3):
 
 
 def shadow_factor_compact(shadow: ShadowMap, world, valid,
-                          query_tile_cap: int, bias: float = 2e-3):
+                          query_tile_cap: int, bias: float = 2e-3,
+                          pair: bool = False, tile_w: int = 128):
     """:func:`shadow_factor` with the pixel-rate quad gather compacted to
     the tiles whose (covered) pixels actually land inside the light
     frustum.
@@ -145,6 +146,12 @@ def shadow_factor_compact(shadow: ShadowMap, world, valid,
     top_k pattern, fused._compact_tile_list). Dead slots duplicate the
     first listed tile — idempotent under the scatter-back.
 
+    ``pair``: PCF at PAIR rate — one quad gather per vertically-adjacent
+    pixel pair at its covered-inside rep member; the partner shares the
+    rep's visibility (a ≤1-px vertical shift of the smooth penumbra
+    field; its own inside-frustum test still resolves it lit outside the
+    map). Halves the dominant (gather-issue) term of the PCF stage.
+
     Returns ``(vis (NT, NPX), dropped_tiles)``; a footprint bigger than
     the cap surfaces as a non-zero drop count (dropped tiles would render
     unshadowed), validated like every other capacity."""
@@ -152,11 +159,35 @@ def shadow_factor_compact(shadow: ShadowMap, world, valid,
 
     cx, cy, cz = _light_clip(shadow, world)
     nt = cx.shape[0]
+
+    def pcf(cxc, cyc, czc, vc):
+        if not pair:
+            return _pcf(shadow, cxc, cyc, czc, bias)
+        ntc, npx = cxc.shape
+        rows = npx // tile_w
+
+        def g(p):
+            return p.reshape(ntc, rows // 2, 2, tile_w)
+
+        pref = g(_inside_frustum(cxc, cyc, czc) & vc)
+        use_even = pref[:, :, 0, :] | ~pref[:, :, 1, :]
+
+        def rep(p):
+            pg = g(p)
+            return jnp.where(use_even, pg[:, :, 0, :],
+                             pg[:, :, 1, :]).reshape(ntc, npx // 2)
+
+        vr = _pcf(shadow, rep(cxc), rep(cyc), rep(czc), bias)
+        vis = jnp.repeat(
+            vr.reshape(ntc, rows // 2, 1, tile_w), 2, axis=2
+        ).reshape(ntc, npx)
+        return jnp.where(_inside_frustum(cxc, cyc, czc), vis, 1.0)
+
     if query_tile_cap >= nt:
-        return _pcf(shadow, cx, cy, cz, bias), jnp.int32(0)
+        return pcf(cx, cy, cz, valid), jnp.int32(0)
     live = jnp.any(_inside_frustum(cx, cy, cz) & valid, axis=1)
     ids, dropped = fused._compact_tile_list(live, query_tile_cap)
-    vis_c = _pcf(shadow, cx[ids], cy[ids], cz[ids], bias)
+    vis_c = pcf(cx[ids], cy[ids], cz[ids], valid[ids])
     vis = jnp.ones(cx.shape, jnp.float32).at[ids].set(vis_c)
     return vis, dropped
 

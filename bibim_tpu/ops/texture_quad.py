@@ -310,17 +310,54 @@ def onehot_sample_planes(tex, idx, tx, ty, rows: int, cpad: int,
 
 
 def _block_blend_kernel(qt_ref, lx_ref, ly_ref, tx_ref, ty_ref, *out_refs,
-                        cpad, n_out):
+                        cpad, n_out, expand=1):
+    def tap_row(row):
+        t = qt_ref[:, row, :]
+        if expand == 1:
+            return t
+        # Member-major rep-rate rows expand by lane-segment concat
+        # (see member_perm) — VMEM copies, no pixel-rate HBM qt.
+        return jnp.concatenate([t] * expand, axis=1)
+
     acc = block_blend_acc(
-        lambda row: qt_ref[:, row, :], lx_ref[...], ly_ref[...],
+        tap_row, lx_ref[...], ly_ref[...],
         tx_ref[...], ty_ref[...], cpad, n_out,
     )
     for c, out in enumerate(out_refs):
         out[...] = acc[c]
 
 
+def pair_factors(pair_rows) -> tuple:
+    """(ry, rx) pixel-group factors for a pair_sampling level."""
+    ry = 2
+    rx = 2 if int(pair_rows) >= 2 else 1
+    return ry, rx
+
+
+def member_perm(p, ry: int, rx: int, tile_w: int):
+    """Pixel-order (NT, NPX) plane → member-major order: the npx axis
+    becomes [member(0,0) pixels | member(0,1) | ...], each segment in
+    group order. In this layout a rep-rate plane expands to pixel rate
+    by CONCATENATING ry·rx copies — inside a Pallas kernel that is pure
+    lane-segment copies, where the pixel-order expansion would be an
+    interleave (a per-element lane shuffle Mosaic has no cheap op for)."""
+    nt, npx = p.shape
+    rows = npx // tile_w
+    g = p.reshape(nt, rows // ry, ry, tile_w // rx, rx)
+    return jnp.transpose(g, (0, 2, 4, 1, 3)).reshape(nt, npx)
+
+
+def member_unperm(p, ry: int, rx: int, tile_w: int):
+    """Inverse of :func:`member_perm`."""
+    nt, npx = p.shape
+    rows = npx // tile_w
+    g = p.reshape(nt, ry, rx, rows // ry, tile_w // rx)
+    return jnp.transpose(g, (0, 3, 1, 4, 2)).reshape(nt, npx)
+
+
 def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
-               valid=None, tile_w: int = 128) -> dict:
+               valid=None, tile_w: int = 128,
+               layout: str = "pixel") -> dict:
     """XLA-side prep for in-kernel block-table blending: the per-pixel
     block-row gather + one batched transpose to (NT, 128, NPX) (taps on
     sublanes, pixels on lanes) + the footprint planes the blend needs.
@@ -361,6 +398,7 @@ def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
         return {
             "kind": "block",
             "qt": qt,
+            "expand": 1,
             "lx": (x0i % b).reshape(nt, npx),
             "ly": (y0i % b).reshape(nt, npx),
             "tx": tx.reshape(nt, npx),
@@ -369,51 +407,95 @@ def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
             "cpad": cpad,
         }
 
+    ry = 2
+    rx = 2 if int(pair_rows) >= 2 else 1  # 2 = 2×2 quads (4 px/gather)
     rows = npx // tile_w
-    assert rows % 2 == 0, "pair_rows needs an even tile_h"
-    hp = rows // 2
+    assert rows % ry == 0, "pair_rows needs an even tile_h"
+    assert tile_w % rx == 0
+    hp, wp = rows // ry, tile_w // rx
 
-    def pairs(p):  # (nt, npx) → (nt, hp, 2, tile_w)
-        return p.reshape(nt, hp, 2, tile_w)
+    def groups(p):  # (nt, npx) → (nt, hp, ry, wp, rx)
+        return p.reshape(nt, hp, ry, wp, rx)
 
-    x0p = pairs(x0i.reshape(nt, npx))
-    y0p = pairs(y0i.reshape(nt, npx))
+    x0p = groups(x0i.reshape(nt, npx))
+    y0p = groups(y0i.reshape(nt, npx))
+    members = [(i, j) for i in range(ry) for j in range(rx)]
     if valid is not None:
-        vp = pairs(valid.reshape(nt, npx))
-        use_even = vp[:, :, 0, :] | ~vp[:, :, 1, :]
+        vp = groups(valid.reshape(nt, npx))
+        vms = [vp[:, :, i, :, j] for i, j in members]
     else:
-        use_even = jnp.ones((nt, hp, tile_w), jnp.bool_)
+        vms = [jnp.ones((nt, hp, wp), jnp.bool_)] * len(members)
 
     def rep(p):
-        return jnp.where(use_even, p[:, :, 0, :], p[:, :, 1, :])
+        # Window anchor per axis = MIN top-left tap over the group's
+        # covered members (falls back to the plain min when the whole
+        # group is uncovered — masked off downstream anyway). The block
+        # containing the min corner covers every member footprint whose
+        # texel spread fits the window — strictly more in-window (exact)
+        # coverage than anchoring at any single member's own block.
+        big = jnp.int32(1 << 30)
+        ms = [p[:, :, i, :, j] for i, j in members]
+        mn_cov = jnp.full_like(ms[0], big)
+        mn_all = ms[0]
+        anyv = vms[0]
+        for m, vm in zip(ms, vms):
+            mn_cov = jnp.minimum(mn_cov, jnp.where(vm, m, big))
+            mn_all = jnp.minimum(mn_all, m)
+            anyv = anyv | vm
+        return jnp.where(anyv, mn_cov, mn_all)
 
-    xr = rep(x0p)  # (nt, hp, tile_w) rep top-left tap texel
+    xr = rep(x0p)  # (nt, hp, wp) window-anchor top-left tap texel
     yr = rep(y0p)
     rw = table.blocks.shape[1]  # lane-padded block-row width
+    reps = ry * rx
     q = table.blocks[((yr // b) * nbx + (xr // b)).reshape(-1)]
-    qt = jnp.transpose(q.reshape(nt, npx // 2, rw), (0, 2, 1))
-    # Expand rows to full rate: pixel row r reads its pair's row r // 2.
-    qt = jnp.repeat(
-        qt.reshape(nt, rw, hp, tile_w), 2, axis=2
-    ).reshape(nt, rw, npx)
+    qt = jnp.transpose(q.reshape(nt, npx // reps, rw), (0, 2, 1))
 
-    def full(p):  # (nt, hp, tile_w) rep plane → (nt, npx) both rows
-        return jnp.repeat(p[:, :, None, :], 2, axis=2).reshape(nt, npx)
+    if layout == "member":
+        # Member-major layout: qt stays at REP rate — the consumer kernel
+        # expands it by concatenating `expand` lane-segment copies
+        # (see member_perm) — no pixel-rate qt ever touches HBM (the XLA
+        # repeat below costs ~0.6 ms at 1080p and ~2.5 ms at 4K).
+        expand = reps
+
+        def full(p):  # rep plane → member-major pixel rate
+            return jnp.concatenate(
+                [p.reshape(nt, npx // reps)] * reps, axis=1)
+
+        def px_plane(p):  # pixel-order (N,) plane → member-major
+            return member_perm(p.reshape(nt, npx), ry, rx, tile_w)
+    else:
+        expand = 1
+        # Expand back to pixel rate: each pixel reads its group's row.
+        qt = jnp.repeat(qt.reshape(nt, rw, hp, wp), ry, axis=2)
+        if rx > 1:
+            qt = jnp.repeat(qt, rx, axis=3)
+        qt = qt.reshape(nt, rw, npx)
+
+        def full(p):  # (nt, hp, wp) rep plane → (nt, npx) all members
+            p = jnp.repeat(p[:, :, None, :], ry, axis=2)
+            if rx > 1:
+                p = jnp.repeat(p[..., None], rx, axis=4)
+            return p.reshape(nt, npx)
+
+        def px_plane(p):
+            return p.reshape(nt, npx)
 
     # Window-relative footprint: tap col/row of each pixel's top-left
     # bilinear tap measured from its pair rep's block origin, wrapped
     # (REPEAT addressing) and clamped to the (B+1)² window.
     bx = full((xr // b) * b)
     by = full((yr // b) * b)
-    cx = jnp.remainder(x0i.reshape(nt, npx) - bx + w // 2, w) - w // 2
-    cy = jnp.remainder(y0i.reshape(nt, npx) - by + h // 2, h) - h // 2
+    cx = jnp.remainder(px_plane(x0i) - bx + w // 2, w) - w // 2
+    cy = jnp.remainder(px_plane(y0i) - by + h // 2, h) - h // 2
     in_x = (cx >= 0) & (cx <= b - 1)
     in_y = (cy >= 0) & (cy <= b - 1)
-    txp = tx.reshape(nt, npx)
-    typ = ty.reshape(nt, npx)
+    txp = px_plane(tx)
+    typ = px_plane(ty)
     return {
         "kind": "block",
         "qt": qt,
+        "expand": expand,
         "lx": jnp.clip(cx, 0, b - 1),
         "ly": jnp.clip(cy, 0, b - 1),
         "tx": jnp.where(in_x, txp, jnp.where(cx < 0, 0.0, 1.0)),
@@ -464,8 +546,10 @@ def sample_table_block_pallas(table: BlockTable, u, v,
     nt, npx = u.shape
     cpad = _ceil4(len(table.present))
     prep = block_prep(table, u, v, pair_rows=pair_rows, valid=valid,
-                      tile_w=tile_w)
-    qt = prep["qt"]
+                      tile_w=tile_w,
+                      layout="member" if int(pair_rows) >= 2 else "pixel")
+    expand = prep.get("expand", 1)
+    qt = prep["qt"]  # (nt, rw, npx // expand)
     x0i_b = prep["lx"].reshape(-1)
     y0i_b = prep["ly"].reshape(-1)
     tx = prep["tx"].reshape(-1)
@@ -473,7 +557,6 @@ def sample_table_block_pallas(table: BlockTable, u, v,
 
     g = min(BLOCK_TILE_BATCH, nt)
     nt_pad = -(-nt // g) * g
-    lanes = 128
 
     def plane(x):
         p = x.reshape(nt, npx)
@@ -484,14 +567,16 @@ def sample_table_block_pallas(table: BlockTable, u, v,
         qt = jnp.pad(qt, ((0, nt_pad - nt), (0, 0), (0, 0)))
 
     n_out = len(table.present)
-    kernel = functools.partial(_block_blend_kernel, cpad=cpad, n_out=n_out)
+    kernel = functools.partial(_block_blend_kernel, cpad=cpad, n_out=n_out,
+                               expand=expand)
     pspec = pl.BlockSpec((g, npx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(nt_pad // g,),
         in_specs=[
-            pl.BlockSpec((g, lanes, npx), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, qt.shape[1], qt.shape[2]),
+                         lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pspec, pspec, pspec, pspec,
         ],
@@ -511,6 +596,9 @@ def sample_table_block_pallas(table: BlockTable, u, v,
     )(qt, plane(x0i_b), plane(y0i_b), plane(tx), plane(ty))
     if n_out == 1 and not isinstance(out, (list, tuple)):
         out = [out]
+    if expand > 1:  # member layout: outputs come back member-major
+        ry, rx = pair_factors(pair_rows)
+        out = [member_unperm(o, ry, rx, tile_w) for o in out]
     return {
         slot: o[:nt] for slot, o in zip(table.present, out)
     }

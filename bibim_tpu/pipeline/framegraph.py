@@ -258,9 +258,17 @@ class RenderSettings:
     # gather-issue-bound, so this halves its dominant term. Rep pixels
     # (the covered one of each pair, preferring the even row) stay
     # bit-exact; partners are exact at texel rates ≲ B-1 and
-    # edge-clamped past that. False = one gather per pixel (bit-exact
-    # parity; goldens and oracle tests pin this path).
-    pair_sampling: bool = False
+    # edge-clamped past that. 0/False = one gather per pixel (bit-exact
+    # parity; goldens and oracle tests pin this path); 1/True = vertical
+    # pairs (2 px per gather); 2 = 2×2 quads (4 px per gather, cheaper
+    # and correspondingly more partner clamping).
+    pair_sampling: int = 0
+    # Pair-rate PCF visibility (ops/shadow.shadow_factor_compact pair):
+    # one shadow-quad gather per vertical pixel pair at the covered-
+    # inside rep; the partner shares the rep's visibility (≤1 px
+    # vertical shift of the smooth penumbra). Halves the PCF stage's
+    # gather-issue term. Off = per-pixel PCF (pinned by shadow tests).
+    pair_visibility: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -519,23 +527,54 @@ def _sampled_hdr(px, materials, lights, view_block,
     )
 
     u, v = px.uv
+    pair = int(settings.pair_sampling)
+    if pair and any(isinstance(t, (tq.MipBlockMulti, tq.MipQuadMulti))
+                    for t in materials):
+        # Mip preps derive LOD from SCREEN-SPACE uv derivatives, which
+        # the member permutation would scramble; trilinear bindings keep
+        # per-pixel sampling (they already gather at block-row rate).
+        pair = 0
+    # Measured layout choice (tools/exp_pair.py, 1080p headline):
+    # pair level (2 px/gather) is fastest with the PIXEL layout + one
+    # XLA repeat (6.98 ms vs 9.01 member); quad level (4 px/gather) is
+    # fastest MEMBER-major with in-kernel lane-segment concat expansion
+    # (5.88 ms) — the quarter-rate gather+transpose pays for the ~14
+    # plane permutes the member layout needs.
+    member = pair >= 2
+    if member:
+        ry, rx = tq.pair_factors(pair)
+
+        def perm(p):
+            return tq.member_perm(p, ry, rx, settings.tile_w)
+
+        def unperm(p):
+            return tq.member_unperm(p, ry, rx, settings.tile_w)
+    else:
+        def perm(p):
+            return p
+
+        def unperm(p):
+            return p
+
+    pu, pv = perm(u), perm(v)
+    pmat = perm(px.mat_id) if px.mat_id is not None else None
     groups = []
     for t in materials:
         if isinstance(t, tq.MipBlockMulti):
             # Trilinear mips: one block-row gather per pixel, the 41-tap
             # level blend runs in-kernel (BASELINE config 2).
             groups.append(tq.mip_block_prep(
-                t, px.mat_id, u, v, settings.tile_h, settings.tile_w))
+                t, pmat, pu, pv, settings.tile_h, settings.tile_w))
             continue
         if isinstance(t, tq.MipQuadMulti):
             rows_pad = max(8, -(-t.quads.shape[0] // 8) * 8)
             if (all(len(h) == 1 for h in t.heights)
                     and t.quads.dtype == jnp.uint8
                     and rows_pad <= SAMPLED_SMALL_ROWS):
-                groups.append(tq.small_prep_multi(t, px.mat_id, u, v))
+                groups.append(tq.small_prep_multi(t, pmat, pu, pv))
             else:
                 slots = tq.sample_material_mips_multi(
-                    (t,), px.mat_id, u, v, settings.tile_h,
+                    (t,), pmat, pu, pv, settings.tile_h,
                     settings.tile_w, use_pallas=_use_pallas(settings))
                 groups.append({"kind": "direct", "present": t.present,
                                "planes": [slots[s] for s in t.present]})
@@ -543,11 +582,12 @@ def _sampled_hdr(px, materials, lights, view_block,
         rows_pad = max(8, -(-t.height * t.width // 8) * 8)
         if isinstance(t, tq.BlockTable):
             groups.append(tq.block_prep(
-                t, u, v, pair_rows=settings.pair_sampling,
-                valid=px.tri_id >= 0, tile_w=settings.tile_w))
+                t, u, v, pair_rows=pair, valid=px.tri_id >= 0,
+                tile_w=settings.tile_w,
+                layout="member" if member else "pixel"))
         elif (isinstance(t, tq.QuadTable) and t.quads.dtype == jnp.uint8
               and rows_pad <= SAMPLED_SMALL_ROWS):
-            groups.append(tq.small_prep(t, u, v))
+            groups.append(tq.small_prep(t, pu, pv))
         else:
             # Mid/large quad tables keep their standalone sampling path
             # (MXU kernel or row gather); slots enter as direct planes.
@@ -555,19 +595,24 @@ def _sampled_hdr(px, materials, lights, view_block,
                     and t.height * t.width <= tq.SMALL_ROWS
                     and t.quads.dtype == jnp.uint8):
                 slots = tq.sample_table_small_pallas(
-                    t, u, v, settings.tile_h, settings.tile_w)
+                    t, pu, pv, settings.tile_h, settings.tile_w)
             else:
-                slots = tq.sample_table_xla(t, u, v)
+                slots = tq.sample_table_xla(t, pu, pv)
             groups.append({"kind": "direct", "present": t.present,
                            "planes": [slots[s] for s in t.present]})
     vis_plane = light_vis[settings.shadow_light] if light_vis else None
-    return shade_sampled_pallas(
-        groups, px.world, px.normal, px.tangent, px.tri_id >= 0,
+    if vis_plane is not None:
+        vis_plane = perm(vis_plane)
+    hdr3 = shade_sampled_pallas(
+        groups, tuple(perm(c) for c in px.world),
+        tuple(perm(c) for c in px.normal),
+        tuple(perm(c) for c in px.tangent), perm(px.tri_id >= 0),
         lights, view_block.view_pos, view_block.enable_normal_map,
         vis_plane=vis_plane, vis_light=settings.shadow_light,
         gbuffer_mode=gbuffer_mode,
         quantize=gbuffer_mode and settings.quantize_fp16,
     )
+    return tuple(unperm(c) for c in hdr3)
 
 
 def _planar_materials(m) -> bool:
@@ -1121,10 +1166,15 @@ def _pcf_vis(smap, px, settings: RenderSettings, sh_diag):
     merge into the shadow pass's BinDiag)."""
     from bibim_tpu.ops import shadow as sh
 
-    if settings.shadow_query_tile_cap is not None:
+    if settings.shadow_query_tile_cap is not None or \
+            settings.pair_visibility:
+        cap = settings.shadow_query_tile_cap
+        if cap is None:
+            cap = px.tri_id.shape[0]  # no compaction, pair PCF only
         vis, dropped = sh.shadow_factor_compact(
             smap, px.world, px.tri_id >= 0,
-            settings.shadow_query_tile_cap, settings.shadow_bias,
+            cap, settings.shadow_bias,
+            pair=settings.pair_visibility, tile_w=settings.tile_w,
         )
         sh_diag = sh_diag._replace(
             dropped_tiles=sh_diag.dropped_tiles + dropped

@@ -144,6 +144,36 @@ class TestShadows:
         )
         assert int(np.asarray(tiny["bin_diag"].dropped_tiles)) > 0
 
+    def test_pair_visibility_bounded_and_gated(self):
+        """Pair-rate PCF (pair_visibility): renders within the ≤1-px
+        penumbra-shift model — frames stay finite, shadows still darken
+        the ground, and the setting off is bit-identical to baseline."""
+        import dataclasses
+
+        scene = _occluder_scene()
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              enable_shadows=True, shadow_size=128,
+                              shadow_fit_batches=(1,))
+        full = np.asarray(render_frame(
+            scene, _view(), _fp(), _mat(), None, base)["image"])
+        pairv = np.asarray(render_frame(
+            scene, _view(), _fp(), _mat(), None,
+            dataclasses.replace(base, pair_visibility=True))["image"])
+        off = np.asarray(render_frame(
+            scene, _view(), _fp(), _mat(), None,
+            dataclasses.replace(base, pair_visibility=False))["image"])
+        np.testing.assert_array_equal(full, off)
+        # the shadow edge may shift ≤1 px vertically; everything else
+        # (including all fully-lit and fully-shadowed rows) matches
+        diff = np.any(pairv != full, axis=-1)
+        assert diff.mean() < 0.05, diff.mean()
+        # shadows still darken: the pair frame is darker than a
+        # no-shadow render over the shadowed region
+        noshadow = np.asarray(render_frame(
+            scene, _view(), _fp(), _mat(), None,
+            dataclasses.replace(base, enable_shadows=False))["image"])
+        assert pairv.astype(int).sum() < noshadow.astype(int).sum()
+
     def test_point_lit_regions_unaffected(self):
         """Only the shadow-casting light is attenuated."""
         scene = _occluder_scene()

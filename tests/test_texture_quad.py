@@ -402,7 +402,10 @@ class TestPairSampling:
         v = ((y * rho / h) % 1.0).reshape(nt, -1).astype(np.float32)
         return jnp.asarray(u), jnp.asarray(v)
 
-    def test_rep_rows_bitexact_and_partners_bounded(self):
+    def test_in_window_exact_and_bounded(self):
+        """Pairs anchored at the covered-min corner: every in-window
+        footprint blends bit-exactly; clamped ones never extrapolate
+        outside the window's value hull."""
         tab = self._table()
         u, v = self._uv(rho=1.5)
         nt, npx = u.shape
@@ -410,16 +413,23 @@ class TestPairSampling:
         full = tq.sample_table_block_pallas(tab, u, v, interpret=True)
         pair = tq.sample_table_block_pallas(
             tab, u, v, interpret=True, pair_rows=True, valid=ones)
-        f = np.asarray(full["metallic"]).reshape(nt, 8, 128)
-        p = np.asarray(pair["metallic"]).reshape(nt, 8, 128)
-        np.testing.assert_array_equal(f[:, ::2], p[:, ::2])
-        # Partner rows: every blended value stays inside the value hull
-        # of the rep window's texels — the clamp can never extrapolate.
-        assert np.all(p[:, 1::2] >= 0.0) and np.all(p[:, 1::2] <= 1.0)
-        # At 1.5 texels/px a solid fraction of partner footprints still
-        # land inside the rep window and must be EXACT.
-        exact = (f[:, 1::2] == p[:, 1::2]).mean()
-        assert exact > 0.3, exact
+        f = np.asarray(full["metallic"])
+        p = np.asarray(pair["metallic"])
+        assert np.all(p >= 0.0) and np.all(p <= 1.0)
+        # At 1.5 texels/px most footprints land inside the min-anchored
+        # window and must be EXACT (measured 75% on noise content).
+        exact = (f == p).mean()
+        assert exact > 0.6, exact
+        # Identical uv across each pair → one footprint, always exact.
+        u2 = jnp.asarray(np.repeat(np.asarray(u).reshape(nt, 4, 2, 128)
+                                   [:, :, :1], 2, axis=2).reshape(nt, npx))
+        v2 = jnp.asarray(np.repeat(np.asarray(v).reshape(nt, 4, 2, 128)
+                                   [:, :, :1], 2, axis=2).reshape(nt, npx))
+        fe = tq.sample_table_block_pallas(tab, u2, v2, interpret=True)
+        pe = tq.sample_table_block_pallas(
+            tab, u2, v2, interpret=True, pair_rows=True, valid=ones)
+        np.testing.assert_array_equal(np.asarray(fe["metallic"]),
+                                      np.asarray(pe["metallic"]))
 
     def test_partners_exact_under_magnification(self):
         tab = self._table()

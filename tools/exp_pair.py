@@ -64,14 +64,25 @@ def main():
     from bibim_tpu.pipeline.autotune import autotune_settings
     from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
 
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
-    height = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
-    print(f"device: {jax.devices()[0]}  {width}x{height}", flush=True)
+    stretch = "--stretch" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    width = int(argv[0]) if argv else (3840 if stretch else 1920)
+    height = int(argv[1]) if len(argv) > 1 else (2160 if stretch else 1080)
+    print(f"device: {jax.devices()[0]}  {width}x{height} "
+          f"stretch={stretch}", flush=True)
 
     scene = ShaderBallScene()
     cam = FreeLookCamera()
-    base = RenderSettings(width=width, height=height, outputs="image",
-                          overlay_candidates=256, overlay_max_tiles=384)
+    if stretch:
+        # Config 5 shape: shadows + IBL + 4K capacities (bench.py).
+        base = RenderSettings(width=width, height=height, outputs="image",
+                              enable_shadows=True, enable_ibl=True,
+                              span_cap=32,
+                              shadow_fit_batches=scene.shadow_fit_batches,
+                              overlay_max_tiles=1024)
+    else:
+        base = RenderSettings(width=width, height=height, outputs="image",
+                              overlay_candidates=256, overlay_max_tiles=384)
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material))
@@ -86,25 +97,38 @@ def main():
                      exposure=jnp.float32(1.0))
     data = scene.scene_data()
     s_full, _ = autotune_settings(data, vb, base, margin=1.05)
-    s_pair = dataclasses.replace(s_full, pair_sampling=True)
+    s_pair = dataclasses.replace(s_full, pair_sampling=1,
+                                 pair_visibility=stretch)
 
+    ibl = None
+    if stretch:
+        from bibim_tpu.ops.ibl import make_ibl_sh
+
+        ibl = jax.device_put(make_ibl_sh())
+
+    s_quad = dataclasses.replace(s_full, pair_sampling=2,
+                                 pair_visibility=stretch)
     imgs = {}
-    for name, s in (("full", s_full), ("pair", s_pair)):
+    for name, s in (("full", s_full), ("pair", s_pair), ("quad", s_quad)):
         def body(carry, s=s):
             vbc = vb._replace(view=vb.view + carry)
             fpc = FrameParams(fp.enable_tone_mapping, fp.exposure + carry)
-            return render_frame(data, vbc, fpc, mats, overlay, s)["image"]
+            return render_frame(data, vbc, fpc, mats, overlay, s,
+                                ibl=ibl)["image"]
 
-        ms = time_scan(body)
+        ms = time_scan(body, iters=2 if stretch else 3)
         imgs[name] = np.asarray(jax.device_get(jax.jit(
-            lambda s=s: render_frame(data, vb, fp, mats, overlay, s)["image"]
+            lambda s=s: render_frame(data, vb, fp, mats, overlay, s,
+                                     ibl=ibl)["image"]
         )()))
         print(f"{name:6s} frame {ms:7.2f} ms", flush=True)
 
-    d = np.abs(imgs["full"].astype(np.int32) - imgs["pair"].astype(np.int32))
-    print(f"image diff (u8): max {d.max()}, mean {d.mean():.4f}, "
-          f"frac>0 {(d > 0).mean():.4f}, frac>4 {(d > 4).mean():.5f}",
-          flush=True)
+    for name in ("pair", "quad"):
+        d = np.abs(imgs["full"].astype(np.int32)
+                   - imgs[name].astype(np.int32))
+        print(f"{name} image diff (u8): max {d.max()}, mean {d.mean():.4f}, "
+              f"frac>0 {(d > 0).mean():.4f}, frac>4 {(d > 4).mean():.5f}",
+              flush=True)
 
 
 if __name__ == "__main__":
