@@ -181,10 +181,23 @@ def bench_shaderball(report: dict) -> float:
     frame_params = FrameParams(
         enable_tone_mapping=jnp.int32(1), exposure=jnp.float32(1.0)
     )
-    data = scene.scene_data()
-    settings, _probe = autotune_settings(data, view_block, base, margin=1.05)
-
     import dataclasses
+
+    data = scene.scene_data()
+    # Production sampler: quad-rate block sampling with EXACT tile
+    # routing (pair_sampling=2 — bit-identical to per-pixel sampling by
+    # construction, framegraph._sampled_hdr; pinned by
+    # tests/test_tpu.py::test_pair_sampling_routed_exact). Autotune sees
+    # the materials so it derives the routing pass caps from the
+    # escape-tile probe.
+    base = dataclasses.replace(base, pair_sampling=2)
+    settings, _probe = autotune_settings(data, view_block, base,
+                                         margin=1.05, materials=mats)
+    report["sampling"] = {
+        "pair_sampling": 2, "routed_exact": True,
+        "route_caps": list(settings.sample_route_caps or ()),
+        "escape_tiles": _probe.escape_tiles,
+    }
 
     _validate(
         lambda: render_frame(data, view_block, frame_params, mats, overlay,
@@ -211,16 +224,16 @@ def bench_shaderball(report: dict) -> float:
         return render_frame(data, vbc, fpc, mats, overlay,
                             s if s is not None else settings)["image"]
 
-    # Headline = the production sampler: quad-rate block sampling
-    # (pair_sampling=2, one texture-row gather per 2×2 pixel group,
-    # window-clamped per-pixel re-blend — docs/PERFORMANCE.md round 3;
-    # final-image delta vs exact ≤13/255 on ~2% of pixels). The exact
-    # one-gather-per-pixel sampler is reported alongside as
-    # "value_exact" — parity/golden tests pin THAT path bit-for-bit.
-    s_prod = dataclasses.replace(settings, pair_sampling=2)
-    ms = _time_scan(lambda c: frame_body(c, s_prod))
-    report["value_exact"] = round(_time_scan(frame_body), 3)
-    report["sampling"] = {"pair_sampling": 2}
+    # Headline = the production routed-exact sampler (settings already
+    # carry pair_sampling=2 + derived route caps). value IS the exact
+    # number: the routed path is bit-identical to per-pixel sampling.
+    # "value_px_sampling" measures the plain one-gather-per-pixel
+    # sampler for attribution of the routing win.
+    ms = _time_scan(frame_body)
+    report["value_exact"] = round(ms, 3)  # == value by construction
+    report["value_px_sampling"] = round(_time_scan(
+        lambda c: frame_body(
+            c, dataclasses.replace(settings, pair_sampling=0))), 3)
 
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
@@ -430,11 +443,13 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     # tight span_cap (the hand-swept tools/exp_c4.py winner, now derived).
     from bibim_tpu.pipeline.autotune import autotune_settings
 
-    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                          show_gizmo=False, show_lights=False)
-    s, _ = autotune_settings(data, vb, base, margin=1.05)
-
     import dataclasses
+
+    # Production routed-exact sampler (see bench_shaderball).
+    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
+                          show_gizmo=False, show_lights=False,
+                          pair_sampling=2)
+    s, _ = autotune_settings(data, vb, base, margin=1.05, materials=mats)
 
     _validate(
         lambda: render_frame(data, vb, fp, mats, None,
@@ -448,17 +463,18 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     report.setdefault("configs_loop", {})[
         f"shaderball_x{n_instances}_1080p"] = round(_time(step, iters=5), 2)
 
-    # Production sampler (quad-rate pair_sampling, same as the headline).
-    s_prod = dataclasses.replace(s, pair_sampling=2)
-
-    def frame_body(carry):
+    def frame_body(carry, sx=s):
         return render_frame(data, vb._replace(view=vb.view + carry),
                             FrameParams(fp.enable_tone_mapping,
                                         fp.exposure + carry),
-                            mats, None, s_prod)["image"]
+                            mats, None, sx)["image"]
 
     report["configs"][f"shaderball_x{n_instances}_1080p"] = round(
         _time_scan(frame_body), 2)
+    report.setdefault("configs_px_sampling", {})[
+        f"shaderball_x{n_instances}_1080p"] = round(_time_scan(
+            lambda c: frame_body(
+                c, dataclasses.replace(s, pair_sampling=0))), 2)
 
 
 def bench_stretch_4k(report: dict) -> None:
@@ -502,11 +518,12 @@ def bench_stretch_4k(report: dict) -> None:
                           enable_shadows=True, enable_ibl=True,
                           span_cap=32,
                           shadow_fit_batches=scene.shadow_fit_batches,
-                          overlay_max_tiles=1024)
+                          overlay_max_tiles=1024,
+                          pair_sampling=2)
     data = scene.scene_data()
     # Shadow capacities (candidates/passes/tile cap) are derived from the
     # light-view probe inside autotune_settings — no hand caps.
-    s, _ = autotune_settings(data, vb, base, margin=1.05)
+    s, _ = autotune_settings(data, vb, base, margin=1.05, materials=mats)
 
     import dataclasses
 
@@ -524,18 +541,26 @@ def bench_stretch_4k(report: dict) -> None:
     report.setdefault("configs_loop", {})["stretch_4k_shadows_ibl"] = round(
         _time(step, iters=5), 2)
 
-    # Production sampler + pair-rate PCF (quad-rate sampling like the
-    # headline; visibility gathers one shadow quad per pixel pair).
-    s_prod = dataclasses.replace(s, pair_sampling=2, pair_visibility=True)
-
-    def frame_body(carry):
+    # Headline number = fully exact path: routed quad-rate sampling
+    # (bit-identical by construction) + per-pixel PCF. The pair-rate PCF
+    # (lossy: partner shares the rep's visibility) is reported alongside
+    # for attribution.
+    def frame_body(carry, sx=s):
         return render_frame(data, vb._replace(view=vb.view + carry),
                             FrameParams(fp.enable_tone_mapping,
                                         fp.exposure + carry),
-                            mats, overlay, s_prod, ibl=ibl)["image"]
+                            mats, overlay, sx, ibl=ibl)["image"]
 
     report["configs"]["stretch_4k_shadows_ibl"] = round(
-        _time_scan(frame_body, iters=2), 2)
+        _time_scan(frame_body, iters=4), 2)
+    report.setdefault("configs_px_sampling", {})[
+        "stretch_4k_shadows_ibl"] = round(_time_scan(
+            lambda c: frame_body(
+                c, dataclasses.replace(s, pair_sampling=0)), iters=4), 2)
+    report.setdefault("configs_lossy", {})["stretch_4k_pair_vis"] = round(
+        _time_scan(lambda c: frame_body(
+            c, dataclasses.replace(s, pair_visibility=True)),
+            iters=4), 2)
 
     # 4K stage breakdown (VERDICT r1 item 6): production-shaped bodies —
     # compacted slot planes, the real shadow map, the real psoup — timed

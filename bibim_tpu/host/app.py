@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N-tap in-level-0 anisotropic sampling (the "
                    "reference sampler's maxAnisotropy analog; 1 = plain "
                    "bilinear parity)")
+    p.add_argument("--pair-sampling", type=int, default=0, choices=(0, 1, 2),
+                   metavar="L",
+                   help="group-rate block-table sampling: one texture-row "
+                        "gather per 2x1 (1) / 2x2 (2) pixel group, with "
+                        "exact per-tile routing — bit-identical output, "
+                        "fewer gathers (the production bench sampler)")
     p.add_argument("--shadows", action="store_true",
                    help="shadow-map the first light (stretch capability)")
     p.add_argument("--ibl", action="store_true",
@@ -213,6 +219,7 @@ def main(argv=None) -> int:
         show_hud=args.hud,
         srgb_output=not args.no_srgb,
         aniso_taps=args.aniso,
+        pair_sampling=args.pair_sampling,
         enable_shadows=args.shadows,
         shadow_fit_batches=(getattr(scene, "shadow_fit_batches", None)
                             if args.shadows else None),

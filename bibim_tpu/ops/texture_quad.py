@@ -355,6 +355,94 @@ def member_unperm(p, ry: int, rx: int, tile_w: int):
     return jnp.transpose(g, (0, 3, 1, 4, 2)).reshape(nt, npx)
 
 
+def _footprint_ints(u, v, h, w):
+    """Bilinear footprint integers + fractions (REPEAT addressing, texel
+    centers at +0.5): the one place the footprint math lives —
+    :func:`block_prep` and :func:`escape_tiles` MUST agree bit-for-bit on
+    these, or routing would misclassify a clamped pixel as exact."""
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.remainder(x0.astype(jnp.int32), w)
+    y0i = jnp.remainder(y0.astype(jnp.int32), h)
+    return x0i, y0i, tx, ty
+
+
+def _rep_min(p, vp):
+    """Per-group window anchor for one axis: the MIN top-left tap over the
+    group's covered members, falling back to the plain min when the whole
+    group is uncovered (masked off downstream anyway). The block
+    containing the min corner covers every member footprint whose texel
+    spread fits the window — strictly more in-window (exact) coverage
+    than anchoring at any single member's own block.
+
+    ``p``/``vp``: (nt, hp, ry, wp, rx) group-shaped tap/valid planes.
+    Returns (nt, hp, wp)."""
+    ry, rx = p.shape[2], p.shape[4]
+    big = jnp.int32(1 << 30)
+    mn_cov = mn_all = anyv = None
+    for i in range(ry):
+        for j in range(rx):
+            m, vm = p[:, :, i, :, j], vp[:, :, i, :, j]
+            mc = jnp.where(vm, m, big)
+            mn_cov = mc if mn_cov is None else jnp.minimum(mn_cov, mc)
+            mn_all = m if mn_all is None else jnp.minimum(mn_all, m)
+            anyv = vm if anyv is None else (anyv | vm)
+    return jnp.where(anyv, mn_cov, mn_all)
+
+
+def escape_tiles(table: "BlockTable", u, v, valid, pair_rows,
+                 tile_w: int = 128) -> jnp.ndarray:
+    """Per-tile WINDOW-ESCAPE flags for pair/quad-rate block sampling:
+    True where ANY covered pixel's bilinear footprint falls outside its
+    group's shared (B+1)² texel window — i.e. where :func:`block_prep`
+    with ``pair_rows`` would clamp taps and the sampled result would not
+    be bit-exact. Tiles with a False flag are guaranteed bit-exact under
+    group-rate sampling (the basis of the framegraph's exact routing:
+    clean tiles sample at group rate, escaping tiles at pixel rate).
+
+    Uses the same footprint/anchor/window math as block_prep (via
+    :func:`_footprint_ints` / :func:`_rep_min`); all integer, so the two
+    agree exactly. Returns (NT,) bool."""
+    return escape_tiles_hw(table.height, table.width, u, v, valid,
+                           pair_rows, tile_w)
+
+
+def escape_tiles_hw(h: int, w: int, u, v, valid, pair_rows,
+                    tile_w: int = 128) -> jnp.ndarray:
+    """:func:`escape_tiles` from a table's (height, width) alone — the
+    autotune capacity probe sizes the routing passes without binding the
+    table data."""
+    nt, npx = u.shape
+    b = BLOCK_B
+    x0i, y0i, _, _ = _footprint_ints(u, v, h, w)
+    ry, rx = pair_factors(pair_rows)
+    rows = npx // tile_w
+    hp = rows // ry
+
+    def groups(p):
+        return p.reshape(nt, hp, ry, tile_w // rx, rx)
+
+    x0p, y0p, vp = groups(x0i), groups(y0i), groups(valid)
+    xr = _rep_min(x0p, vp)
+    yr = _rep_min(y0p, vp)
+    bx = (xr // b) * b
+    by = (yr // b) * b
+    esc = None
+    for i in range(ry):
+        for j in range(rx):
+            cx = jnp.remainder(x0p[:, :, i, :, j] - bx + w // 2, w) - w // 2
+            cy = jnp.remainder(y0p[:, :, i, :, j] - by + h // 2, h) - h // 2
+            inw = ((cx >= 0) & (cx <= b - 1)
+                   & (cy >= 0) & (cy <= b - 1))
+            e = vp[:, :, i, :, j] & ~inw
+            esc = e if esc is None else (esc | e)
+    return jnp.any(esc.reshape(nt, -1), axis=1)
+
+
 def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
                valid=None, tile_w: int = 128,
                layout: str = "pixel") -> dict:
@@ -381,16 +469,11 @@ def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
     b = BLOCK_B
     nbx = w // b
     cpad = _ceil4(len(table.present))
-    uf = u.reshape(-1)
-    vf = v.reshape(-1)
-    fx = uf * w - 0.5
-    fy = vf * h - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
-    x0i = jnp.remainder(x0.astype(jnp.int32), w)
-    y0i = jnp.remainder(y0.astype(jnp.int32), h)
+    x0i_p, y0i_p, tx_p, ty_p = _footprint_ints(u, v, h, w)
+    x0i = x0i_p.reshape(-1)
+    y0i = y0i_p.reshape(-1)
+    tx = tx_p.reshape(-1)
+    ty = ty_p.reshape(-1)
     if not pair_rows:
         q = table.blocks[(y0i // b) * nbx + (x0i // b)]  # (N, 128) u8
         # One batched block transpose: taps (minor 128) ↔ pixels (lanes).
@@ -407,8 +490,7 @@ def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
             "cpad": cpad,
         }
 
-    ry = 2
-    rx = 2 if int(pair_rows) >= 2 else 1  # 2 = 2×2 quads (4 px/gather)
+    ry, rx = pair_factors(pair_rows)  # rx=2 → 2×2 quads (4 px/gather)
     rows = npx // tile_w
     assert rows % ry == 0, "pair_rows needs an even tile_h"
     assert tile_w % rx == 0
@@ -419,33 +501,14 @@ def block_prep(table: BlockTable, u, v, pair_rows: bool = False,
 
     x0p = groups(x0i.reshape(nt, npx))
     y0p = groups(y0i.reshape(nt, npx))
-    members = [(i, j) for i in range(ry) for j in range(rx)]
     if valid is not None:
         vp = groups(valid.reshape(nt, npx))
-        vms = [vp[:, :, i, :, j] for i, j in members]
     else:
-        vms = [jnp.ones((nt, hp, wp), jnp.bool_)] * len(members)
+        vp = jnp.ones((nt, hp, ry, wp, rx), jnp.bool_)
 
-    def rep(p):
-        # Window anchor per axis = MIN top-left tap over the group's
-        # covered members (falls back to the plain min when the whole
-        # group is uncovered — masked off downstream anyway). The block
-        # containing the min corner covers every member footprint whose
-        # texel spread fits the window — strictly more in-window (exact)
-        # coverage than anchoring at any single member's own block.
-        big = jnp.int32(1 << 30)
-        ms = [p[:, :, i, :, j] for i, j in members]
-        mn_cov = jnp.full_like(ms[0], big)
-        mn_all = ms[0]
-        anyv = vms[0]
-        for m, vm in zip(ms, vms):
-            mn_cov = jnp.minimum(mn_cov, jnp.where(vm, m, big))
-            mn_all = jnp.minimum(mn_all, m)
-            anyv = anyv | vm
-        return jnp.where(anyv, mn_cov, mn_all)
-
-    xr = rep(x0p)  # (nt, hp, wp) window-anchor top-left tap texel
-    yr = rep(y0p)
+    # Window anchor per axis (shared with escape_tiles — see _rep_min).
+    xr = _rep_min(x0p, vp)  # (nt, hp, wp) window-anchor top-left texel
+    yr = _rep_min(y0p, vp)
     rw = table.blocks.shape[1]  # lane-padded block-row width
     reps = ry * rx
     q = table.blocks[((yr // b) * nbx + (xr // b)).reshape(-1)]

@@ -254,15 +254,28 @@ def render_frame_sharded(
         compact_ids = None
         if (band_live_cap is not None and band_live_cap < nt_band
                 and _planar_materials(materials)):
+            from bibim_tpu.pipeline.framegraph import _compact_ids
+
             live = jnp.any(px.tri_id >= 0, axis=1)
-            compact_ids, dropped = fused._compact_tile_list(
-                live, band_live_cap
+            # Sentinel-row dead slots (tri_id −1), matching the
+            # single-chip path: no dead recompute, and the sampling
+            # router classifies them as clean/uncovered.
+            compact_ids, dropped = _compact_ids(
+                live, band_live_cap, nt_band
             )
             diags.append(fused.BinDiag(
                 dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
                 dropped_pairs=jnp.int32(0), dropped_tiles=dropped,
             ))
-            px = jax.tree_util.tree_map(lambda p: p[compact_ids], px)
+
+            def _sub_plane(p, fill=0):
+                pp = jnp.pad(p, ((0, 1),) + ((0, 0),) * (p.ndim - 1),
+                             constant_values=fill)
+                return pp[compact_ids]
+
+            tri_c = _sub_plane(px.tri_id, -1)
+            px = jax.tree_util.tree_map(_sub_plane, px)._replace(
+                tri_id=tri_c)
 
         band_view = _band_view(band_settings, band_h)
         light_vis = None
@@ -299,7 +312,8 @@ def render_frame_sharded(
             # GGX in one Pallas pass) — bands keep the single-chip cost
             # structure per unit area.
             hdr3 = _sampled_hdr(px, materials, scene.lights, view_block,
-                                band_view, light_vis, gbuffer_mode=True)
+                                band_view, light_vis, gbuffer_mode=True,
+                                diags=diags)
         elif settings.deferred:
             g_pos, g_nrm, g_alb, g_mrah, valid = _materialize_gbuffer_planes(
                 px, materials, view_block, band_view
@@ -333,7 +347,8 @@ def render_frame_sharded(
                                        view_block, band_view,
                                        light_vis=light_vis,
                                        ibl=extras.get("ibl"),
-                                       fused_shade=_use_pallas(settings))
+                                       fused_shade=_use_pallas(settings),
+                                       diags=diags)
         if hdr3 is not None:
             hdr3 = _q16(hdr3, settings.quantize_fp16)
             ldr3 = tuple(
@@ -345,7 +360,8 @@ def render_frame_sharded(
         if compact_ids is not None:
             npx_c = ldr3[0].shape[1]
             ldr3 = tuple(
-                jnp.zeros((nt_band, npx_c), c.dtype).at[compact_ids].set(c)
+                jnp.zeros((nt_band + 1, npx_c), c.dtype)
+                .at[compact_ids].set(c)[:nt_band]
                 for c in ldr3
             )
 

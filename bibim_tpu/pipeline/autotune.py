@@ -61,6 +61,9 @@ class CapProbe(NamedTuple):
     small_pair_frac: float = 0.0  # fraction of live pairs from triangles
     # with bbox ≤ (tile_w/8 × tile_h) px — the fine-subtile kernel's win
     # is proportional to this (fused.raster_fused_pallas fine_bins)
+    escape_tiles: int = -1  # tiles where ANY covered pixel escapes its
+    # pair/quad sampling group's shared texel window (sizes the exact
+    # routing's sample_route_caps; −1 = not probed — needs materials)
 
 
 def _bin_stats(setup, settings, width, height):
@@ -164,9 +167,10 @@ def _bin_stats(setup, settings, width, height):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("settings", "measure_coverage")
+    jax.jit, static_argnames=("settings", "measure_coverage", "esc_probe")
 )
-def _probe_jit(scene, view_block, settings, measure_coverage):
+def _probe_jit(scene, view_block, settings, measure_coverage,
+               esc_probe=None):
     from bibim_tpu.pipeline.framegraph import (
         _assemble_and_raster,
         _use_planar,
@@ -202,15 +206,34 @@ def _probe_jit(scene, view_block, settings, measure_coverage):
         out["covered_tiles"] = jnp.sum(
             jnp.any(px.tri_id >= 0, axis=1).astype(jnp.int32)
         )
+        if esc_probe:
+            # Escape-tile demand for the exact sampling router (see
+            # framegraph._sampled_hdr): tiles where group-rate block
+            # sampling would clamp any covered pixel's footprint.
+            from bibim_tpu.ops import texture_quad as tq
+
+            pair_level, shapes = esc_probe
+            u, v = px.uv
+            valid = px.tri_id >= 0
+            flags = None
+            for (h, w) in shapes:
+                f = tq.escape_tiles_hw(h, w, u, v, valid, pair_level,
+                                       settings.tile_w)
+                flags = f if flags is None else (flags | f)
+            out["escape_tiles"] = jnp.sum(flags.astype(jnp.int32))
     return out
 
 
 def probe_frame_caps(scene, view_block, settings,
-                     measure_coverage: bool = True) -> CapProbe:
+                     measure_coverage: bool = True,
+                     esc_probe=None) -> CapProbe:
     """Measure one frame's capacity demands (one probe jit; cached per
     scene shape). ``measure_coverage=False`` skips the raster and uses
-    bin-live tiles as the coverage bound (conservative, cheaper)."""
-    out = _probe_jit(scene, view_block, settings, measure_coverage)
+    bin-live tiles as the coverage bound (conservative, cheaper).
+    ``esc_probe`` = (pair_level, ((h, w), ...block tables)) adds the
+    sampling router's escape-tile demand (needs the raster)."""
+    out = _probe_jit(scene, view_block, settings, measure_coverage,
+                     esc_probe=esc_probe if measure_coverage else None)
     out = {k: int(v) for k, v in out.items()}
     nt = (-(-settings.width // settings.tile_w)
           * -(-settings.height // settings.tile_h))
@@ -229,6 +252,7 @@ def probe_frame_caps(scene, view_block, settings,
         group_win=out["group_win"],
         dense_tiles=out["dense_tiles"],
         small_pair_frac=out["small_pairs"] / max(out["total_pairs"], 1),
+        escape_tiles=out.get("escape_tiles", -1),
     )
 
 
@@ -614,6 +638,22 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     # The derived raster_passes IS that signature.
     merged = passes > 1 and not settings.fine_bins
 
+    live_cap = live if live < probe.n_tiles else None
+
+    # Exact sampling-router pass sizes (framegraph._sampled_hdr): the
+    # clean pass holds every non-escaping slot (dead compact slots are
+    # clean), the exact pass the escaping tiles — both with margin, both
+    # validated (escape overflow → BinDiag.dropped_tiles; clean overflow
+    # cascades into the exact pass's margin).
+    route = settings.sample_route_caps
+    if settings.pair_sampling and probe.escape_tiles >= 0:
+        nt_prod = live_cap if live_cap is not None else probe.n_tiles
+        esc = min(probe.escape_tiles, nt_prod)
+        e_cap = min(_bucket(int(esc * margin) + 8, floor=32), nt_prod)
+        q_cap = min(_bucket(int((nt_prod - esc) * margin) + 8, floor=32),
+                    nt_prod)
+        route = (q_cap, e_cap)
+
     return dataclasses.replace(
         settings,
         max_candidates=mc,
@@ -624,14 +664,15 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
         span_mid_cap=span_mid,
         overflow_cap=_bucket(int(n_big * margin) + 16, floor=64),
         pair_budget=_bucket(int(pairs * margin), floor=4096),
-        live_tile_cap=live if live < probe.n_tiles else None,
+        live_tile_cap=live_cap,
         raster_tile_cap=raster if raster < probe.n_tiles else None,
         group_pair_cap=group_pair,
+        sample_route_caps=route,
     )
 
 
 def autotune_settings(scene, view_block, settings, margin: float = 1.25,
-                      measure_coverage: bool = True):
+                      measure_coverage: bool = True, materials=None):
     """Probe + derive in one call. Returns (settings, probe).
 
     If the derivation picks a different span_cap, the bin statistics are
@@ -639,15 +680,31 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
     "big", and their conservative cover inflates pass-0 grid liveness —
     bin counts measured at the old span would under-derive
     raster_tile_cap). Coverage (a raster result) is span-independent and
-    is not re-measured."""
+    is not re-measured.
+
+    ``materials``: the frame's material binding — with pair_sampling on,
+    the coverage probe also measures the escape-tile demand that sizes
+    sample_route_caps (only the block tables' (h, w) are read)."""
+    esc_probe = None
+    if settings.pair_sampling and materials is not None:
+        from bibim_tpu.ops import texture_quad as tq
+
+        shapes = tuple(
+            (t.height, t.width) for t in materials
+            if isinstance(t, tq.BlockTable)
+        ) if isinstance(materials, (tuple, list)) else ()
+        if shapes:
+            esc_probe = (int(settings.pair_sampling), shapes)
     probe = probe_frame_caps(scene, view_block, settings,
-                             measure_coverage=measure_coverage)
+                             measure_coverage=measure_coverage,
+                             esc_probe=esc_probe)
     derived = derive_settings(settings, probe, margin=margin)
     if derived.span_cap != settings.span_cap:
         base2 = dataclasses.replace(settings, span_cap=derived.span_cap)
         probe2 = probe_frame_caps(scene, view_block, base2,
                                   measure_coverage=False)
-        probe = probe2._replace(covered_tiles=probe.covered_tiles)
+        probe = probe2._replace(covered_tiles=probe.covered_tiles,
+                                escape_tiles=probe.escape_tiles)
         derived = derive_settings(base2, probe, margin=margin)
     # NOTE: auto-enabling fine_bins here (census small_pair_frac ≥ 0.75
     # + ≥96 candidates/live-tile) was measured a LOSS on config 4 — the

@@ -269,6 +269,18 @@ class RenderSettings:
     # vertical shift of the smooth penumbra). Halves the PCF stage's
     # gather-issue term. Off = per-pixel PCF (pinned by shadow tests).
     pair_visibility: bool = False
+    # Static (clean_cap, escape_cap) pass sizes for the exact per-tile
+    # routing that makes pair_sampling bit-exact (see _sampled_hdr).
+    # None = both passes sized at the full tile count (always exact,
+    # no compaction win); autotune derives tight caps. Validated
+    # capacity: escape tiles beyond escape_cap land in
+    # BinDiag.dropped_tiles and fail check_bin_diag.
+    sample_route_caps: tuple | None = None
+    # Debug/measurement switch: run the UNROUTED window-clamped pair
+    # sampler (round-3 behavior — partner pixels edge-clamp outside the
+    # shared window; error bounds pinned by tests/test_texture_pair.py).
+    # Production keeps this False: pair_sampling is then bit-exact.
+    pair_lossy: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -385,7 +397,12 @@ def _sample_one_material(mats, px: fused.FusedPixels,
         return tq.sample_material(
             mats, u, v, settings.tile_h, settings.tile_w,
             use_pallas=_use_pallas(settings),
-            pair_rows=settings.pair_sampling, valid=px.tri_id >= 0,
+            # Group-rate sampling here only in explicit lossy mode: this
+            # standalone path has no exact routing, and it doubles as the
+            # oracle the routed production path must bit-match.
+            pair_rows=(settings.pair_sampling if settings.pair_lossy
+                       else 0),
+            valid=px.tri_id >= 0,
         )
     if isinstance(mats, tuple) and mats             and isinstance(mats[0], tq.MipQuadTable):
         return tq.sample_material_mips(
@@ -512,28 +529,125 @@ def _is_quad_tuple(m) -> bool:
                     for t in m))
 
 
+def _effective_pair(materials, settings: RenderSettings) -> int:
+    """The pair_sampling level the fused sampled-shade path actually
+    runs: mip bindings force per-pixel sampling (LOD comes from
+    SCREEN-SPACE uv derivatives, which the member permutation would
+    scramble — trilinear bindings already gather at block-row rate)."""
+    pair = int(settings.pair_sampling)
+    if pair and any(isinstance(t, (tq.MipBlockMulti, tq.MipQuadMulti))
+                    for t in materials):
+        pair = 0
+    return pair
+
+
+def _compact_ids(mask, k: int, sentinel: int):
+    """Compact a (NT,) mask to k slot indices; dead slots get
+    ``sentinel`` (a scratch row the caller pads on and slices off — no
+    idempotency games). Returns (ids (k,), overflow count)."""
+    nt = mask.shape[0]
+    k = min(int(k), nt)
+    neg = jnp.where(mask, -jnp.arange(nt, dtype=jnp.int32),
+                    jnp.int32(-(1 << 30)))
+    top, _ = jax.lax.top_k(neg, k)
+    live = top > -(1 << 30)
+    ids = jnp.where(live, -top, jnp.int32(sentinel))
+    over = jnp.maximum(jnp.sum(mask, dtype=jnp.int32) - k, 0)
+    return ids, over
+
+
 def _sampled_hdr(px, materials, lights, view_block,
-                 settings: RenderSettings, light_vis, gbuffer_mode: bool):
+                 settings: RenderSettings, light_vis, gbuffer_mode: bool,
+                 diags: list | None = None):
+    """Sampled-shade stage with EXACT group-rate routing.
+
+    With ``pair_sampling`` on, block-table groups share one texture-row
+    gather per 2×1/2×2 pixel group — bit-exact for every pixel whose
+    bilinear footprint lands inside the group's gathered (B+1)² texel
+    window, edge-clamped (approximate) outside it. Escapes are the rule,
+    not the exception, under minification (measured 76% of covered
+    quad-groups on the 1080p headline frame, tools/exp_escape.py) — but
+    they are BIMODAL per tile: ground-plane tiles escape almost wholesale
+    while ball/near-field tiles are fully exact. So the frame routes per
+    tile: tiles with zero escapes (ops/texture_quad.escape_tiles — same
+    integer window math as the sampler) take the group-rate pass, tiles
+    with any escape take a per-pixel exact pass, and the HDR planes
+    scatter back by slot. The result is bit-identical to pair_sampling=0
+    BY CONSTRUCTION while cutting ~3/4 of the gather-issue term on clean
+    tiles (the sampling stage's dominant cost, docs/PERFORMANCE.md).
+
+    ``sample_route_caps`` = (clean_cap, escape_cap) static pass sizes —
+    validated capacities like every other compaction: clean tiles beyond
+    clean_cap overflow into the exact pass (always correct), escape
+    tiles beyond escape_cap are counted in BinDiag.dropped_tiles and
+    fail check_bin_diag loudly. ``pair_lossy=True`` restores the
+    unrouted window-clamped sampler (measurement tool, not production).
+    """
+    pair = _effective_pair(materials, settings)
+    route = (pair > 0 and not settings.pair_lossy
+             and any(isinstance(t, tq.BlockTable) for t in materials))
+    if not route:
+        return _sampled_hdr_pass(px, materials, lights, view_block,
+                                 settings, light_vis, gbuffer_mode, pair)
+
+    u, v = px.uv
+    valid = px.tri_id >= 0
+    nt, npx = valid.shape
+    flags = None
+    for t in materials:
+        if isinstance(t, tq.BlockTable):
+            f = tq.escape_tiles(t, u, v, valid, pair, settings.tile_w)
+            flags = f if flags is None else (flags | f)
+    q_cap, e_cap = settings.sample_route_caps or (nt, nt)
+    q_cap, e_cap = min(int(q_cap), nt), min(int(e_cap), nt)
+    clean = ~flags
+    # Clean tiles beyond the clean pass's capacity run exact instead —
+    # conservative in both directions (the exact pass is always right).
+    rank = jnp.cumsum(clean.astype(jnp.int32)) - 1
+    over_q = clean & (rank >= q_cap)
+    clean_ids, _ = _compact_ids(clean & ~over_q, q_cap, nt)
+    esc_ids, esc_over = _compact_ids(flags | over_q, e_cap, nt)
+    if diags is not None:
+        diags.append(fused.BinDiag(
+            dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
+            dropped_pairs=jnp.int32(0), dropped_tiles=esc_over,
+        ))
+
+    def sub(tree, ids):
+        def g(p):
+            pp = jnp.pad(p, ((0, 1),) + ((0, 0),) * (p.ndim - 1))
+            return pp[ids]
+        return jax.tree_util.tree_map(g, tree)
+
+    out = [jnp.zeros((nt + 1, npx), jnp.float32) for _ in range(3)]
+    for ids, cap_pair in ((clean_ids, pair), (esc_ids, 0)):
+        hdr = _sampled_hdr_pass(
+            sub(px, ids), materials, lights, view_block, settings,
+            sub(light_vis, ids) if light_vis else None,
+            gbuffer_mode, cap_pair,
+        )
+        out = [o.at[ids].set(c) for o, c in zip(out, hdr)]
+    return tuple(o[:nt] for o in out)
+
+
+def _sampled_hdr_pass(px, materials, lights, view_block,
+                      settings: RenderSettings, light_vis,
+                      gbuffer_mode: bool, pair: int):
     """ONE Pallas pass from sampled materials to masked HDR planes:
     block-table blend + small-table MXU select + normal map + (deferred)
     G-buffer masking/fp16 quantization + the GGX light loop
     (ops/shading_pallas.shade_sampled_pallas). Replaces the
     [_sample_materials → apply_normal_map → _q16 → shade] chain on the
     production TPU path — every plane between the texture gather and the
-    HDR output stays in VMEM."""
+    HDR output stays in VMEM. ``pair`` = the group-rate level for block
+    tables (callers route tiles so that pair > 0 is bit-exact here; see
+    _sampled_hdr)."""
     from bibim_tpu.ops.shading_pallas import (
         SAMPLED_SMALL_ROWS,
         shade_sampled_pallas,
     )
 
     u, v = px.uv
-    pair = int(settings.pair_sampling)
-    if pair and any(isinstance(t, (tq.MipBlockMulti, tq.MipQuadMulti))
-                    for t in materials):
-        # Mip preps derive LOD from SCREEN-SPACE uv derivatives, which
-        # the member permutation would scramble; trilinear bindings keep
-        # per-pixel sampling (they already gather at block-row rate).
-        pair = 0
     # Measured layout choice (tools/exp_pair.py, 1080p headline):
     # pair level (2 px/gather) is fastest with the PIXEL layout + one
     # XLA repeat (6.98 ms vs 9.01 member); quad level (4 px/gather) is
@@ -713,7 +827,7 @@ def _materialize_gbuffer_planes(px, materials, view_block,
 
 
 def _forward_hdr(px, materials, lights, view_block, settings,
-                 light_vis=None, ibl=None, fused_shade=False):
+                 light_vis=None, ibl=None, fused_shade=False, diags=None):
     """True forward lighting path (forward_brdf.vert/.frag, subpass 2 at
     main.cpp:106-113): shade at fragment rate straight from the sampled
     material taps and the interpolated vertex attributes — full f32, no
@@ -728,7 +842,7 @@ def _forward_hdr(px, materials, lights, view_block, settings,
         # Sampling + normal map + lighting in ONE Pallas pass (no
         # G-buffer, no quantize — forward_brdf.frag shades raw samples).
         hdr3 = _sampled_hdr(px, materials, lights, view_block, settings,
-                            light_vis, gbuffer_mode=False)
+                            light_vis, gbuffer_mode=False, diags=diags)
         return hdr3, valid
     slots = _sample_materials(materials, px, settings)
     albedo = (slots["alb_r"], slots["alb_g"], slots["alb_b"])
@@ -1298,18 +1412,56 @@ def render_frame(
                 jnp.sum(live, dtype=jnp.int32) - settings.live_tile_cap, 0
             ),
         ))
+    if (settings.outputs == "full" and settings.sample_route_caps
+            and settings.pair_sampling and not settings.pair_lossy
+            and _is_quad_tuple(materials)
+            and any(isinstance(t, tq.BlockTable) for t in materials)
+            and _effective_pair(materials, settings)):
+        # Debug frames shade through the XLA oracle, but still validate
+        # the production routing caps (same pattern as live_tile_cap
+        # above): escape tiles beyond escape_cap, plus clean-slot
+        # overflow that would cascade into the exact pass.
+        pair_eff = _effective_pair(materials, settings)
+        u0, v0 = px.uv
+        valid0 = px.tri_id >= 0
+        flags0 = None
+        for t in materials:
+            if isinstance(t, tq.BlockTable):
+                f = tq.escape_tiles(t, u0, v0, valid0, pair_eff,
+                                    settings.tile_w)
+                flags0 = f if flags0 is None else (flags0 | f)
+        nt_prod = min(settings.live_tile_cap or nt_full, nt_full) \
+            if can_compact else nt_full
+        q_cap, e_cap = settings.sample_route_caps
+        esc_n = jnp.sum(flags0, dtype=jnp.int32)
+        over_q = jnp.maximum(nt_prod - esc_n - min(int(q_cap), nt_prod), 0)
+        diags.append(fused.BinDiag(
+            dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
+            dropped_pairs=jnp.int32(0),
+            dropped_tiles=jnp.maximum(
+                esc_n + over_q - min(int(e_cap), nt_prod), 0),
+        ))
     if can_compact and settings.outputs != "full":
         live = jnp.any(px.tri_id >= 0, axis=1)
-        # Dead slots re-shade the first listed tile (idempotent under the
-        # scatter-back).
-        compact_ids, dropped = fused._compact_tile_list(
-            live, settings.live_tile_cap
+        # Dead slots gather a sentinel row (tri_id −1, attrs 0): truly
+        # dead downstream — no recompute, and the sampling router sees
+        # them as clean/uncovered (a first-live-tile duplicate would
+        # inherit that tile's escape flag and bloat the exact pass).
+        compact_ids, dropped = _compact_ids(
+            live, settings.live_tile_cap, nt_full
         )
         diags.append(fused.BinDiag(
             dropped_overflow=jnp.int32(0), dropped_cap=jnp.int32(0),
             dropped_pairs=jnp.int32(0), dropped_tiles=dropped,
         ))
-        px = jax.tree_util.tree_map(lambda p: p[compact_ids], px)
+
+        def _sub_plane(p, fill=0):
+            pp = jnp.pad(p, ((0, 1),) + ((0, 0),) * (p.ndim - 1),
+                         constant_values=fill)
+            return pp[compact_ids]
+
+        tri_c = _sub_plane(px.tri_id, -1)
+        px = jax.tree_util.tree_map(_sub_plane, px)._replace(tri_id=tri_c)
 
     valid = px.tri_id >= 0
 
@@ -1343,6 +1495,7 @@ def render_frame(
                 light_vis=light_vis, ibl=ibl,
                 fused_shade=(_use_pallas(settings)
                              and settings.outputs != "full"),
+                diags=diags,
             )
     else:
         zero = jnp.zeros_like(px.depth)
@@ -1365,7 +1518,8 @@ def render_frame(
             # (Mosaic has no exp-parity guarantee vs XLA; see
             # _pbr_ldr_fused).
             hdr3_s = _sampled_hdr(px, materials, scene.lights, view_block,
-                                  settings, light_vis, gbuffer_mode=True)
+                                  settings, light_vis, gbuffer_mode=True,
+                                  diags=diags)
             hdr3_s = _q16(hdr3_s, settings.quantize_fp16)
             ldr3_fused = tuple(
                 tone_map(c, frame_params.enable_tone_mapping,
@@ -1450,7 +1604,8 @@ def render_frame(
     if compact_ids is not None:
         npx_c = ldr3[0].shape[1]
         ldr3 = tuple(
-            jnp.zeros((nt_full, npx_c), c.dtype).at[compact_ids].set(c)
+            jnp.zeros((nt_full + 1, npx_c), c.dtype)
+            .at[compact_ids].set(c)[:nt_full]
             for c in ldr3
         )
 

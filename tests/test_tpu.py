@@ -315,6 +315,18 @@ def test_sharded_band_kernel_compiled(tpu_backend):
     assert diff.max() <= 1
     assert (diff > 0).any(axis=-1).mean() < 0.02
 
+    # Production sampler on the band path (VERDICT r3 #6): quad-rate
+    # routing is band-local (pair groups live inside 8-row tiles, tiles
+    # inside bands), so the sharded routed image must BIT-match the
+    # sharded exact image.
+    import dataclasses
+
+    s_pair = dataclasses.replace(s, pair_sampling=2,
+                                 sample_route_caps=(128, 128))
+    routed = render_frame_sharded(mesh, scene.scene_data(), vb, fp, mats,
+                                  s_pair)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(routed))
+
 
 def test_sampled_shade_kernel_compiled(tpu_backend):
     """Production deferred image (ONE fused sampling+normal-map+quantize+
@@ -356,3 +368,64 @@ def test_sampled_shade_kernel_compiled(tpu_backend):
     diff = np.abs(a - b)
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
     assert (diff > 0).any(axis=-1).mean() < 0.02
+
+
+def test_pair_sampling_routed_exact(tpu_backend):
+    """THE headline parity pin (VERDICT r3 #1): the production quad-rate
+    sampler (pair_sampling with exact tile routing, _sampled_hdr) is
+    BIT-IDENTICAL to per-pixel sampling on the compiled production path,
+    at both pair levels, with and without autotuned route caps."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, make_overlay_resources,
+        material_quads_from_set, render_frame,
+    )
+    from bibim_tpu.pipeline.autotune import autotune_settings
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+    from bibim_tpu.utils.validation import check_bin_diag
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(1),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = material_quads_from_set(create_pbr_material_set(),
+                                   scene.selected_material)
+    overlay = make_overlay_resources()
+    s = RenderSettings(width=W, height=H, outputs="image",
+                       max_candidates=1024, span_cap=64, overflow_cap=256)
+    data = scene.scene_data()
+    base = np.asarray(jax.device_get(
+        render_frame(data, vb, fp, mats, overlay, s)["image"]))
+    for pair in (1, 2):
+        routed = np.asarray(jax.device_get(render_frame(
+            data, vb, fp, mats, overlay,
+            dataclasses.replace(s, pair_sampling=pair))["image"]))
+        np.testing.assert_array_equal(base, routed), pair
+
+    # Autotuned caps + coverage compaction, validated via image+diag.
+    s2, probe = autotune_settings(
+        data, vb, dataclasses.replace(s, pair_sampling=2), margin=1.2,
+        materials=mats,
+    )
+    assert s2.sample_route_caps is not None
+    assert probe.escape_tiles >= 0
+    s2 = dataclasses.replace(s2, outputs="image+diag")
+    out = render_frame(data, vb, fp, mats, overlay, s2)
+    check_bin_diag(jax.device_get(out["bin_diag"]))
+    exact2 = np.asarray(jax.device_get(render_frame(
+        data, vb, fp, mats, overlay,
+        dataclasses.replace(s2, pair_sampling=0))["image"]))
+    np.testing.assert_array_equal(
+        exact2, np.asarray(jax.device_get(out["image"])))
