@@ -97,16 +97,34 @@ _PAGE = """<!doctype html>
 <div id="bar">
   <b>bibim_tpu</b>
   <span>click image &rarr; drag = look, WASD = move</span>
-  <label>exposure <input id="exp" type="range" min="0.1" max="4" step="0.1"
-    value="1"></label>
-  <label>tonemap <input id="tm" type="checkbox" checked></label>
+  <label>scene <select id="scene">
+    <option>shaderball</option><option>triangle</option>
+    <option>gizmo</option><option>cube</option>
+  </select></label>
+  <label>path <select id="path">
+    <option value="deferred">deferred</option>
+    <option value="forward">forward</option>
+  </select></label>
   <label>viz <select id="viz">
     <option>scene</option><option>position</option><option>normal</option>
     <option>albedo</option><option>mrha</option><option>matindex</option>
   </select></label>
   <span id="stats"></span>
 </div>
+<div id="bar">
+  <label>exposure <input id="exp" type="range" min="0.1" max="4" step="0.1"
+    value="1"></label>
+  <label>tonemap <input id="tm" type="checkbox" checked></label>
+  <label>normal map <input id="nm" type="checkbox"></label>
+  <label>TBN <input id="tbn" type="checkbox"></label>
+  <label>HUD <input id="hud" type="checkbox"></label>
+  <label>instances <input id="inst" type="number" min="1" max="100"
+    value="1" style="width:4em"></label>
+  <label>material <select id="mat"></select></label>
+  <label>preview <input id="showprev" type="checkbox"></label>
+</div>
 <img id="view" src="/stream">
+<img id="prev" style="display:none; margin-top:8px" width="768">
 <script>
 const view = document.getElementById('view');
 const post = (ev) => fetch('/event', {method: 'POST',
@@ -131,15 +149,57 @@ window.addEventListener('keyup', (e) => {
   const k = KEYS[e.key.toLowerCase()];
   if (k) post({key: k, down: false});
 });
-document.getElementById('exp').addEventListener('input', (e) =>
+const el = (id) => document.getElementById(id);
+el('exp').addEventListener('input', (e) =>
   post({set: {exposure: parseFloat(e.target.value)}}));
-document.getElementById('tm').addEventListener('change', (e) =>
+el('tm').addEventListener('change', (e) =>
   post({set: {enable_tone_mapping: e.target.checked}}));
-document.getElementById('viz').addEventListener('change', (e) =>
+el('viz').addEventListener('change', (e) =>
   post({set: {gbuffer_viz: e.target.value}}));
+el('scene').addEventListener('change', (e) =>
+  post({set: {scene: e.target.value}}));
+el('path').addEventListener('change', (e) =>
+  post({set: {deferred: e.target.value === 'deferred'}}));
+el('nm').addEventListener('change', (e) =>
+  post({set: {enable_normal_map: e.target.checked}}));
+el('tbn').addEventListener('change', (e) =>
+  post({set: {enable_tbn: e.target.checked}}));
+el('hud').addEventListener('change', (e) =>
+  post({set: {show_hud: e.target.checked}}));
+el('inst').addEventListener('change', (e) =>
+  post({set: {num_instances: Math.max(1, parseInt(e.target.value) || 1)}}));
+const updatePreview = () => {
+  const show = el('showprev').checked;
+  el('prev').style.display = show ? '' : 'none';
+  if (show) el('prev').src = '/preview/' + el('mat').value +
+    '.jpg?t=' + Date.now();
+};
+el('mat').addEventListener('change', (e) => {
+  post({set: {selected_material: parseInt(e.target.value)}});
+  updatePreview();
+});
+el('showprev').addEventListener('change', updatePreview);
+(async () => {
+  // Initialize every control from the session's live UI state + the
+  // material list (the reference GUI reflects scene state the same way).
+  const ui = await (await fetch('/ui')).json();
+  const mats = await (await fetch('/materials')).json();
+  el('mat').innerHTML = mats.names.map((n, i) =>
+    `<option value="${i}">${n}</option>`).join('');
+  el('mat').value = ui.selected_material;
+  el('scene').value = ui.scene;
+  el('path').value = ui.deferred ? 'deferred' : 'forward';
+  el('viz').value = ui.gbuffer_viz;
+  el('exp').value = ui.exposure;
+  el('tm').checked = ui.enable_tone_mapping;
+  el('nm').checked = ui.enable_normal_map;
+  el('tbn').checked = ui.enable_tbn;
+  el('hud').checked = ui.show_hud;
+  el('inst').value = ui.num_instances;
+})();
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
-  document.getElementById('stats').textContent =
+  el('stats').textContent =
     s.fps.toFixed(1) + ' fps  ' + s.size[0] + 'x' + s.size[1];
 }, 1000);
 </script></body></html>
@@ -159,6 +219,7 @@ class ViewerServer:
         self.quality = quality
         self.max_fps = max_fps
         self.frames = 0
+        self._previews: dict = {}  # material idx → preview JPEG bytes
         self._events: list[dict] = []
         self._ev_lock = threading.Lock()
         self._running = False
@@ -195,6 +256,32 @@ class ViewerServer:
                         "size": [w, h],
                     }).encode()
                     self._send(200, "application/json", body)
+                elif self.path == "/ui":
+                    from dataclasses import asdict
+
+                    self._send(200, "application/json",
+                               json.dumps(asdict(viewer.session.ui))
+                               .encode())
+                elif self.path == "/materials":
+                    names = list(viewer.session.material_set().names)
+                    body = json.dumps({
+                        "names": names,
+                        "selected": viewer.session.ui.selected_material,
+                    }).encode()
+                    self._send(200, "application/json", body)
+                elif (self.path.startswith("/preview/")
+                      and self.path.split("?")[0].endswith(".jpg")):
+                    stem = self.path.split("?")[0][len("/preview/"):-4]
+                    try:
+                        idx = int(stem)
+                    except ValueError:
+                        self._send(404, "text/plain", b"bad material index")
+                        return
+                    data = viewer.material_preview_jpeg(idx)
+                    if data is None:
+                        self._send(404, "text/plain", b"no such material")
+                    else:
+                        self._send(200, "image/jpeg", data)
                 elif self.path == "/stream":
                     self.send_response(200)
                     self.send_header(
@@ -246,6 +333,31 @@ class ViewerServer:
         self._http_thread = threading.Thread(
             target=self.httpd.serve_forever, name="bibim-http", daemon=True
         )
+
+    def material_preview_jpeg(self, idx: int, tile: int = 128):
+        """One material's PBR map strip as JPEG (the ImGui material
+        preview analog, scene.cpp:152-168): one tile per map type,
+        left→right in PBRMapType order. Cached per index."""
+        from bibim_tpu.assets.materials import PBRMapType
+
+        ms = self.session.material_set()
+        if not (0 <= idx < len(ms.names)):
+            return None
+        cached = self._previews.get(idx)
+        if cached is not None:
+            return cached
+        from PIL import Image
+
+        cols = list(PBRMapType)
+        strip = np.zeros((tile, len(cols) * tile, 3), np.uint8)
+        for ci, t in enumerate(cols):
+            img = np.asarray(ms.get_pbr_map_or_default(idx, t)[0])
+            im = Image.fromarray(img[:, :, :3]).resize(
+                (tile, tile), Image.BILINEAR)
+            strip[:, ci * tile:(ci + 1) * tile] = np.asarray(im)
+        data = encode_frame_jpeg(strip, quality=90)
+        self._previews[idx] = data
+        return data
 
     # -- the frame loop (main.cpp:1131-1381, events → render → present) ----
 

@@ -119,9 +119,14 @@ class Session:
     @property
     def scene(self):
         name = self.ui.scene
-        if name not in self._scenes:
-            self._scenes[name] = _make_scene(name, self.ui)
-        return self._scenes[name]
+        # Instance count is part of the scene identity (the viewer's
+        # instance selector rebuilds the ShaderBall scene, matching the
+        # reference's per-scene GUI, scene.cpp:128-139).
+        key = (name,
+               self.ui.num_instances if name == "shaderball" else 0)
+        if key not in self._scenes:
+            self._scenes[key] = _make_scene(name, self.ui)
+        return self._scenes[key]
 
     def material_set(self):
         if self._material_set is None:
