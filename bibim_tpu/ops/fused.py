@@ -80,7 +80,9 @@ _T = 31  # tangent corners
 _W = 40  # world-position corners
 _COL = 49  # vertex-color corners
 _MAT = 58  # material id of the triangle (corner-0 vertex)
-_USED = 59
+_ZUB = 59  # conservative NDC-depth upper bound (setup.zub) — the
+# early-z coverage loop's remaining-work bound (0 for culled rows)
+_USED = 60
 
 
 class FusedPixels(NamedTuple):
@@ -158,6 +160,8 @@ def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
         corners(8), corners(9), corners(10),  # w 40:49
         corners(11), corners(12), corners(13),  # col 49:58
         va[:, 0:1, 14],  # mat (corner 0) 58
+        (setup.zub[:, None] if setup.zub is not None
+         else jnp.zeros((t, 1), jnp.float32)),  # 59
         jnp.zeros((t, REC_CH - _USED), jnp.float32),
     ]
     rec = jnp.concatenate(cols, axis=-1)
@@ -183,6 +187,8 @@ def build_record_table_planar(setup: PlanarSetup, soup) -> jnp.ndarray:
         *soup.world[0], *soup.world[1], *soup.world[2],  # 40:49
         *soup.color[0], *soup.color[1], *soup.color[2],  # 49:58
         soup.mat,  # 58
+        (setup.zub if setup.zub is not None
+         else jnp.zeros_like(setup.valid, jnp.float32)),  # 59
     ]
     assert len(planes) == _USED
     cm = jnp.stack(planes, axis=0)  # (59, T) — sublane-dim stack, dense
@@ -233,6 +239,7 @@ def bin_pairs(
     max_candidates: int = 320,
     pair_budget: int | None = None,
     span_mid_cap: int | None = None,
+    zorder: bool = False,
 ):
     """Sort-based sparse binning: (triangle, tile) pairs → contiguous
     per-tile [start, count) ranges into one sorted pair list.
@@ -358,6 +365,15 @@ def bin_pairs(
         tri_of_pair = jnp.concatenate(
             [tri_d.reshape(-1), tri_m.reshape(-1)]
         )
+        flat_zub = None
+        if zorder and setup.zub is not None:
+            zub_m = jnp.where(mvalid, setup.zub[msel], 0.0)
+            flat_zub = jnp.concatenate([
+                jnp.broadcast_to(setup.zub[None, :],
+                                 (SPAN_DENSE, t)).reshape(-1),
+                jnp.broadcast_to(zub_m[:, None],
+                                 (span_mid_cap, span_cap)).reshape(-1),
+            ])
         # Mid triangles beyond the cap lose ALL their pairs — count them.
         total_mid_pairs = jnp.sum(jnp.where(mid, area, 0))
         kept_mid_pairs = jnp.sum(area_m)
@@ -371,6 +387,10 @@ def bin_pairs(
         tri_of_pair = jnp.broadcast_to(
             jnp.arange(t, dtype=jnp.int32)[None, :], (span_cap, t)
         ).reshape(-1)
+        flat_zub = None
+        if zorder and setup.zub is not None:
+            flat_zub = jnp.broadcast_to(
+                setup.zub[None, :], (span_cap, t)).reshape(-1)
         # Smallest overflow_cap indices of `big` via top_k on negated
         # ids (nonzero() was measured slower on TPU).
         neg = jnp.where(big, -jnp.arange(t, dtype=jnp.int32),
@@ -394,9 +414,23 @@ def bin_pairs(
     # fixed per-round HBM latency at binning sizes.
     from bibim_tpu.ops.sort_pallas import sort_pairs as _sort_pairs
 
-    sorted_tile, sorted_tri = _sort_pairs(
-        flat_tile, tri_of_pair, nt, t_count=int(area.shape[0])
-    )
+    if zorder and setup.zub is not None:
+        # Early-z candidate ordering: per tile, DESCENDING conservative
+        # depth bucket (reversed-Z: near first), draw order within a
+        # bucket. The kernel's explicit draw-order tie carry keeps
+        # results bit-identical to the draw-ordered scan; the ordering
+        # only enables the coverage loop's remaining-work break.
+        from bibim_tpu.ops.sort_pallas import sort_pairs_z, zorder_bits
+
+        sorted_tile, sorted_tri = sort_pairs_z(
+            flat_tile, flat_zub, tri_of_pair, nt,
+            t_count=int(area.shape[0]),
+            bits=zorder_bits(nt, int(area.shape[0])),
+        )
+    else:
+        sorted_tile, sorted_tri = _sort_pairs(
+            flat_tile, tri_of_pair, nt, t_count=int(area.shape[0])
+        )
 
     boundaries = jnp.searchsorted(
         sorted_tile, jnp.arange(nt + 1, dtype=jnp.int32)
@@ -505,6 +539,91 @@ def _coverage_loop(scratch, px, py, chunk_idx, base, count, carry):
     )
 
 
+def _chunk_test_ord(blk, px, py, chunk_idx, k, base, count, carry):
+    """:func:`_chunk_test` with an EXPLICIT draw-order tie carry: the
+    winner is the lexicographic argmax of (masked depth key, triangle
+    id) over the candidate SET — order-independent, so the early-z
+    schedule may scan candidates near-first. Ties the scan-position rule
+    resolved by window position (the documented big/small-split and
+    multipass knife-edges) resolve here by TRUE draw order — the
+    reference's submission-order rule (render.cpp:1121 GEQ + draw
+    order). carry = (best_key, best_ord, best_cand)."""
+    best_key, best_ord, best_cand = carry
+
+    def coef(j):
+        return blk[:, j][:, None]  # (CHUNK, 1)
+
+    e0 = coef(_A + 0) * px + coef(_B + 0) * py + coef(_C + 0)
+    e1 = coef(_A + 1) * px + coef(_B + 1) * py + coef(_C + 1)
+    e2 = coef(_A + 2) * px + coef(_B + 2) * py + coef(_C + 2)
+    zn = coef(_ZC) * px + coef(_ZC + 1) * py + coef(_ZC + 2)
+    wn = coef(_WC) * px + coef(_WC + 1) * py + coef(_WC + 2)
+
+    live = (k + chunk_idx) < count
+    ok = (
+        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+        & (wn > 0.0) & (zn >= 0.0) & (zn <= wn)
+    )
+    z = zn * pl.reciprocal(jnp.where(wn == 0.0, 1.0, wn), approx=False)
+    z = jnp.where(ok, z, -1.0)  # negative float → negative bits
+    kz = pltpu.bitcast(z, jnp.int32) & _LOW3
+    ordc = jnp.where(ok, coef(_ID), -1.0)  # tri id + 1; −1 when dead
+    kmax = jnp.max(kz, axis=0, keepdims=True)  # (1, NPX)
+    omax = jnp.max(jnp.where(kz == kmax, ordc, -1.0), axis=0,
+                   keepdims=True)
+    rsel = (kz == kmax) & (ordc == omax)
+    ridx = jnp.max(jnp.where(rsel, chunk_idx, -1), axis=0, keepdims=True)
+    accept = (kmax > best_key) | ((kmax == best_key) & (omax >= best_ord))
+    return (
+        jnp.where(accept, kmax, best_key),
+        jnp.where(accept, omax, best_ord),
+        jnp.where(accept, base + k + ridx, best_cand),
+    )
+
+
+_ZB_SENTINEL = 1 << 20  # > any depth bucket (buckets are < 2^16)
+
+
+def _coverage_loop_earlyz(scratch, px, py, chunk_idx, base, count, carry,
+                          nov_chunks, zsh: int):
+    """Early-z coverage scan. Chunks past the overflow prefix hold
+    candidates in DESCENDING conservative-depth-bucket order
+    (bin_pairs zorder), so once every pixel's winner key is at or above
+    the remaining candidates' bucket upper bound the loop BREAKS: a
+    remaining row's masked key is strictly below every winner and can
+    neither beat nor tie it (ties go through the explicit draw-order
+    carry, which only engages at EQUAL keys). ``zsh`` must match the
+    sort's bucket shift (sort_pallas.zbucket)."""
+    nc = lax.div(count + (CHUNK - 1), CHUNK)
+    row_iota = chunk_idx[:, :1]  # (CHUNK, 1)
+
+    def cond(state):
+        c, _ = state
+        return c < nc
+
+    def body(state):
+        c, carry = state
+        k = c * CHUNK
+        blk = scratch[pl.ds(base + k, CHUNK), :]
+        carry = _chunk_test_ord(blk, px, py, chunk_idx, k, base, count,
+                                carry)
+        # Remaining-work bound: the chunk's min LIVE bucket upper-bounds
+        # every later candidate's depth (descending order).
+        live_col = (k + row_iota) < count
+        bucket = pltpu.bitcast(blk[:, _ZUB][:, None], jnp.int32) >> zsh
+        bmin = jnp.min(jnp.where(live_col, bucket,
+                                 jnp.int32(_ZB_SENTINEL)))
+        minbest = jnp.min(carry[0])
+        # Only CANDIDATE chunks (past the unsorted overflow prefix) may
+        # bound the remaining work.
+        done = ((c >= nov_chunks) & (bmin < _ZB_SENTINEL)
+                & (((bmin + 1) << zsh) <= minbest))
+        return (jnp.where(done, nc, c + 1), carry)
+
+    _, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
+    return carry
+
+
 def _resolve_winner(scratch, best_cand, rows, npx):
     """One-hot MXU resolve: broadcast the winning candidate's full record
     row to every pixel. The one-hot select must be f32-exact, but the
@@ -572,10 +691,21 @@ def _fused_kernel(
     group: int,
     merged: bool = False,
     out_fields: tuple = _OUT_FIELDS,
+    earlyz: bool = False,
+    zsh: int = 0,
 ):
-    zkey_out = refs[0]
-    outs = dict(zip(out_fields, refs[1 : 1 + len(out_fields)]))
-    slabs, sem = refs[1 + len(out_fields) :]
+    if earlyz:
+        # Extra input: (G, th, tw) f32 winner-ord chain plane; extra
+        # output: the winner's draw-order carry (multipass chaining).
+        oinit_ref = refs[0]
+        zkey_out = refs[1]
+        okey_out = refs[2]
+        outs = dict(zip(out_fields, refs[3: 3 + len(out_fields)]))
+        slabs, sem = refs[3 + len(out_fields):]
+    else:
+        zkey_out = refs[0]
+        outs = dict(zip(out_fields, refs[1: 1 + len(out_fields)]))
+        slabs, sem = refs[1 + len(out_fields):]
     npx = tile_h * tile_w
 
     i = pl.program_id(0)
@@ -633,7 +763,11 @@ def _fused_kernel(
         cnts.append(nb_al + cnt)
         # The driver always materializes an init plane (zeros = clear).
         init_key = init_ref[j].reshape(1, npx) & _LOW3
-        carries.append((init_key, jnp.full((1, npx), -1, jnp.int32)))
+        if earlyz:
+            carries.append((init_key, oinit_ref[j].reshape(1, npx),
+                            jnp.full((1, npx), -1, jnp.int32)))
+        else:
+            carries.append((init_key, jnp.full((1, npx), -1, jnp.int32)))
 
     if merged and group > 1:
         # ONE fori_loop for the whole group: iteration c tests chunk c
@@ -642,20 +776,24 @@ def _fused_kernel(
         # results stay bit-identical to the per-tile loops). Saves
         # (group − 1) dynamic-loop setups per step; the dead-chunk work
         # it adds is bounded by the group's count spread, which the
-        # driver's chunk-class slot sort keeps small.
+        # driver's chunk-class slot sort keeps small. (With earlyz the
+        # dual-key test runs, but the group loop has no break yet —
+        # autotune prefers the per-tile loop when early_z is on.)
         for j in range(group):
             tile_dma(i, j, slot).wait()
         cmax = cnts[0]
         for c in cnts[1:]:
             cmax = jnp.maximum(cmax, c)
 
+        test = _chunk_test_ord if earlyz else _chunk_test
+
         def gbody(c, carry):
             k = c * CHUNK
             out = []
             for j in range(group):
                 blk = slabs[slot, j, pl.ds(base + k, CHUNK), :]
-                out.append(_chunk_test(blk, pxs[j], pys[j], chunk_idx,
-                                       k, base, cnts[j], carry[j]))
+                out.append(test(blk, pxs[j], pys[j], chunk_idx,
+                                k, base, cnts[j], carry[j]))
             return tuple(out)
 
         carries = lax.fori_loop(
@@ -666,8 +804,18 @@ def _fused_kernel(
     for j in range(group):
         scratch = slabs.at[slot, j]
         px, py = pxs[j], pys[j]
+        best_ord = None
         if merged and group > 1:
-            best_key, best_cand = carries[j]
+            if earlyz:
+                best_key, best_ord, best_cand = carries[j]
+            else:
+                best_key, best_cand = carries[j]
+        elif earlyz:
+            tile_dma(i, j, slot).wait()
+            best_key, best_ord, best_cand = _coverage_loop_earlyz(
+                scratch, px, py, chunk_idx, base, cnts[j], carries[j],
+                lax.div(nb_al, CHUNK), zsh,
+            )
         else:
             tile_dma(i, j, slot).wait()
             best_key, best_cand = _coverage_loop(
@@ -675,6 +823,8 @@ def _fused_kernel(
             )
 
         zkey_out[j] = best_key.reshape(tile_h, tile_w)
+        if earlyz:
+            okey_out[j] = best_ord.reshape(tile_h, tile_w)
 
         def resolve(scratch=scratch, best_cand=best_cand, px=px, py=py,
                     j=j):
@@ -1168,6 +1318,13 @@ def raster_fused_pallas(
     # configs (x64: −0.37 ms), loses on the single-pass thin-tile
     # headline — autotune derives it from raster_passes
     # (tools/exp_merged.py).
+    earlyz: bool = False,  # early-z coverage: per-tile candidates sort
+    # by DESCENDING conservative depth bucket (setup.zub) and the
+    # coverage loop BREAKS once every pixel's winner provably beats all
+    # remaining candidates. Bit-identical results: the winner is the
+    # lexicographic argmax of (masked key, triangle id), with the
+    # draw-order carry chained across passes — which also closes the
+    # big/small-split and multipass tie knife-edges (docstring below).
 ):
     """Rasterize + resolve + interpolate with the Pallas TPU kernel.
 
@@ -1205,6 +1362,15 @@ def raster_fused_pallas(
     oc = ((overflow_cap + CHUNK - 1) // CHUNK) * CHUNK
     npx = tile_h * tile_w
 
+    # Group-window path decided up front (static): early-z is mutually
+    # exclusive with it and with fine_bins (those kernels keep their own
+    # schedules), and needs a setup that carries zub.
+    nt_static = (-(-width // tile_w)) * (-(-height // tile_h))
+    use_gw = (group_pair_cap is not None and passes == 1
+              and raster_tile_cap is not None
+              and raster_tile_cap <= nt_static and not fine_bins)
+    earlyz = (earlyz and not fine_bins and not use_gw
+              and getattr(setup, "zub", None) is not None)
     nsub = NSUB_FINE if fine_bins else 1
     if fine_bins:
         # The fine kernel's layout equates row g of the driver-permuted
@@ -1241,7 +1407,7 @@ def raster_fused_pallas(
         sorted_tri, starts, counts, big_ids, n_big, diag, tiles_y, tiles_x = (
             bin_pairs(setup, width, height, tile_h, tile_w, span_cap, oc,
                       maxc * passes, pair_budget=pair_budget,
-                      span_mid_cap=span_mid_cap)
+                      span_mid_cap=span_mid_cap, zorder=earlyz)
         )
         nt = tiles_y * tiles_x
 
@@ -1251,9 +1417,7 @@ def raster_fused_pallas(
     # window budget is probed over 8-aligned groups of the compact
     # live-tile list; raw full-grid order would group differently and
     # could exceed the probed bound on the probed frame itself.
-    use_gw = (group_pair_cap is not None and passes == 1
-              and raster_tile_cap is not None and raster_tile_cap <= nt
-              and not fine_bins)
+    assert nt == nt_static
     gcap = 0
     if use_gw:
         gcap = ((group_pair_cap + CHUNK - 1) // CHUNK) * CHUNK
@@ -1283,7 +1447,14 @@ def raster_fused_pallas(
     out_fields = tuple(
         f for f in _OUT_FIELDS if f not in drop_fields or f == "idf"
     )
-    n_out = 1 + len(out_fields)
+    n_out = (2 if earlyz else 1) + len(out_fields)
+    if earlyz:
+        from bibim_tpu.ops.sort_pallas import zorder_bits
+
+        zb = zorder_bits(nt, int(setup.valid.shape[0]))
+        zsh = 30 - (zb if zb > 0 else 16)
+    else:
+        zsh = 0
 
     def make_call(k):
         # Largest tile group that divides the grid (compacted caps are
@@ -1305,6 +1476,8 @@ def raster_fused_pallas(
             group=group,
             merged=merged_coverage,
             out_fields=out_fields,
+            earlyz=earlyz,
+            zsh=zsh,
         )
         plane_spec = pl.BlockSpec((group, tile_h, tile_w),
                                   lambda i, *_: (i, 0, 0),
@@ -1315,6 +1488,8 @@ def raster_fused_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             plane_spec,  # initial depth keys (zeros = clear)
         ]
+        if earlyz:
+            in_specs.append(plane_spec)  # winner-ord chain (f32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(k // group,),
@@ -1330,7 +1505,7 @@ def raster_fused_pallas(
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.int32)]
             + [jax.ShapeDtypeStruct((k, tile_h, tile_w), jnp.float32)]
-            * len(out_fields),
+            * (n_out - 1),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 **({"vmem_limit_bytes": GROUP_VMEM_LIMIT}
@@ -1436,6 +1611,9 @@ def raster_fused_pallas(
 
     fields = None
     zkey = init_zkey
+    # Winner draw-order chain (earlyz): −1 = clear/init (any candidate
+    # tying the init key wins, matching the GEQ-accept semantics).
+    okey = jnp.full((nt, npx), -1.0, jnp.float32) if earlyz else None
     arange_nt = jnp.arange(nt, dtype=jnp.int32)
     dropped_dense = jnp.int32(0)
     dropped_win = jnp.int32(0)
@@ -1573,12 +1751,20 @@ def raster_fused_pallas(
                 ids, lb_al, cnt_k, nb_p[None], win, ov_k, pair_rec, zk_in
             )
         else:
-            out = make_call(k)(
-                ids, starts_p, counts_p, nb_p[None], ov_k, pair_rec, zk_in
-            )
+            args = [ids, starts_p, counts_p, nb_p[None], ov_k, pair_rec,
+                    zk_in]
+            if earlyz:
+                args.append(okey[ids].reshape(k, tile_h, tile_w))
+            out = make_call(k)(*args)
         zk_new = out[0].reshape(k, npx)
+        if earlyz:
+            ok_new = out[1].reshape(k, npx)
+            fouts = out[2:]
+        else:
+            ok_new = None
+            fouts = out[1:]
         fields_p = {
-            f: v.reshape(k, npx) for f, v in zip(out_fields, out[1:])
+            f: v.reshape(k, npx) for f, v in zip(out_fields, fouts)
         }
         if p == 0 and scatter_ids is not None:
             # Unlisted tiles keep clear/init depth (masked like the
@@ -1589,6 +1775,8 @@ def raster_fused_pallas(
             # direct assign would place tiles at compact-slot order
             # whenever any tile is dead.
             zkey = (zkey & _LOW3).at[scatter_ids].set(zk_new, mode="drop")
+            if earlyz:
+                okey = okey.at[scatter_ids].set(ok_new, mode="drop")
             fields = {
                 f: jnp.zeros((nt, npx), jnp.float32).at[scatter_ids].set(
                     fields_p[f], mode="drop")
@@ -1596,6 +1784,8 @@ def raster_fused_pallas(
             }
         elif p == 0:
             zkey, fields = zk_new, fields_p
+            if earlyz:
+                okey = ok_new
         else:
             # Dead compact slots carry stale values (zero counts skip
             # their work), so their scatter writes must DROP — a stale
@@ -1604,6 +1794,8 @@ def raster_fused_pallas(
             ids_sc = jnp.where(slot_live_p, ids, nt)
             hit = fields_p["idf"] >= 0.5  # pass-p winner beat the chain
             zkey = zkey.at[ids_sc].set(zk_new, mode="drop")
+            if earlyz:
+                okey = okey.at[ids_sc].set(ok_new, mode="drop")
             fields = {
                 f: fields[f].at[ids_sc].set(
                     jnp.where(hit, fields_p[f], fields[f][ids]),

@@ -58,6 +58,8 @@ class TriangleSetup(NamedTuple):
     w_coef: jnp.ndarray  # (T,3) (aw,bw,cw): wn(p) = aw·px+bw·py+cw
     bbox: jnp.ndarray  # (T,4) int32 [x0,y0,x1,y1] inclusive pixel bounds
     valid: jnp.ndarray  # (T,) bool
+    # Conservative per-triangle NDC-depth upper bound (see PlanarSetup).
+    zub: jnp.ndarray | None = None
 
 
 class VisibilityBuffer(NamedTuple):
@@ -79,6 +81,11 @@ class PlanarSetup(NamedTuple):
     w_coef: tuple
     bbox: tuple  # (bx0, by0, bx1, by1) int32 planes
     valid: jnp.ndarray  # (T,) bool
+    # Conservative per-triangle NDC-depth upper bound (reversed-Z: 1 =
+    # nearest): z_ndc is screen-affine, so when every corner has w > 0
+    # it is bounded by the corner max; external triangles get 1.0 (never
+    # skipped). Feeds the raster kernel's early-z candidate ordering.
+    zub: jnp.ndarray | None = None
 
 
 def triangle_setup_planar(
@@ -161,8 +168,13 @@ def triangle_setup_planar(
         jnp.clip(bx1, 0, width - 1).astype(jnp.int32),
         jnp.clip(by1, 0, height - 1).astype(jnp.int32),
     )
+    zub = jnp.where(
+        w_ok,
+        jnp.clip(maxv3(tuple(z[c] * inv_w[c] for c in range(3))), 0.0, 1.0),
+        1.0,
+    )
     return PlanarSetup(edge_a=ea, edge_b=eb, edge_c=ec, z_coef=z_coef,
-                       w_coef=w_coef, bbox=bbox, valid=valid)
+                       w_coef=w_coef, bbox=bbox, valid=valid, zub=zub)
 
 
 def triangle_setup(
@@ -271,6 +283,11 @@ def triangle_setup(
         axis=-1,
     )
 
+    zub = jnp.where(
+        w_ok,
+        jnp.clip(jnp.max(zc * inv_w, axis=-1), 0.0, 1.0),
+        1.0,
+    )
     return TriangleSetup(
         edge_a=edge_a,
         edge_b=edge_b,
@@ -279,6 +296,7 @@ def triangle_setup(
         w_coef=w_coef,
         bbox=bbox,
         valid=valid,
+        zub=zub,
     )
 
 

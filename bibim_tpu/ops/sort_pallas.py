@@ -115,6 +115,62 @@ def sort_keys_vmem(keys: jnp.ndarray, interpret: bool = False):
     return out.reshape(n)[:p]
 
 
+def zorder_bits(nt: int, t: int, max_bits: int = 16) -> int:
+    """Depth-bucket bits available for the early-z pair sort key
+    (tile | inv_bucket | tri packed into 31 bits). 0 = doesn't fit
+    (callers fall back to a multi-operand lax.sort with the full
+    ``max_bits`` bucket)."""
+    tile_bits = int(nt).bit_length()
+    tri_bits = max(int(t - 1).bit_length(), 1)
+    return max(0, min(max_bits, 31 - tile_bits - tri_bits))
+
+
+def zbucket(zub: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Monotone depth bucket of a [0, 1] f32 depth bound: the f32 bit
+    pattern is a piecewise-linear log2, so ``bits >> (30 − b)`` is an
+    exponent ladder with 2^(b−8) steps per octave — resolution where the
+    near field (reversed-Z: large z) lives. The kernel's remaining-work
+    bound reconstructs the bucket's upper value with the same shift."""
+    zb = lax.bitcast_convert_type(jnp.maximum(zub, 0.0), jnp.int32)
+    return zb >> (30 - bits)
+
+
+def sort_pairs_z(flat_tile: jnp.ndarray, zub_of_pair: jnp.ndarray,
+                 tri_of_pair: jnp.ndarray, nt: int, t_count: int,
+                 bits: int, interpret: bool = False):
+    """Early-z pair sort: ascending (tile, DESCENDING depth bucket,
+    tri). Within a bucket, draw order (tri ascending) is preserved —
+    bit-equal masked-z ties between same-bucket candidates therefore
+    keep their draw-order scan position, and the kernel's explicit
+    draw-order tie carry covers cross-bucket ties, so results stay exact
+    under any bucket resolution.
+
+    ``bits`` > 0: single packed int32 key (VMEM kernel when it fits,
+    1-key lax.sort otherwise). ``bits`` == 0: 3-operand unstable
+    lax.sort with a full 16-bit bucket (big instanced scenes — already
+    past the VMEM cap anyway)."""
+    p = flat_tile.shape[0]
+    if bits <= 0:
+        inv = (1 << 16) - 1 - zbucket(zub_of_pair, 16)
+        sorted_tile, _, sorted_tri = lax.sort(
+            (flat_tile, inv, tri_of_pair), num_keys=3, is_stable=False)
+        return sorted_tile, sorted_tri
+    tri_bits = max(int(t_count - 1).bit_length(), 1)
+    inv = (1 << bits) - 1 - zbucket(zub_of_pair, bits)
+    packed = (((flat_tile << bits) | inv) << tri_bits) | tri_of_pair
+    use_vmem = (
+        jax.default_backend() == "tpu"
+        and max(1024, 1 << (p - 1).bit_length()) <= MAX_VMEM_SORT
+        and p >= 4096
+    )
+    if use_vmem:
+        sorted_packed = sort_keys_vmem(packed, interpret=interpret)
+    else:
+        sorted_packed = lax.sort(packed, is_stable=False)
+    return (sorted_packed >> (bits + tri_bits),
+            sorted_packed & ((1 << tri_bits) - 1))
+
+
 def pack_bits(nt: int, t: int) -> int | None:
     """Bits to pack (tile ∈ [0, nt], tri ∈ [0, t)) into a non-negative
     int32 key, or None if it doesn't fit. 31 bits are usable: real keys

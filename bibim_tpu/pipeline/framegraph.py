@@ -281,6 +281,14 @@ class RenderSettings:
     # shared window; error bounds pinned by tests/test_texture_pair.py).
     # Production keeps this False: pair_sampling is then bit-exact.
     pair_lossy: bool = False
+    # Early-z raster coverage (fused.raster_fused_pallas earlyz):
+    # per-tile candidates scan near-first (descending conservative depth
+    # bucket) and the coverage loop BREAKS once every pixel's winner
+    # provably beats the remaining candidates. Bit-identical winners —
+    # the kernel carries an explicit draw-order tie key (which also
+    # closes the big/small-split and multipass tie knife-edges). Applies
+    # to the Pallas path only; the XLA fallback stays draw-ordered.
+    early_z: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -367,6 +375,7 @@ def _raster(rec_table, setup, clip, tris, width, height,
                                else ())),
             fine_bins=settings.fine_bins and main_pass,
             merged_coverage=settings.merged_coverage,
+            earlyz=settings.early_z,
         )
     return fused.raster_fused_xla(
         rec_table, setup, clip, tris, width, height,
