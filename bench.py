@@ -184,19 +184,22 @@ def bench_shaderball(report: dict) -> float:
     import dataclasses
 
     data = scene.scene_data()
-    # Production sampler: quad-rate block sampling with EXACT tile
-    # routing (pair_sampling=2 — bit-identical to per-pixel sampling by
-    # construction, framegraph._sampled_hdr; pinned by
-    # tests/test_tpu.py::test_pair_sampling_routed_exact). Autotune sees
-    # the materials so it derives the routing pass caps from the
-    # escape-tile probe.
+    # Production sampler: pair_sampling=2 REQUESTS quad-rate block
+    # sampling with exact tile routing (bit-identical to per-pixel
+    # sampling by construction, framegraph._sampled_hdr; pinned by
+    # tests/test_tpu.py::test_pair_sampling_routed_exact) — and autotune
+    # DECIDES from the escape-tile probe whether routing pays. On this
+    # mip-less minification-heavy frame ~100% of covered tiles escape,
+    # so the derivation routes everything to the one-gather-per-pixel
+    # exact pass (pair_sampling→0): the headline is the px-exact path.
     base = dataclasses.replace(base, pair_sampling=2)
     settings, _probe = autotune_settings(data, view_block, base,
                                          margin=1.05, materials=mats)
     report["sampling"] = {
-        "pair_sampling": 2, "routed_exact": True,
+        "pair_sampling": settings.pair_sampling, "routed_exact": True,
         "route_caps": list(settings.sample_route_caps or ()),
         "escape_tiles": _probe.escape_tiles,
+        "covered_tiles": _probe.covered_tiles,
     }
 
     _validate(
@@ -224,16 +227,18 @@ def bench_shaderball(report: dict) -> float:
         return render_frame(data, vbc, fpc, mats, overlay,
                             s if s is not None else settings)["image"]
 
-    # Headline = the production routed-exact sampler (settings already
-    # carry pair_sampling=2 + derived route caps). value IS the exact
-    # number: the routed path is bit-identical to per-pixel sampling.
-    # "value_px_sampling" measures the plain one-gather-per-pixel
-    # sampler for attribution of the routing win.
+    # Headline = the production sampler as autotune derived it (exact
+    # either way: routing is bit-identical to per-pixel sampling).
+    # "value_px_sampling" attributes the routing decision: when the
+    # derivation disabled routing the two are the same measurement.
     ms = _time_scan(frame_body)
     report["value_exact"] = round(ms, 3)  # == value by construction
-    report["value_px_sampling"] = round(_time_scan(
-        lambda c: frame_body(
-            c, dataclasses.replace(settings, pair_sampling=0))), 3)
+    if settings.pair_sampling:
+        report["value_px_sampling"] = round(_time_scan(
+            lambda c: frame_body(
+                c, dataclasses.replace(settings, pair_sampling=0))), 3)
+    else:
+        report["value_px_sampling"] = report["value_exact"]
 
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
@@ -469,12 +474,13 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
                                         fp.exposure + carry),
                             mats, None, sx)["image"]
 
-    report["configs"][f"shaderball_x{n_instances}_1080p"] = round(
-        _time_scan(frame_body), 2)
+    ms = round(_time_scan(frame_body), 2)
+    report["configs"][f"shaderball_x{n_instances}_1080p"] = ms
     report.setdefault("configs_px_sampling", {})[
-        f"shaderball_x{n_instances}_1080p"] = round(_time_scan(
+        f"shaderball_x{n_instances}_1080p"] = (round(_time_scan(
             lambda c: frame_body(
                 c, dataclasses.replace(s, pair_sampling=0))), 2)
+            if s.pair_sampling else ms)
 
 
 def bench_stretch_4k(report: dict) -> None:
@@ -541,22 +547,24 @@ def bench_stretch_4k(report: dict) -> None:
     report.setdefault("configs_loop", {})["stretch_4k_shadows_ibl"] = round(
         _time(step, iters=5), 2)
 
-    # Headline number = fully exact path: routed quad-rate sampling
-    # (bit-identical by construction) + per-pixel PCF. The pair-rate PCF
-    # (lossy: partner shares the rep's visibility) is reported alongside
-    # for attribution.
+    # Headline number = fully exact path: the autotuned sampler (routing
+    # only when the escape probe says it pays — mip-less 4K minification
+    # escapes everywhere, so this is the px-exact path) + per-pixel PCF.
+    # The pair-rate PCF (lossy: partner shares the rep's visibility) is
+    # reported alongside for attribution.
     def frame_body(carry, sx=s):
         return render_frame(data, vb._replace(view=vb.view + carry),
                             FrameParams(fp.enable_tone_mapping,
                                         fp.exposure + carry),
                             mats, overlay, sx, ibl=ibl)["image"]
 
-    report["configs"]["stretch_4k_shadows_ibl"] = round(
-        _time_scan(frame_body, iters=4), 2)
+    ms = round(_time_scan(frame_body, iters=4), 2)
+    report["configs"]["stretch_4k_shadows_ibl"] = ms
     report.setdefault("configs_px_sampling", {})[
-        "stretch_4k_shadows_ibl"] = round(_time_scan(
+        "stretch_4k_shadows_ibl"] = (round(_time_scan(
             lambda c: frame_body(
                 c, dataclasses.replace(s, pair_sampling=0)), iters=4), 2)
+        if s.pair_sampling else ms)
     report.setdefault("configs_lossy", {})["stretch_4k_pair_vis"] = round(
         _time_scan(lambda c: frame_body(
             c, dataclasses.replace(s, pair_visibility=True)),

@@ -646,16 +646,32 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     # validated (escape overflow → BinDiag.dropped_tiles; clean overflow
     # cascades into the exact pass's margin).
     route = settings.sample_route_caps
+    pair = settings.pair_sampling
     if settings.pair_sampling and probe.escape_tiles >= 0:
         nt_prod = live_cap if live_cap is not None else probe.n_tiles
         esc = min(probe.escape_tiles, nt_prod)
-        e_cap = min(_bucket(int(esc * margin) + 8, floor=32), nt_prod)
-        q_cap = min(_bucket(int((nt_prod - esc) * margin) + 8, floor=32),
-                    nt_prod)
-        route = (q_cap, e_cap)
+        # Routing pays only when a real fraction of the COVERED tiles is
+        # escape-free: the clean pass's quad-rate gathers save ~3/4 of a
+        # clean tile's gather issue, but the escape flags + compaction +
+        # dual passes cost ~0.3 ms flat at 1080p. Measured on the r4
+        # frames (BENCH r4a/r4b): headline 778/780 covered tiles escape
+        # → routed 7.98 ms vs unrouted-exact 7.66; 4K ~all covered
+        # escape → 32.34 vs 32.26. Mip-less minification makes escapes
+        # the rule — route only on magnification-dominant frames.
+        clean_live = max(int(probe.covered_tiles) - esc, 0)
+        if clean_live < max(64, int(probe.covered_tiles) // 4):
+            pair = 0
+            route = None
+        else:
+            e_cap = min(_bucket(int(esc * margin) + 8, floor=32), nt_prod)
+            q_cap = min(
+                _bucket(int((nt_prod - esc) * margin) + 8, floor=32),
+                nt_prod)
+            route = (q_cap, e_cap)
 
     return dataclasses.replace(
         settings,
+        pair_sampling=pair,
         max_candidates=mc,
         raster_passes=passes,
         merged_coverage=merged,

@@ -415,12 +415,15 @@ def test_pair_sampling_routed_exact(tpu_backend):
         np.testing.assert_array_equal(base, routed), pair
 
     # Autotuned caps + coverage compaction, validated via image+diag.
+    # The derivation may also DISABLE routing (escape-dominated frames:
+    # pair_sampling→0, autotune.derive_settings) — either outcome must
+    # produce the exact image.
     s2, probe = autotune_settings(
         data, vb, dataclasses.replace(s, pair_sampling=2), margin=1.2,
         materials=mats,
     )
-    assert s2.sample_route_caps is not None
     assert probe.escape_tiles >= 0
+    assert (s2.sample_route_caps is not None) == (s2.pair_sampling != 0)
     s2 = dataclasses.replace(s2, outputs="image+diag")
     out = render_frame(data, vb, fp, mats, overlay, s2)
     check_bin_diag(jax.device_get(out["bin_diag"]))
