@@ -77,7 +77,9 @@ class TestRuntimeSwitching:
         frames = list(s.run_script(script, n_frames=4, dt=0.1))
         assert not np.array_equal(frames[1], frames[2])
         # both scenes stay constructed (lazy cache, main.cpp:1173-1182)
-        assert set(s._scenes) == {"triangle", "gizmo"}
+        # Keys are (name, instance-count) — the instance selector is part
+        # of the scene identity (Session.scene).
+        assert {k[0] for k in s._scenes} == {"triangle", "gizmo"}
 
     def test_material_switch_rebinds(self):
         s = _session(scene="shaderball")
