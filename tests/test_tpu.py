@@ -432,3 +432,43 @@ def test_pair_sampling_routed_exact(tpu_backend):
         dataclasses.replace(s2, pair_sampling=0))["image"]))
     np.testing.assert_array_equal(
         exact2, np.asarray(jax.device_get(out["image"])))
+
+
+def test_earlyz_compiled_bit_exact(tpu_backend):
+    """Early-z (z-bucket candidate order + remaining-work break + dual
+    (z, draw-order) tie key) must be a PURE schedule change on compiled
+    Mosaic too: identical depth keys and winner ids vs the draw-ordered
+    scan at drop-free capacities (tools/exp_earlyz2.py measured the same
+    at 1080p/x64; this pins it in CI)."""
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.ops import fused
+    from bibim_tpu.ops.geometry import assemble_scene
+    from bibim_tpu.ops.raster import triangle_setup
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    data = scene.scene_data()
+    soup = assemble_scene(
+        data.batches, jnp.asarray(cam.get_view_matrix()),
+        m3.perspective(60.0, W / H, 0.1, 1000.0), None,
+    )
+    setup = triangle_setup(soup.clip, soup.tris, W, H)
+    rec = fused.build_record_table(
+        setup, soup.tris, soup.uv, soup.normal, soup.tangent, soup.world,
+        soup.color, soup.mat_id,
+    )
+    kw = dict(tile_h=TH, tile_w=TW, max_candidates=1024, overflow_cap=256,
+              span_cap=64)
+    px_a, zk_a, diag_a = fused.raster_fused_pallas(
+        rec, setup, W, H, earlyz=False, **kw)
+    px_b, zk_b, diag_b = fused.raster_fused_pallas(
+        rec, setup, W, H, earlyz=True, **kw)
+    assert int(diag_a.dropped_cap) == 0
+    np.testing.assert_array_equal(np.asarray(zk_a), np.asarray(zk_b))
+    np.testing.assert_array_equal(np.asarray(px_a.tri_id),
+                                  np.asarray(px_b.tri_id))
+    for a, b in zip(px_a.uv, px_b.uv):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
