@@ -127,4 +127,45 @@ def golden_cases() -> dict:
 
     cases["shaderball_pbr_192x96"] = shaderball
 
+    def shaderball_shadows_ibl():
+        """Stretch stack in one frame (VERDICT r3 weak #7): shadow map +
+        analytic IBL + overlays + normal map, real materials."""
+        from bibim_tpu.assets.materials import create_pbr_material_set
+        from bibim_tpu.ops.ibl import make_ibl_sh
+        from bibim_tpu.scene import ShaderBallScene
+
+        scene = ShaderBallScene()
+        mats = material_quads_from_set(create_pbr_material_set(),
+                                       scene.selected_material)
+        vb = view(192, 96)._replace(enable_normal_map=jnp.int32(1))
+        s = RenderSettings(width=192, height=96, xla_cap=2048,
+                           enable_shadows=True, enable_ibl=True,
+                           shadow_size=128, shadow_candidates=4096,
+                           shadow_fit_batches=scene.shadow_fit_batches,
+                           outputs="image")
+        overlay = make_overlay_resources()
+        return render_frame(scene.scene_data(), vb, fp, mats, overlay, s,
+                            ibl=make_ibl_sh())["image"]
+
+    cases["shaderball_shadows_ibl_192x96"] = shaderball_shadows_ibl
+
+    def shaderball_aniso2():
+        """Grazing-angle ground plane with the opt-in 2-tap anisotropic
+        sampler — pins the aniso_taps>1 path end-to-end (VERDICT r3 weak
+        #7; the deviation decision itself is documented in the README)."""
+        from bibim_tpu.assets.materials import create_pbr_material_set
+        from bibim_tpu.scene import ShaderBallScene
+
+        scene = ShaderBallScene()
+        mats = material_quads_from_set(create_pbr_material_set(), 0)
+        cam = FreeLookCamera(pos=np.array([0.0, 0.35, -5.0], np.float32),
+                             pitch=-2.0)
+        s = RenderSettings(width=192, height=96, xla_cap=2048,
+                           aniso_taps=2, show_gizmo=False,
+                           show_lights=False, outputs="image")
+        return render_frame(scene.scene_data(), view(192, 96, cam), fp,
+                            mats, None, s)["image"]
+
+    cases["shaderball_aniso2_192x96"] = shaderball_aniso2
+
     return cases
