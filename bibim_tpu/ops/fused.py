@@ -1338,7 +1338,12 @@ def raster_fused_pallas(
     on BOTH backends, so an exact depth tie between a big triangle drawn
     later and a small one drawn earlier resolves to the small one (the
     reference, with no big/small split, would pick the later draw). This
-    requires a bit-exact z tie across the split — unobserved in practice.
+    requires a bit-exact z tie across the split — unobserved in practice,
+    and the CONSTRUCTED coplanar cross-split tie measures reference-true
+    in both draw orders on both schedules (tests/test_fused.py::
+    TestEarlyZ::test_constructed_big_small_tie_both_orders_both_paths);
+    ``earlyz`` additionally carries an explicit draw-order tie key, so
+    it is reference-true by construction, not just by measurement.
 
     A second knife-edge exists for ``fine_bins`` with ``passes`` > 1: the
     dense extra passes run the COARSE kernel over the fine-ordered
