@@ -106,3 +106,69 @@ class TestMaterialSet:
         j = ms.names.index("empty")
         for t in PBRMapType:
             assert ms.get_pbr_map_or_default(j, t)[0].shape[0] == 16
+
+
+class TestNativeDecoder:
+    """The C decode path (native/bibim_native.cpp, the stb_image +
+    Win32-threaded-loader analog, resource.cpp:157-366) must agree with
+    PIL byte-for-byte on every format the asset scan feeds it. Skips
+    when the native library isn't built (PIL fallback covers prod)."""
+
+    def _imgs(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(21)
+        paths = []
+        for name, mode, shape in [
+            ("rgb.png", "RGB", (13, 17, 3)),
+            ("rgba.png", "RGBA", (16, 16, 4)),
+            ("gray.png", "L", (9, 31)),
+        ]:
+            arr = rng.integers(0, 256, shape, np.uint8)
+            p = str(tmp_path / name)
+            Image.fromarray(arr, mode).save(p)
+            paths.append(p)
+        jp = str(tmp_path / "photo.jpg")
+        Image.fromarray(
+            rng.integers(0, 256, (24, 40, 3), np.uint8), "RGB"
+        ).save(jp, quality=95)
+        paths.append(jp)
+        return paths
+
+    def test_decode_matches_pil(self, tmp_path):
+        import pytest
+        from PIL import Image
+
+        native = pytest.importorskip(
+            "bibim_tpu.native", reason="native decoder not built")
+        for p in self._imgs(tmp_path):
+            got = native.decode_image_rgba8(p)
+            want = np.asarray(Image.open(p).convert("RGBA"))
+            np.testing.assert_array_equal(got, want, err_msg=p)
+
+    def test_decode_batch_matches_serial_and_handles_missing(
+            self, tmp_path):
+        import pytest
+
+        native = pytest.importorskip(
+            "bibim_tpu.native", reason="native decoder not built")
+        paths = self._imgs(tmp_path)
+        serial = [native.decode_image_rgba8(p) for p in paths]
+        batch = native.decode_batch_rgba8(
+            paths + [str(tmp_path / "missing.png")], max_threads=3)
+        for a, b in zip(serial, batch):
+            np.testing.assert_array_equal(a, b)
+        assert batch[-1] is None  # missing file -> None, no crash
+
+    def test_write_png_roundtrip(self, tmp_path):
+        import pytest
+        from PIL import Image
+
+        native = pytest.importorskip(
+            "bibim_tpu.native", reason="native decoder not built")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (33, 129, 3), np.uint8)
+        p = str(tmp_path / "out.png")
+        if not native.write_png(p, img):
+            pytest.skip("native PNG writer not built")
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
