@@ -259,9 +259,15 @@ class ViewerServer:
                 elif self.path == "/ui":
                     from dataclasses import asdict
 
+                    # UiState's camera fields are the save/load snapshot;
+                    # refresh them from the LIVE camera so the page (and
+                    # scripted pollers) see the pose drags produced.
+                    ui, cam = viewer.session.ui, viewer.session.camera
+                    ui.camera_pos = tuple(float(v) for v in cam.pos)
+                    ui.camera_yaw = float(cam.yaw)
+                    ui.camera_pitch = float(cam.pitch)
                     self._send(200, "application/json",
-                               json.dumps(asdict(viewer.session.ui))
-                               .encode())
+                               json.dumps(asdict(ui)).encode())
                 elif self.path == "/materials":
                     names = list(viewer.session.material_set().names)
                     body = json.dumps({

@@ -129,6 +129,9 @@ class TestViewerServer:
             time.sleep(0.05)
         post([{"mouse": False}])
         assert cam.yaw == pytest.approx(yaw0 - 40 * 0.6)
+        # /ui reports the LIVE camera pose, not the save/load snapshot.
+        ui = json.loads(self._get(viewer, "/ui").read())
+        assert ui["camera_yaw"] == pytest.approx(cam.yaw)
 
     def test_stats_and_bad_event(self, viewer):
         stats = json.loads(self._get(viewer, "/stats").read())
