@@ -338,6 +338,60 @@ class TestRenderFrame:
             assert np.isfinite(np.asarray(out["hdr"])).all(), trial
             check_bin_diag(out["bin_diag"], where=f"random cam {trial}")
 
+    def test_random_settings_combos_render_finite(self):
+        """Random FEATURE-MATRIX combinations (path × viz × overlays ×
+        sampler × aniso × tonemap × normal map) must render finite
+        frames with zero capacity drops — a combo-regression guard over
+        the toggles the GUI exposes (each toggle's semantics are pinned
+        individually elsewhere; this pins that they compose)."""
+        import dataclasses
+
+        from bibim_tpu.ops import texture_quad as tq
+        from bibim_tpu.pipeline import GBufferViz
+        from bibim_tpu.pipeline.framegraph import make_overlay_resources
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        rng = np.random.default_rng(23)
+
+        def flat(val):
+            return np.full((64, 64, 1), val, np.uint8)
+
+        maps = {
+            "alb_r": rng.integers(0, 256, (64, 64, 1), np.uint8),
+            "alb_g": flat(90), "alb_b": flat(60),
+            "nrm_x": flat(128), "nrm_y": flat(140), "nrm_z": flat(250),
+            "metallic": flat(10),
+            "roughness": rng.integers(0, 256, (64, 64, 1), np.uint8),
+            "ao": flat(255), "height": flat(0),
+        }
+        mats = tq.build_quad_tables(maps, block_threshold=1024)
+        scene = _sphere_scene()
+        overlay = make_overlay_resources()
+        base = RenderSettings(width=W, height=H, outputs="full", **SMALL)
+        vizzes = list(GBufferViz)
+        for trial in range(8):
+            s = dataclasses.replace(
+                base,
+                deferred=bool(rng.integers(0, 2)),
+                gbuffer_viz=vizzes[int(rng.integers(0, len(vizzes)))],
+                show_tbn=bool(rng.integers(0, 2)),
+                show_gizmo=bool(rng.integers(0, 2)),
+                show_lights=bool(rng.integers(0, 2)),
+                show_hud=False,
+                pair_sampling=int(rng.integers(0, 3)),
+                aniso_taps=int(rng.choice([1, 1, 2, 4])),
+                srgb_output=bool(rng.integers(0, 2)),
+            )
+            vb = _view()._replace(
+                enable_normal_map=jnp.int32(int(rng.integers(0, 2))))
+            fp = _fp(int(rng.integers(0, 2)),
+                     float(rng.uniform(0.3, 3.0)))
+            out = render_frame(scene, vb, fp, mats, overlay, s)
+            img = np.asarray(out["image"])
+            assert img.dtype == np.uint8 and img.shape == (H, W, 3), trial
+            assert np.isfinite(np.asarray(out["hdr"])).all(), trial
+            check_bin_diag(out["bin_diag"], where=f"combo {trial}")
+
     def test_instance_frustum_culling_preserves_image(self):
         """Host-side frustum culling drops certainly-offscreen instances
         (padded to a power-of-two bucket) without changing a pixel."""
