@@ -102,6 +102,29 @@ class TestAutotune:
         assert s.live_tile_cap is not None and s.live_tile_cap < 2025
         assert s.pair_budget >= 150000 * 1.25
 
+    def test_derive_routing_decision_from_escape_probe(self):
+        """The r4 sampling-router rule: escape-dominated frames disable
+        pair routing entirely (pair_sampling→0, no route caps); frames
+        with a real clean fraction derive validated route caps."""
+        base = RenderSettings(width=W, height=H, pair_sampling=2)
+        common = dict(n_tiles=2025, bin_tiles=900, covered_tiles=800,
+                      max_candidates=300, total_pairs=50000, n_big=5)
+        # ~100% of covered tiles escape (the measured production case).
+        dominated = derive_settings(
+            base, CapProbe(escape_tiles=790, **common), margin=1.25)
+        assert dominated.pair_sampling == 0
+        assert dominated.sample_route_caps is None
+        # Mostly-clean frame (magnification): routing derives caps.
+        clean = derive_settings(
+            base, CapProbe(escape_tiles=100, **common), margin=1.25)
+        assert clean.pair_sampling == 2
+        q_cap, e_cap = clean.sample_route_caps
+        assert e_cap >= 100 and q_cap >= 1
+        # No escape probe (-1): the request passes through untouched.
+        unprobed = derive_settings(
+            base, CapProbe(escape_tiles=-1, **common), margin=1.25)
+        assert unprobed.pair_sampling == 2
+
     def test_session_retune_is_monotone(self):
         """Re-probing after drops must never shrink a cap (no thrash)."""
         from bibim_tpu.host.session import Session
