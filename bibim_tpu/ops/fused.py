@@ -81,7 +81,9 @@ _W = 40  # world-position corners
 _COL = 49  # vertex-color corners
 _MAT = 58  # material id of the triangle (corner-0 vertex)
 _ZUB = 59  # conservative NDC-depth upper bound (setup.zub) — the
-# early-z coverage loop's remaining-work bound (0 for culled rows)
+# early-z coverage loop's remaining-work bound. (setup.zub itself is
+# 1.0 for w_ok-false rows; the record row is zeroed for culled rows by
+# the final `rec * valid` multiply in the builders below.)
 _USED = 60
 
 
@@ -169,7 +171,7 @@ def build_record_table(setup: TriangleSetup, tris: jnp.ndarray,
 
 
 def build_record_table_planar(setup: PlanarSetup, soup) -> jnp.ndarray:
-    """Corner-planar :func:`build_record_table`: stack 59 dense (T,)
+    """Corner-planar :func:`build_record_table`: stack 60 dense (T,)
     channel planes channel-major and transpose once into the (T, 128) row
     layout the per-tile DMA needs. Replaces ~20 narrow lane-dim concats of
     (T, 3) pieces (3/128-lane ops — ~16 ms at 625k triangles) with one
@@ -191,7 +193,7 @@ def build_record_table_planar(setup: PlanarSetup, soup) -> jnp.ndarray:
          else jnp.zeros_like(setup.valid, jnp.float32)),  # 59
     ]
     assert len(planes) == _USED
-    cm = jnp.stack(planes, axis=0)  # (59, T) — sublane-dim stack, dense
+    cm = jnp.stack(planes, axis=0)  # (60, T) — sublane-dim stack, dense
     rec = jnp.pad(jnp.transpose(cm, (1, 0)), ((0, 0), (0, REC_CH - _USED)))
     return rec * setup.valid.astype(jnp.float32)[:, None]
 
@@ -615,9 +617,13 @@ def _coverage_loop_earlyz(scratch, px, py, chunk_idx, base, count, carry,
                                  jnp.int32(_ZB_SENTINEL)))
         minbest = jnp.min(carry[0])
         # Only CANDIDATE chunks (past the unsorted overflow prefix) may
-        # bound the remaining work.
+        # bound the remaining work. One extra bucket of slack (+2, not
+        # +1): per-pixel f32 plane evaluation can overshoot the corner
+        # max zub by ulps, so a zero-slack break at a bucket boundary
+        # could skip a candidate that ties the winner; the slack costs
+        # at most one extra chunk scan per tile.
         done = ((c >= nov_chunks) & (bmin < _ZB_SENTINEL)
-                & (((bmin + 1) << zsh) <= minbest))
+                & (((bmin + 2) << zsh) <= minbest))
         return (jnp.where(done, nc, c + 1), carry)
 
     _, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
@@ -777,8 +783,10 @@ def _fused_kernel(
         # (group − 1) dynamic-loop setups per step; the dead-chunk work
         # it adds is bounded by the group's count spread, which the
         # driver's chunk-class slot sort keeps small. (With earlyz the
-        # dual-key test runs, but the group loop has no break yet —
-        # autotune prefers the per-tile loop when early_z is on.)
+        # dual-key test runs, but the group loop has no break —
+        # autotune.derive_settings therefore never derives
+        # merged_coverage=True when early_z is on; the combination is
+        # legal-but-unoptimized if pinned by hand.)
         for j in range(group):
             tile_dma(i, j, slot).wait()
         cmax = cnts[0]

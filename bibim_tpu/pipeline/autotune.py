@@ -325,7 +325,7 @@ def probe_band_caps(scene, view_block, settings, n_bands: int) -> CapProbe:
 
 
 def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
-                              margin: float = 1.25):
+                              margin: float = 1.25, overlay=None):
     """Probe + derive for the band-sharded path.
 
     Frame-level autotune first (span routing, shadow caps, overlay tile
@@ -338,7 +338,8 @@ def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
     ``band_settings`` parameter."""
     derived, _probe = autotune_settings(scene, view_block, settings,
                                         margin=margin,
-                                        measure_coverage=False)
+                                        measure_coverage=False,
+                                        overlay=overlay)
     base_band = dataclasses.replace(settings, span_cap=derived.span_cap)
     band_probe = probe_band_caps(scene, view_block, base_band, n_bands)
     band = derive_settings(derived, band_probe, margin=margin)
@@ -359,7 +360,7 @@ def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
 # dense-pass grid size where None means "no dense pass" (a number wins).
 _CAPS_NONE_UNCAPPED = ("live_tile_cap", "raster_tile_cap")
 _CAPS_INT = ("max_candidates", "raster_passes", "overflow_cap",
-             "pair_budget")
+             "pair_budget", "overlay_candidates")
 
 
 def grow_caps(old, new):
@@ -522,6 +523,43 @@ def _bucket(x: int, floor: int = 64) -> int:
     return -(-x // g) * g
 
 
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _probe_overlay_jit(lights, overlay, view_proj, settings):
+    """Worst-tile candidate demand of the light-sphere overlay pass —
+    the SAME binning _composite_light_spheres runs (span_cap=32), so
+    the derived overlay_candidates covers exactly what the pass bins.
+    Needed because small-projected spheres concentrate a whole 16×16
+    sphere (512 tris, ×N lights) into one 8×128 px tile, far past the
+    default 384-row window (seen: sharded dryrun drop of ~2.4k overlay
+    candidates at 960×512)."""
+    from bibim_tpu.pipeline.framegraph import _light_sphere_planar_soup
+
+    soup = _light_sphere_planar_soup(lights, overlay, view_proj)
+    setup = triangle_setup_planar(soup.clip, settings.width,
+                                  settings.height)
+    n_tris = setup.valid.shape[0]
+    (_, _starts, counts, _big, n_big, _, _ty, _tx) = fused.bin_pairs(
+        setup, settings.width, settings.height, settings.tile_h,
+        settings.tile_w, span_cap=32,
+        overflow_cap=max(64, min(n_tris, 1 << 14)),
+        max_candidates=1 << 22, pair_budget=None,
+    )
+    return {"max_candidates": jnp.max(counts), "n_big": n_big}
+
+
+def derive_overlay_candidates(scene, view_block, settings, overlay,
+                              margin: float = 1.25) -> int:
+    """Probe-derived ``overlay_candidates`` (never below the configured
+    value — raising the window costs VMEM, so only measured demand
+    grows it; still validated by the overlay pass's BinDiag)."""
+    from bibim_tpu import math3d as m3
+
+    vp = m3.matmul(view_block.proj, view_block.view)
+    out = _probe_overlay_jit(scene.lights, overlay, vp, settings)
+    mc = _bucket(int(int(out["max_candidates"]) * margin) + 8, floor=64)
+    return max(settings.overlay_candidates, mc)
+
+
 def derive_overlay_tiles(lights_pos, view, proj, settings,
                          radius: float = 0.1, margin: float = 1.5) -> int:
     """Conservative screen-tile bound for the light-sphere overlay pass
@@ -635,8 +673,11 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
     # Merged group coverage loop: wins when candidate windows are fat
     # and multi-pass (x64: 7.24 → 6.87 ms raster stage), loses on the
     # single-pass thin-tile headline (3.73 → 4.26) — tools/exp_merged.py.
-    # The derived raster_passes IS that signature.
-    merged = passes > 1 and not settings.fine_bins
+    # The derived raster_passes IS that signature. With early_z the
+    # merged group loop has no remaining-work break (fused.py), so the
+    # z-sort + dual-key carry would be pure overhead — keep the per-tile
+    # loop, which early-outs, on that path.
+    merged = passes > 1 and not settings.fine_bins and not settings.early_z
 
     live_cap = live if live < probe.n_tiles else None
 
@@ -688,7 +729,8 @@ def derive_settings(settings, probe: CapProbe, margin: float = 1.25):
 
 
 def autotune_settings(scene, view_block, settings, margin: float = 1.25,
-                      measure_coverage: bool = True, materials=None):
+                      measure_coverage: bool = True, materials=None,
+                      overlay=None):
     """Probe + derive in one call. Returns (settings, probe).
 
     If the derivation picks a different span_cap, the bin statistics are
@@ -700,7 +742,12 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
 
     ``materials``: the frame's material binding — with pair_sampling on,
     the coverage probe also measures the escape-tile demand that sizes
-    sample_route_caps (only the block tables' (h, w) are read)."""
+    sample_route_caps (only the block tables' (h, w) are read).
+
+    ``overlay``: the light-sphere OverlayResources — when given (and
+    show_lights is on), the light-sphere pass's own binning is probed
+    and ``overlay_candidates`` raised to its worst-tile demand
+    (small-projected spheres can pile a whole sphere into one tile)."""
     esc_probe = None
     if settings.pair_sampling and materials is not None:
         from bibim_tpu.ops import texture_quad as tq
@@ -741,6 +788,13 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
                 ),
             ),
         )
+        if overlay is not None:
+            derived = dataclasses.replace(
+                derived,
+                overlay_candidates=derive_overlay_candidates(
+                    scene, view_block, derived, overlay, margin=margin,
+                ),
+            )
     if derived.enable_shadows and getattr(scene, "lights", None) is not None \
             and scene.lights.num_lights > 0:
         derived = derive_shadow_settings(scene, view_block, derived,

@@ -381,9 +381,18 @@ def _raster(rec_table, setup, clip, tris, width, height,
         rec_table, setup, clip, tris, width, height,
         tile_h=settings.tile_h, tile_w=settings.tile_w,
         # The fallback must bin with at least the pass's requested
-        # capacity (e.g. shadow_candidates on a light-concentrated grid),
-        # or it drops geometry the Pallas path would keep.
-        cap=max(settings.xla_cap, cap or 0), init_zkey=init_zkey,
+        # capacity (max_candidates on the main pass, shadow_candidates on
+        # a light-concentrated grid, overlay_candidates on spheres) TIMES
+        # the pass count — the Pallas path's capacity is cap×passes via
+        # multi-pass windows, and a fallback binning with only xla_cap
+        # ACTUALLY drops geometry the Pallas path keeps (seen twice:
+        # autotuned shadow raster at shadow_passes=6; autotuned sharded
+        # band raster at raster_passes>1 with default xla_cap). Its own
+        # drops are still counted on top of the modeled diag_caps, so
+        # nothing is silent either way.
+        cap=max(settings.xla_cap,
+                (cap or settings.max_candidates) * passes),
+        init_zkey=init_zkey,
         viewport_height=viewport[0] if viewport else None,
         y_origin=viewport[1] if viewport else 0,
         span_cap=span, overflow_cap=ov,
@@ -623,10 +632,18 @@ def _sampled_hdr(px, materials, lights, view_block,
         ))
 
     def sub(tree, ids):
-        def g(p):
-            pp = jnp.pad(p, ((0, 1),) + ((0, 0),) * (p.ndim - 1))
+        def g(p, fill=0):
+            pp = jnp.pad(p, ((0, 1),) + ((0, 0),) * (p.ndim - 1),
+                         constant_values=fill)
             return pp[ids]
-        return jax.tree_util.tree_map(g, tree)
+        out = jax.tree_util.tree_map(g, tree)
+        if isinstance(tree, fused.FusedPixels):
+            # Sentinel slots (ids == nt) must read as dead tiles, not
+            # tri_id=0 "fully covered" garbage the shading kernel then
+            # normalizes into NaNs (discarded, but wasted work) — mirror
+            # the tri_id=-1 fill used by the render_frame compaction.
+            out = out._replace(tri_id=g(tree.tri_id, -1))
+        return out
 
     out = [jnp.zeros((nt + 1, npx), jnp.float32) for _ in range(3)]
     for ids, cap_pair in ((clean_ids, pair), (esc_ids, 0)):

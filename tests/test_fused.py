@@ -643,14 +643,14 @@ class TestEarlyZ:
                             jax.tree_util.tree_leaves(diag_b)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def _two_tri_scene(self, order):
+    def _two_tri_scene(self):
         """Two IDENTICAL full-viewport triangles (bit-equal depth at
-        every pixel) in the given draw order; returns (rec, setup)."""
+        every pixel) as draws 0 and 1; returns (rec, setup). Both-order
+        coverage lives in test_constructed_big_small_tie_both_orders."""
         tri = np.array([[-3.0, -3.0, 0.5, 1.0],
                         [3.0, -3.0, 0.5, 1.0],
                         [0.0, 5.0, 0.5, 1.0]], np.float32)
-        clip = jnp.asarray(np.concatenate([tri[order[0]::3] * 0 + tri,
-                                           tri], axis=0))
+        clip = jnp.asarray(np.concatenate([tri, tri], axis=0))
         tris = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
         setup = triangle_setup(clip, tris, W, H)
         zeros3 = jnp.zeros((6, 3), jnp.float32)
@@ -664,7 +664,7 @@ class TestEarlyZ:
         two draw ids): the later draw must win under early-z — the
         VERDICT-r3 property pin that turns the draw-order-tie claim from
         prose into a test."""
-        rec, setup = self._two_tri_scene((0, 1))
+        rec, setup = self._two_tri_scene()
         px, _, _ = fused.raster_fused_pallas(
             rec, setup, W, H, tile_h=TH, tile_w=TW, interpret=True,
             earlyz=True, **CAPS)
