@@ -432,6 +432,59 @@ class TestRenderFrame:
         assert (np.asarray(out["hdr"]) == 0.0).all()
         assert (np.asarray(out["image"]) == 0).all()
 
+    def test_fallback_bins_full_multipass_capacity(self):
+        """The XLA fallback must bin with the Pallas capacity model
+        (max_candidates × raster_passes), not just xla_cap: a tile
+        demanding more than xla_cap but within cap×passes must render
+        drop-free (regression: the autotuned sharded band raster and
+        shadow pass ACTUALLY dropped geometry on CPU because the
+        fallback binned one window's worth — framegraph._raster)."""
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        # 700 tiny triangles stacked inside one screen tile: demand 700
+        # candidates; xla_cap=256 alone would actually drop 444.
+        n = 700
+        rng = np.random.default_rng(3)
+        off = rng.uniform(-0.05, 0.05, (n, 2)).astype(np.float32)
+        tri = np.array([[0.0, 0.0], [0.15, 0.0], [0.03, 0.12]], np.float32)
+        depth = np.linspace(0.2, 0.8, n, dtype=np.float32)
+        clip = np.zeros((n * 3, 4), np.float32)
+        for i in range(n):
+            clip[i * 3:(i + 1) * 3, 0] = tri[:, 0] + off[i, 0]
+            clip[i * 3:(i + 1) * 3, 1] = tri[:, 1] + off[i, 1]
+            clip[i * 3:(i + 1) * 3, 2] = depth[i]
+            clip[i * 3:(i + 1) * 3, 3] = 1.0
+        # Identity view/proj: positions pass through as clip (w=1), so
+        # the stack lands in the screen-center tile. Flat shading reads
+        # vertex color; geometry alone drives the capacity check.
+        from bibim_tpu.assets.mesh import Mesh
+
+        mesh = Mesh(
+            positions=clip[:, :3],
+            uvs=np.zeros((n * 3, 2), np.float32),
+            normals=np.tile(np.array([[0.0, 0.0, -1.0]], np.float32),
+                            (n * 3, 1)),
+            tangents=np.tile(np.array([[0.0, -1.0, 0.0]], np.float32),
+                             (n * 3, 1)),
+            indices=np.arange(n * 3, dtype=np.int32).reshape(n, 3),
+            colors=np.ones((n * 3, 3), np.float32),
+        )
+        lights = make_lights([dict(type=2, dir=(0, 0, 1),
+                                   color=(1, 1, 1), intensity=1.0)])
+        scene = SceneData(batches=(batch_from_mesh(mesh),), lights=lights)
+        # Identity-like view: positions already near clip space.
+        vb = ViewBlock(view=jnp.eye(4), proj=jnp.eye(4),
+                       view_pos=jnp.zeros(3),
+                       enable_normal_map=jnp.int32(0))
+        s = RenderSettings(width=W, height=H, shading="flat",
+                           deferred=False, show_gizmo=False,
+                           show_lights=False, outputs="image+diag",
+                           xla_cap=256, max_candidates=384,
+                           raster_passes=2)
+        out = render_frame(scene, vb, _fp(0), _flat_materials(), None, s)
+        check_bin_diag(out["bin_diag"], where="multipass fallback")
+        assert (np.asarray(out["image"]) > 0).any()
+
 
 needs_assets = pytest.mark.skipif(
     not get_resource_root().common("gizmo.obj").is_file(),
