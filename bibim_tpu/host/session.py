@@ -214,6 +214,7 @@ class Session:
             gbuffer_viz=VIZ_BY_NAME[self.ui.gbuffer_viz],
             show_tbn=self.ui.enable_tbn,
             show_hud=self.ui.show_hud,
+            aniso_taps=self.ui.aniso_taps,
             batch_material_ids=getattr(self.scene, "material_ids", None),
             # Production compacted shading + the capacity scalars for the
             # drop watcher (they ride the existing readback sync).
@@ -244,7 +245,8 @@ class Session:
         from bibim_tpu.pipeline.autotune import autotune_settings
 
         derived, probe = autotune_settings(
-            scene_data, view_block, self._base_settings()
+            scene_data, view_block, self._base_settings(),
+            overlay=self.overlay(),
         )
         caps = {
             "max_candidates": derived.max_candidates,
@@ -253,6 +255,7 @@ class Session:
             "pair_budget": derived.pair_budget,
             "live_tile_cap": derived.live_tile_cap,
             "raster_tile_cap": derived.raster_tile_cap,
+            "overlay_candidates": derived.overlay_candidates,
             # span_cap/span_mid_cap are routing choices whose overflow is
             # separately validated (overflow list / dropped_pairs) —
             # always take the fresh derivation.
