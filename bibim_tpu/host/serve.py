@@ -118,6 +118,10 @@ _PAGE = """<!doctype html>
   <label>normal map <input id="nm" type="checkbox"></label>
   <label>TBN <input id="tbn" type="checkbox"></label>
   <label>HUD <input id="hud" type="checkbox"></label>
+  <label>aniso <select id="aniso">
+    <option>1</option><option>2</option><option>4</option>
+    <option>8</option><option>16</option>
+  </select></label>
   <label>instances <input id="inst" type="number" min="1" max="100"
     value="1" style="width:4em"></label>
   <label>material <select id="mat"></select></label>
@@ -168,6 +172,8 @@ el('hud').addEventListener('change', (e) =>
   post({set: {show_hud: e.target.checked}}));
 el('inst').addEventListener('change', (e) =>
   post({set: {num_instances: Math.max(1, parseInt(e.target.value) || 1)}}));
+el('aniso').addEventListener('change', (e) =>
+  post({set: {aniso_taps: parseInt(e.target.value)}}));
 const updatePreview = () => {
   const show = el('showprev').checked;
   el('prev').style.display = show ? '' : 'none';
@@ -196,6 +202,7 @@ el('showprev').addEventListener('change', updatePreview);
   el('tbn').checked = ui.enable_tbn;
   el('hud').checked = ui.show_hud;
   el('inst').value = ui.num_instances;
+  el('aniso').value = ui.aniso_taps;
 })();
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
@@ -206,6 +213,13 @@ setInterval(async () => {
 """
 
 _BOUNDARY = b"bibimframe"
+
+# Bounded pending-event queue (the SDL-event-queue-full analog): a client
+# flooding /event faster than the render loop drains — e.g. during a long
+# first-frame jit compile — must not grow host memory without bound.
+# Oldest events drop first; 8192 is ~minutes of mousemove spam at browser
+# rates, so the cap only engages when the render loop is stalled.
+_EVENT_QUEUE_CAP = 8192
 
 
 class ViewerServer:
@@ -219,6 +233,7 @@ class ViewerServer:
         self.quality = quality
         self.max_fps = max_fps
         self.frames = 0
+        self.events_dropped = 0  # queue-cap drops (see _EVENT_QUEUE_CAP)
         self._previews: dict = {}  # material idx → preview JPEG bytes
         self._events: list[dict] = []
         self._ev_lock = threading.Lock()
@@ -309,7 +324,10 @@ class ViewerServer:
                                 str(len(data)).encode() + b"\r\n\r\n" +
                                 data + b"\r\n"
                             )
-                    except (BrokenPipeError, ConnectionResetError):
+                    except OSError:
+                        # Client closed mid-stream (browser tab gone, drag
+                        # resize storm): unwind this handler thread; the
+                        # hub and render loop are unaffected.
                         pass
                 else:
                     self._send(404, "text/plain", b"not found")
@@ -328,6 +346,10 @@ class ViewerServer:
                     evs = [evs]
                 with viewer._ev_lock:
                     viewer._events.extend(evs)
+                    if len(viewer._events) > _EVENT_QUEUE_CAP:
+                        drop = len(viewer._events) - _EVENT_QUEUE_CAP
+                        del viewer._events[:drop]
+                        viewer.events_dropped += drop
                 self._send(200, "application/json", b"{}")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
