@@ -183,6 +183,7 @@ def main(argv=None) -> int:
                      exposure=args.exposure, enable_tbn=args.tbn,
                      enable_normal_map=args.normal_map,
                      num_instances=args.instances,
+                     aniso_taps=max(1, args.aniso),
                      mesh_path=args.mesh_path or "")
         if args.material is not None:
             ui.selected_material = args.material

@@ -30,6 +30,11 @@ class UiState:
     enable_tbn: bool = False
     show_hud: bool = False  # in-frame stats text (ImGui-overlay analog)
     exposure: float = 1.0  # slider 0.1..10
+    # N-tap in-level-0 anisotropic sampling (the reference sampler's
+    # default-on maxAnisotropy=16, render.cpp:1355-1358, kept opt-in
+    # here — measured decision, docs/MIGRATION.md "Deviations"). 1 =
+    # plain bilinear parity (bit-exact no-op, pinned by test_aniso).
+    aniso_taps: int = 1
     selected_material: int = 1  # Material Selector (scene.cpp:141-151)
     mesh_path: str = ""  # --scene mesh asset (MeshScene)
     selected_instance: int = -1  # Shader Balls window (scene.cpp:131-139)
@@ -42,6 +47,7 @@ class UiState:
     def clamp(self) -> None:
         self.exposure = float(np.clip(self.exposure, 0.1, 10.0))
         self.camera_pitch = float(np.clip(self.camera_pitch, -88.0, 88.0))
+        self.aniso_taps = int(np.clip(int(self.aniso_taps), 1, 16))
 
     def save(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(asdict(self), indent=2))

@@ -157,6 +157,35 @@ class TestAnisoSampling:
             np.asarray(out0["image"]), np.asarray(out1["image"])
         )
 
+    def test_taps1_noop_across_feature_combos_grazing(self):
+        """Feature-matrix version of the lossless-off invariant
+        (VERDICT r4 #7): at the grazing config — where aniso has its
+        largest effect — aniso OFF (taps=1) must stay a bit-exact no-op
+        under random combinations of the other GUI toggles, not just at
+        the plain config pinned above."""
+        scene = _grazing_plane_scene()
+        mats = _checker_materials()
+        rng = np.random.default_rng(7)
+        base = RenderSettings(width=W, height=H, xla_cap=256)
+        for trial in range(4):
+            s = dataclasses.replace(
+                base,
+                deferred=bool(rng.integers(0, 2)),
+                show_lights=bool(rng.integers(0, 2)),
+                srgb_output=bool(rng.integers(0, 2)),
+                pair_sampling=int(rng.integers(0, 3)),
+                quantize_fp16=bool(rng.integers(0, 2)),
+            )
+            out0 = render_frame(scene, _view(), _fp(), mats, None, s)
+            out1 = render_frame(
+                scene, _view(), _fp(), mats, None,
+                dataclasses.replace(s, aniso_taps=1),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out0["image"]), np.asarray(out1["image"]),
+                err_msg=f"combo {trial}: {s}",
+            )
+
     def test_taps4_smooths_grazing_plane(self):
         scene = _grazing_plane_scene()
         mats = _checker_materials()

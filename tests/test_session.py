@@ -101,6 +101,20 @@ class TestRuntimeSwitching:
         with pytest.raises(ValueError):
             s.handle_event({"set": {"nonsense": 1}})
 
+    def test_aniso_toggle_reaches_settings(self):
+        """The viewer/CLI aniso control (UiState.aniso_taps, clamped to
+        1..16) flows into the live loop's RenderSettings — the opt-in
+        surface for the reference sampler's maxAnisotropy=16
+        (render.cpp:1355-1358; deviation documented in MIGRATION.md)."""
+        s = _session()
+        assert s.settings().aniso_taps == 1
+        s.handle_event({"set": {"aniso_taps": 4}})
+        assert s.settings().aniso_taps == 4
+        s.handle_event({"set": {"aniso_taps": 99}})
+        assert s.settings().aniso_taps == 16  # clamp
+        s.handle_event({"set": {"aniso_taps": 0}})
+        assert s.settings().aniso_taps == 1
+
 
 def test_material_previews(tmp_path):
     from bibim_tpu.assets.materials import create_pbr_material_set
