@@ -434,6 +434,63 @@ def test_pair_sampling_routed_exact(tpu_backend):
         exact2, np.asarray(jax.device_get(out["image"])))
 
 
+def test_pair_lossy_bounds_full_1080p(tpu_backend):
+    """Full-scale pin of the LOSSY performance mode (VERDICT r4 #6): at
+    the actual 1080p headline frame with production (autotuned) caps,
+    the window-clamp sampler (pair_sampling + pair_lossy, the 5.58 ms
+    r3 mode) must stay within its documented error bounds vs the exact
+    image — max |d| <= 13/255, diff fraction <= 2%, >4/255 fraction
+    <= 0.1% (measured 1.35% / 0.03%, tools/exp_pair.py;
+    docs/PERFORMANCE.md). The minified-frame CI pin
+    (test_pipeline.py::test_pair_lossy_error_bounds_minified) covers the
+    error model; this covers the shipped scene at full scale."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bibim_tpu import math3d as m3
+    from bibim_tpu.assets.materials import create_pbr_material_set
+    from bibim_tpu.pipeline import (
+        FrameParams, RenderSettings, ViewBlock, make_overlay_resources,
+        material_quads_from_set, render_frame,
+    )
+    from bibim_tpu.pipeline.autotune import autotune_settings
+    from bibim_tpu.scene import FreeLookCamera, ShaderBallScene
+    from bibim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = 1920, 1080
+    scene = ShaderBallScene()
+    cam = FreeLookCamera()
+    vb = ViewBlock(
+        view=jnp.asarray(cam.get_view_matrix()),
+        proj=m3.perspective(60.0, w / h, 0.1, 1000.0),
+        view_pos=jnp.asarray(cam.pos),
+        enable_normal_map=jnp.int32(0),
+    )
+    fp = FrameParams(enable_tone_mapping=jnp.int32(1),
+                     exposure=jnp.float32(1.0))
+    mats = jax.device_put(material_quads_from_set(
+        create_pbr_material_set(), scene.selected_material))
+    overlay = make_overlay_resources()
+    data = scene.scene_data()
+    base = RenderSettings(width=w, height=h, outputs="image",
+                          overlay_candidates=256, overlay_max_tiles=384)
+    s, _probe = autotune_settings(data, vb, base, margin=1.05,
+                                  materials=mats)
+    exact = np.asarray(jax.device_get(render_frame(
+        data, vb, fp, mats, overlay, s)["image"])).astype(np.int32)
+    lossy = np.asarray(jax.device_get(render_frame(
+        data, vb, fp, mats, overlay,
+        dataclasses.replace(s, pair_sampling=2, pair_lossy=True),
+    )["image"])).astype(np.int32)
+    d = np.abs(exact - lossy).max(axis=-1)
+    assert d.max() <= 13, f"max err {d.max()}/255 exceeds documented 13"
+    assert (d > 0).mean() <= 0.02, f"diff frac {(d > 0).mean():.4f} > 2%"
+    assert (d > 4).mean() <= 0.001, f">4/255 frac {(d > 4).mean():.5f}"
+
+
 def test_earlyz_compiled_bit_exact(tpu_backend):
     """Early-z (z-bucket candidate order + remaining-work break + dual
     (z, draw-order) tie key) must be a PURE schedule change on compiled
