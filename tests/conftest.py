@@ -29,3 +29,19 @@ import jax  # noqa: E402
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles many hundreds of CPU executables in one
+    process; past a volume threshold the XLA CPU compiler segfaults
+    (deterministically, in backend_compile_and_load — every module
+    passes in any subset run, only the whole-suite run crashes).
+    Releasing executables module-by-module keeps the process under the
+    threshold; modules recompile what they share, which costs seconds."""
+    yield
+    jax.clear_caches()
