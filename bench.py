@@ -454,7 +454,34 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
                           show_gizmo=False, show_lights=False,
                           pair_sampling=2)
-    s, _ = autotune_settings(data, vb, base, margin=1.05, materials=mats)
+    s, probe = autotune_settings(data, vb, base, margin=1.05,
+                                 materials=mats)
+
+    def frame_body_for(sx):
+        def body(carry):
+            return render_frame(data, vb._replace(view=vb.view + carry),
+                                FrameParams(fp.enable_tone_mapping,
+                                            fp.exposure + carry),
+                                mats, None, sx)["image"]
+        return body
+
+    # Dense-pass slot count is a measured schedule choice (the analytic
+    # derivation can't see whole-program layout/fusion effects — see
+    # autotune.dense_cap_candidates / PERFORMANCE.md round-5); every
+    # candidate's capacities stay probe-validated.
+    from bibim_tpu.pipeline.autotune import (
+        dense_cap_candidates,
+        pick_measured,
+    )
+
+    cands = dense_cap_candidates(s, probe, margin=1.05)
+    if len(cands) > 1:
+        s, results = pick_measured(
+            cands, lambda sx: _time_scan(frame_body_for(sx), iters=2))
+        report["x64_dense_pick"] = [
+            {"dense_tile_cap": sx.dense_tile_cap, "ms": round(t, 2)}
+            for t, sx in results
+        ]
 
     _validate(
         lambda: render_frame(data, vb, fp, mats, None,
@@ -468,18 +495,11 @@ def bench_instanced(report: dict, n_instances: int = 64) -> None:
     report.setdefault("configs_loop", {})[
         f"shaderball_x{n_instances}_1080p"] = round(_time(step, iters=5), 2)
 
-    def frame_body(carry, sx=s):
-        return render_frame(data, vb._replace(view=vb.view + carry),
-                            FrameParams(fp.enable_tone_mapping,
-                                        fp.exposure + carry),
-                            mats, None, sx)["image"]
-
-    ms = round(_time_scan(frame_body), 2)
+    ms = round(_time_scan(frame_body_for(s)), 2)
     report["configs"][f"shaderball_x{n_instances}_1080p"] = ms
     report.setdefault("configs_px_sampling", {})[
         f"shaderball_x{n_instances}_1080p"] = (round(_time_scan(
-            lambda c: frame_body(
-                c, dataclasses.replace(s, pair_sampling=0))), 2)
+            frame_body_for(dataclasses.replace(s, pair_sampling=0))), 2)
             if s.pair_sampling else ms)
 
 

@@ -515,6 +515,45 @@ def derive_shadow_settings(scene, view_block, settings,
     )
 
 
+def dense_cap_candidates(settings, probe: CapProbe,
+                         margin: float = 1.25) -> tuple:
+    """Measured-choice candidate set for ``dense_tile_cap`` on merged
+    multi-pass configs.
+
+    The dense-pass slot-list size is a pure SCHEDULE choice above the
+    measured demand (all candidates validate via dropped_tiles): the
+    r5 x64 ladder measured a reproducible 9.50 → 8.78 ms full-frame dip
+    at 2× the probed demand (128 → 192 slots at 91 dense tiles) that
+    does NOT appear at other cameras (40-tile view: 1× ≈ 2×) and
+    INVERTS in the isolated raster stage — whole-program XLA
+    layout/fusion luck, not a derivable law (tools/exp_x64r5.py,
+    /tmp ladders recorded in docs/PERFORMANCE.md round-5). Analysis
+    cannot pick this; measurement can. Returns the derived settings
+    plus the 2× variant for :func:`pick_measured`."""
+    if not settings.merged_coverage or settings.dense_tile_cap is None:
+        return (settings,)
+    alt = min(_bucket(int(2 * probe.dense_tiles * margin), floor=64),
+              probe.n_tiles)
+    if alt == settings.dense_tile_cap:
+        return (settings,)
+    return (settings, dataclasses.replace(settings, dense_tile_cap=alt))
+
+
+def pick_measured(candidates, measure):
+    """Pick the fastest of several VALIDATED settings candidates by
+    measuring each (``measure(settings) -> ms``).
+
+    The analytic derivation covers capacities (what must not drop);
+    discrete schedule choices whose cost is decided by the compiled
+    artifact's layout/fusion (e.g. dense-pass slot count) are chosen by
+    measurement instead — the capacity discipline is unaffected because
+    every candidate's caps are probe-validated. Returns
+    ``(best_settings, [(ms, settings), ...])``."""
+    results = [(float(measure(s)), s) for s in candidates]
+    best = min(results, key=lambda r: r[0])
+    return best[1], results
+
+
 def _bucket(x: int, floor: int = 64) -> int:
     """Round up to a coarse grid (granularity ≈ 3% of magnitude) so
     nearby demands share a jit specialization."""

@@ -194,3 +194,37 @@ class TestAutotune:
         np.testing.assert_array_equal(np.asarray(out_img["image"]),
                                       np.asarray(out_diag["image"]))
         assert "bin_diag" in out_diag
+
+    def test_measured_schedule_pick(self):
+        """pick_measured chooses the fastest validated candidate;
+        dense_cap_candidates proposes the 2x dense slot list only for
+        merged multi-pass configs (a schedule choice the analytic
+        derivation cannot see — PERFORMANCE.md round-5)."""
+        from bibim_tpu.pipeline.autotune import (
+            CapProbe,
+            dense_cap_candidates,
+            pick_measured,
+        )
+
+        probe = CapProbe(n_tiles=2025, bin_tiles=600, covered_tiles=569,
+                         max_candidates=2097, total_pairs=93362, n_big=2,
+                         n_tris=626000, dense_tiles=91)
+        s = RenderSettings(width=W, height=H, raster_passes=5,
+                           merged_coverage=True, dense_tile_cap=128)
+        cands = dense_cap_candidates(s, probe, margin=1.05)
+        assert len(cands) == 2
+        assert cands[0].dense_tile_cap == 128
+        assert cands[1].dense_tile_cap == 192  # bucket(2*91*1.05)
+        # Single-pass / unmerged configs get no alternative.
+        assert dense_cap_candidates(
+            dataclasses.replace(s, merged_coverage=False), probe) == (
+            dataclasses.replace(s, merged_coverage=False),)
+        assert dense_cap_candidates(
+            dataclasses.replace(s, dense_tile_cap=None), probe) == (
+            dataclasses.replace(s, dense_tile_cap=None),)
+
+        fake_ms = {128: 9.5, 192: 8.8}
+        best, results = pick_measured(
+            cands, lambda sx: fake_ms[sx.dense_tile_cap])
+        assert best.dense_tile_cap == 192
+        assert [r[0] for r in results] == [9.5, 8.8]
