@@ -228,3 +228,45 @@ class TestAutotune:
             cands, lambda sx: fake_ms[sx.dense_tile_cap])
         assert best.dense_tile_cap == 192
         assert [r[0] for r in results] == [9.5, 8.8]
+
+    def test_overlay_candidates_derived_from_sphere_binning(self):
+        """A light whose sphere projects tiny concentrates the whole
+        16x16 overlay sphere into ~one 8x128 tile: the probe must raise
+        overlay_candidates past the 384 default (the sharded-dryrun
+        drop this derivation exists for), and a spread-out sphere must
+        leave the default alone."""
+        from bibim_tpu.pipeline import make_overlay_resources
+        from bibim_tpu.pipeline.autotune import derive_overlay_candidates
+        from bibim_tpu.utils.config import get_resource_root
+
+        if not get_resource_root().common("gizmo.obj").is_file():
+            pytest.skip("reference assets not mounted")
+        overlay = make_overlay_resources()
+        mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+        model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+
+        def scene_with_light_at(pos, n=3):
+            lights = make_lights(
+                [dict(type=0, pos=pos, color=(1, 1, 1), intensity=3.0)] * n
+            )
+            return SceneData(batches=(batch_from_mesh(mesh, model),),
+                             lights=lights)
+
+        s = RenderSettings(width=W, height=H)
+        vb = ViewBlock(
+            view=jnp.asarray(FreeLookCamera().get_view_matrix()),
+            proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+            view_pos=jnp.zeros(3),
+            enable_normal_map=jnp.int32(0),
+        )
+        # 3 clustered far lights: each r=0.1 sphere at z=8 fits inside
+        # one 8x128 tile, so ~3 spheres' triangles pile into it (probed
+        # worst tile 561 > the 384 default).
+        far = derive_overlay_candidates(
+            scene_with_light_at((0.0, 0.0, 8.0)), vb, s, overlay)
+        assert far > 384, far
+        # Near lights: the spheres spread over many tiles; the default
+        # cap already covers the worst tile (probed 78).
+        near = derive_overlay_candidates(
+            scene_with_light_at((0.0, 0.0, 0.4)), vb, s, overlay)
+        assert near == s.overlay_candidates, near
