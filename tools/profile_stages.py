@@ -38,9 +38,9 @@ def timeit(name, fn, iters=4):
     for _ in range(iters):
         out = fn()
     sync(out)
-    print(f"{name:48s} {(time.perf_counter() - t0) / iters / SCAN_ITERS * 1e3:8.2f} ms",
-          flush=True)
-    return out
+    ms = (time.perf_counter() - t0) / iters / SCAN_ITERS * 1e3
+    print(f"{name:48s} {ms:8.2f} ms", flush=True)
+    return ms
 
 
 def scan8(body):
@@ -129,7 +129,40 @@ def main():
         img = out["image"]
         return dep_f(img), img[:1, :1]
 
-    timeit("full render_frame (sustained)", scan8(frame_body))
+    full_ms = timeit("full render_frame (sustained)", scan8(frame_body))
+
+    # Frame-removal attribution (round-5 correction): the standalone
+    # stage scans BELOW are upper bounds — frozen-stream harnesses
+    # inflate gather stages up to ~5x their in-frame cost
+    # (docs/PERFORMANCE.md round-5; tools/exp_overlap.py --frame).
+    # The honest in-frame numbers are full-frame deltas:
+    maps = tq.pack_material_maps(create_pbr_material_set(),
+                                 scene.selected_material)
+    small_maps = {k: np.ascontiguousarray(
+        img[::max(1, img.shape[0] // 32), ::max(1, img.shape[1] // 32)])
+        for k, img in maps.items()}
+    mats_small = jax.device_put(tq.build_quad_tables(small_maps))
+
+    def removal_body(m, ov):
+        def body(carry):
+            out = render_frame(
+                data, view_block,
+                FrameParams(frame_params.enable_tone_mapping,
+                            frame_params.exposure + carry),
+                m, ov, settings,
+            )
+            img = out["image"]
+            return dep_f(img), img[:1, :1]
+        return body
+
+    small_ms = timeit("  frame w/ 32^2 materials (no big gather)",
+                      scan8(removal_body(mats_small, overlay)))
+    noov_ms = timeit("  frame w/o overlays",
+                     scan8(removal_body(mats, None)))
+    print(f"{'  => in-frame material gather (delta)':48s} "
+          f"{full_ms - small_ms:8.2f} ms", flush=True)
+    print(f"{'  => in-frame overlays (delta)':48s} "
+          f"{full_ms - noov_ms:8.2f} ms", flush=True)
 
     def geom(view_m):
         psoup = assemble_scene_planar(data.batches, view_m, proj, None)
