@@ -194,7 +194,8 @@ def bench_shaderball(report: dict) -> float:
     # exact pass (pair_sampling→0): the headline is the px-exact path.
     base = dataclasses.replace(base, pair_sampling=2)
     settings, _probe = autotune_settings(data, view_block, base,
-                                         margin=1.05, materials=mats)
+                                         margin=1.05, materials=mats,
+                                         overlay=overlay)
     report["sampling"] = {
         "pair_sampling": settings.pair_sampling, "routed_exact": True,
         "route_caps": list(settings.sample_route_caps or ()),
@@ -548,8 +549,10 @@ def bench_stretch_4k(report: dict) -> None:
                           pair_sampling=2)
     data = scene.scene_data()
     # Shadow capacities (candidates/passes/tile cap) are derived from the
-    # light-view probe inside autotune_settings — no hand caps.
-    s, _ = autotune_settings(data, vb, base, margin=1.05, materials=mats)
+    # light-view probe inside autotune_settings — no hand caps; overlay
+    # caps likewise (the sphere-pass binning probe).
+    s, _ = autotune_settings(data, vb, base, margin=1.05, materials=mats,
+                             overlay=overlay)
 
     import dataclasses
 

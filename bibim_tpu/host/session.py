@@ -256,6 +256,7 @@ class Session:
             "live_tile_cap": derived.live_tile_cap,
             "raster_tile_cap": derived.raster_tile_cap,
             "overlay_candidates": derived.overlay_candidates,
+            "overlay_max_tiles": derived.overlay_max_tiles,
             # span_cap/span_mid_cap are routing choices whose overflow is
             # separately validated (overflow list / dropped_pairs) —
             # always take the fresh derivation.

@@ -360,7 +360,7 @@ def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
 # dense-pass grid size where None means "no dense pass" (a number wins).
 _CAPS_NONE_UNCAPPED = ("live_tile_cap", "raster_tile_cap")
 _CAPS_INT = ("max_candidates", "raster_passes", "overflow_cap",
-             "pair_budget", "overlay_candidates")
+             "pair_budget", "overlay_candidates", "overlay_max_tiles")
 
 
 def grow_caps(old, new):
@@ -564,39 +564,110 @@ def _bucket(x: int, floor: int = 64) -> int:
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _probe_overlay_jit(lights, overlay, view_proj, settings):
-    """Worst-tile candidate demand of the light-sphere overlay pass —
-    the SAME binning _composite_light_spheres runs (span_cap=32), so
-    the derived overlay_candidates covers exactly what the pass bins.
-    Needed because small-projected spheres concentrate a whole 16×16
-    sphere (512 tris, ×N lights) into one 8×128 px tile, far past the
-    default 384-row window (seen: sharded dryrun drop of ~2.4k overlay
-    candidates at 960×512)."""
+    """Binning demands of the light-sphere overlay pass — the SAME
+    binning _composite_light_spheres runs (span_cap=32), so the derived
+    caps cover exactly what the pass bins. Two measured failure modes
+    of the fixed defaults: small-projected spheres concentrate a whole
+    16×16 sphere (512 tris, ×N lights) into one 8×128 px tile, far past
+    the 384-row window (seen: sharded dryrun drop of ~2.4k overlay
+    candidates at 960×512); and near-plane-straddling spheres (the
+    headline camera sits ON the spheres' plane) depth-cull to ZERO live
+    content while the bbox heuristic goes conservative-full-screen — a
+    384-step compact grid of pure padding."""
     from bibim_tpu.pipeline.framegraph import _light_sphere_planar_soup
 
     soup = _light_sphere_planar_soup(lights, overlay, view_proj)
     setup = triangle_setup_planar(soup.clip, settings.width,
                                   settings.height)
     n_tris = setup.valid.shape[0]
-    (_, _starts, counts, _big, n_big, _, _ty, _tx) = fused.bin_pairs(
+    tiles_x = -(-settings.width // settings.tile_w)
+    (_, _starts, counts, big_ids, n_big, _, tiles_y, _tx) = fused.bin_pairs(
         setup, settings.width, settings.height, settings.tile_h,
         settings.tile_w, span_cap=32,
         overflow_cap=max(64, min(n_tris, 1 << 14)),
         max_candidates=1 << 22, pair_budget=None,
     )
-    return {"max_candidates": jnp.max(counts), "n_big": n_big}
+    nt = tiles_y * tiles_x
+    big_valid = big_ids >= 0
+    bidx = jnp.maximum(big_ids, 0)
+    coef_cols = [
+        getattr(setup, name)[k][bidx]
+        for name in ("edge_a", "edge_b", "edge_c", "z_coef", "w_coef")
+        for k in range(3)
+    ]
+    ov = jnp.stack(coef_cols, axis=-1) * big_valid.astype(jnp.float32)[
+        :, None
+    ]
+    ov = jnp.pad(ov, ((0, 0), (0, fused.REC_CH - ov.shape[1])))
+    live = (counts > 0) | fused._big_cover_mask(
+        ov, big_ids, nt, tiles_x, settings.tile_h, settings.tile_w
+    )
+    return {"max_candidates": jnp.max(counts), "n_big": n_big,
+            "live_tiles": jnp.sum(live.astype(jnp.int32))}
 
 
-def derive_overlay_candidates(scene, view_block, settings, overlay,
-                              margin: float = 1.25) -> int:
-    """Probe-derived ``overlay_candidates`` (never below the configured
-    value — raising the window costs VMEM, so only measured demand
-    grows it; still validated by the overlay pass's BinDiag)."""
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _probe_gizmo_jit(view, proj, overlay, settings):
+    """Worst-tile demand of the corner-gizmo raster — it binds the SAME
+    ``overlay_candidates`` window as the sphere composite
+    (framegraph._render_gizmo), so the derived cap must cover its
+    (view-rotation-dependent) concentration too."""
     from bibim_tpu import math3d as m3
 
-    vp = m3.matmul(view_block.proj, view_block.view)
-    out = _probe_overlay_jit(scene.lights, overlay, vp, settings)
-    mc = _bucket(int(int(out["max_candidates"]) * margin) + 8, floor=64)
-    return max(settings.overlay_candidates, mc)
+    ext = settings.gizmo_extent
+    rot = view[:3, :3]
+    look = view[2, :3]
+    view_pos = look * -27.0
+    trans = -rot @ view_pos
+    gz_view = view.at[:3, 3].set(trans)
+    d = 1.0 / jnp.tan(0.261799)
+    gz_proj = proj.at[0, 0].set(d).at[1, 1].set(-d)
+    vp = m3.matmul(gz_proj, gz_view)
+    p4 = jnp.concatenate(
+        [overlay.gizmo_positions,
+         jnp.ones_like(overlay.gizmo_positions[..., :1])], axis=-1,
+    )
+    clip = jnp.einsum("vk,mk->vm", p4, vp,
+                      precision=jax.lax.Precision.HIGHEST)
+    setup = triangle_setup(clip, overlay.gizmo_tris, ext, ext)
+    n_tris = overlay.gizmo_tris.shape[0]
+    (_, _s, counts, _b, _nb, _, _ty, _tx) = fused.bin_pairs(
+        setup, ext, ext, settings.tile_h, settings.tile_w,
+        span_cap=settings.span_cap,
+        overflow_cap=max(64, n_tris),
+        max_candidates=1 << 22, pair_budget=None,
+    )
+    return {"max_candidates": jnp.max(counts)}
+
+
+def derive_overlay_caps(scene, view_block, settings, overlay,
+                        margin: float = 1.25) -> dict:
+    """Probe-derived ``overlay_candidates`` + ``overlay_max_tiles``
+    (both floored at 64; both remain VALIDATED capacities — a camera
+    swing past the margin shows up as overlay dropped_tiles/dropped_cap
+    and the session drop-watcher re-probes, same recovery story as the
+    main raster caps). ``overlay_candidates`` covers the worst demand
+    of EVERY pass that binds it: the light-sphere composite AND the
+    corner-gizmo raster."""
+    from bibim_tpu import math3d as m3
+
+    out: dict = {}
+    demands = []
+    if settings.show_lights and getattr(scene, "lights", None) is not None \
+            and scene.lights.num_lights > 0:
+        vp = m3.matmul(view_block.proj, view_block.view)
+        p = _probe_overlay_jit(scene.lights, overlay, vp, settings)
+        demands.append(int(p["max_candidates"]))
+        out["overlay_max_tiles"] = _bucket(
+            int(int(p["live_tiles"]) * margin) + 8, floor=64)
+    if settings.show_gizmo:
+        g = _probe_gizmo_jit(view_block.view, view_block.proj, overlay,
+                             settings)
+        demands.append(int(g["max_candidates"]))
+    if demands:
+        out["overlay_candidates"] = _bucket(
+            int(max(demands) * margin) + 8, floor=64)
+    return out
 
 
 def derive_overlay_tiles(lights_pos, view, proj, settings,
@@ -827,13 +898,15 @@ def autotune_settings(scene, view_block, settings, margin: float = 1.25,
                 ),
             ),
         )
-        if overlay is not None:
-            derived = dataclasses.replace(
-                derived,
-                overlay_candidates=derive_overlay_candidates(
-                    scene, view_block, derived, overlay, margin=margin,
-                ),
-            )
+    if overlay is not None:
+        # Measured overlay caps (sphere composite + gizmo raster both
+        # bind overlay_candidates) replace the bbox heuristic above.
+        derived = dataclasses.replace(
+            derived,
+            **derive_overlay_caps(
+                scene, view_block, derived, overlay, margin=margin,
+            ),
+        )
     if derived.enable_shadows and getattr(scene, "lights", None) is not None \
             and scene.lights.num_lights > 0:
         derived = derive_shadow_settings(scene, view_block, derived,

@@ -233,10 +233,12 @@ class TestAutotune:
         """A light whose sphere projects tiny concentrates the whole
         16x16 overlay sphere into ~one 8x128 tile: the probe must raise
         overlay_candidates past the 384 default (the sharded-dryrun
-        drop this derivation exists for), and a spread-out sphere must
-        leave the default alone."""
+        drop this derivation exists for); spread-out spheres derive a
+        small window; and a depth-culled sphere set (the headline's
+        near-plane straddle) derives FLOOR caps instead of the bbox
+        heuristic's conservative-full-screen grid."""
         from bibim_tpu.pipeline import make_overlay_resources
-        from bibim_tpu.pipeline.autotune import derive_overlay_candidates
+        from bibim_tpu.pipeline.autotune import derive_overlay_caps
         from bibim_tpu.utils.config import get_resource_root
 
         if not get_resource_root().common("gizmo.obj").is_file():
@@ -252,7 +254,9 @@ class TestAutotune:
             return SceneData(batches=(batch_from_mesh(mesh, model),),
                              lights=lights)
 
-        s = RenderSettings(width=W, height=H)
+        # show_gizmo off isolates the sphere demand (the gizmo raster
+        # binds the same cap and is asserted separately below).
+        s = RenderSettings(width=W, height=H, show_gizmo=False)
         vb = ViewBlock(
             view=jnp.asarray(FreeLookCamera().get_view_matrix()),
             proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
@@ -262,11 +266,89 @@ class TestAutotune:
         # 3 clustered far lights: each r=0.1 sphere at z=8 fits inside
         # one 8x128 tile, so ~3 spheres' triangles pile into it (probed
         # worst tile 561 > the 384 default).
-        far = derive_overlay_candidates(
+        far = derive_overlay_caps(
             scene_with_light_at((0.0, 0.0, 8.0)), vb, s, overlay)
-        assert far > 384, far
-        # Near lights: the spheres spread over many tiles; the default
-        # cap already covers the worst tile (probed 78).
-        near = derive_overlay_candidates(
+        assert far["overlay_candidates"] > 384, far
+        assert far["overlay_max_tiles"] <= 128, far
+        # Near lights: the spheres spread over many tiles with a small
+        # worst tile (probed 78) — a tight window suffices.
+        near = derive_overlay_caps(
             scene_with_light_at((0.0, 0.0, 0.4)), vb, s, overlay)
-        assert near == s.overlay_candidates, near
+        assert near["overlay_candidates"] <= 128, near
+        # Behind-camera lights: everything depth-culls; both caps fall
+        # to the 64 floor (the pass stays validated, so a camera swing
+        # that brings a sphere back recovers via the drop-watcher).
+        gone = derive_overlay_caps(
+            scene_with_light_at((0.0, 0.0, -8.0)), vb, s, overlay)
+        assert gone["overlay_candidates"] == 64, gone
+        assert gone["overlay_max_tiles"] == 64, gone
+        # With the gizmo on, its raster's worst tile (same cap binding,
+        # framegraph._render_gizmo) keeps the window above the floor
+        # even when every sphere is culled.
+        gz = derive_overlay_caps(
+            scene_with_light_at((0.0, 0.0, -8.0)), vb,
+            dataclasses.replace(s, show_gizmo=True), overlay)
+        assert gz["overlay_candidates"] > 64, gz
+
+    def test_overlay_floor_caps_recover_on_swing(self):
+        """Overlay caps derived at a camera where the spheres depth-cull
+        (floor 64/64) must FAIL LOUDLY — dropped geometry in bin_diag —
+        when the camera swings onto the spheres, and a re-derivation at
+        the new camera must render them drop-free: the same validated-
+        capacity recovery story as the main raster caps."""
+        import jax
+
+        from bibim_tpu.pipeline import make_overlay_resources
+        from bibim_tpu.pipeline.autotune import derive_overlay_caps
+        from bibim_tpu.utils.config import get_resource_root
+
+        if not get_resource_root().common("gizmo.obj").is_file():
+            pytest.skip("reference assets not mounted")
+        overlay = make_overlay_resources()
+        mesh = generate_uv_sphere_mesh(1.0, 12, 8)
+        model = np.asarray(m3.translate([0.0, 0.0, 4.0]))
+        lights = make_lights(
+            [dict(type=0, pos=(0.0, 0.5, 2.0), color=(1, 1, 1),
+                  intensity=3.0)] * 3
+        )
+        scene = SceneData(batches=(batch_from_mesh(mesh, model),),
+                          lights=lights)
+
+        def view_for(yaw):
+            cam = FreeLookCamera()
+            cam.yaw = yaw
+            return ViewBlock(
+                view=jnp.asarray(cam.get_view_matrix()),
+                proj=m3.perspective(60.0, W / H, 0.1, 1000.0),
+                view_pos=jnp.asarray(cam.pos),
+                enable_normal_map=jnp.int32(0),
+            )
+
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              outputs="image+diag", show_gizmo=False)
+        away, front = view_for(180.0), view_for(0.0)
+        caps_away = derive_overlay_caps(scene, away, base, overlay)
+        assert caps_away["overlay_candidates"] == 64
+        s_away = dataclasses.replace(base, **caps_away)
+        fp = FrameParams(jnp.int32(1), jnp.float32(1.0))
+        mats = _mats()
+        out = render_frame(scene, front, fp, mats, overlay, s_away)
+        dropped = sum(
+            int(np.asarray(getattr(out["bin_diag"], f)))
+            for f in ("dropped_cap", "dropped_tiles", "dropped_overflow",
+                      "dropped_pairs")
+        )
+        assert dropped > 0, "stale floor caps must fail loudly"
+        # Recovery: re-derive at the new camera.
+        s_front = dataclasses.replace(
+            base, **derive_overlay_caps(scene, front, base, overlay))
+        out2 = render_frame(scene, front, fp, mats, overlay, s_front)
+        from bibim_tpu.utils.validation import check_bin_diag
+
+        check_bin_diag(out2["bin_diag"], where="re-derived overlay caps")
+        # The spheres actually draw (flat light color over the scene).
+        img = np.asarray(out2["image"])
+        base_img = np.asarray(render_frame(
+            scene, front, fp, mats, overlay,
+            dataclasses.replace(s_front, show_lights=False))["image"])
+        assert (img != base_img).any()
