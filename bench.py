@@ -165,8 +165,9 @@ def bench_shaderball(report: dict) -> float:
     # Capacities are DERIVED from a probe of this scene + camera
     # (pipeline.autotune) — no hand-pinned caps; _validate still asserts
     # the derivation dropped nothing.
-    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image",
-                          overlay_candidates=256, overlay_max_tiles=384)
+    # (overlay caps are probe-derived too — derive_overlay_caps — so no
+    # hand values here either.)
+    base = RenderSettings(width=WIDTH, height=HEIGHT, outputs="image")
     mats = jax.device_put(
         material_quads_from_set(create_pbr_material_set(),
                                 scene.selected_material)
@@ -545,7 +546,6 @@ def bench_stretch_4k(report: dict) -> None:
                           enable_shadows=True, enable_ibl=True,
                           span_cap=32,
                           shadow_fit_batches=scene.shadow_fit_batches,
-                          overlay_max_tiles=1024,
                           pair_sampling=2)
     data = scene.scene_data()
     # Shadow capacities (candidates/passes/tile cap) are derived from the

@@ -219,7 +219,9 @@ def main(argv=None) -> int:
         show_tbn=args.tbn,
         show_hud=args.hud,
         srgb_output=not args.no_srgb,
-        aniso_taps=args.aniso,
+        # Same clamp as UiState (1..16): an unclamped 0 would silently
+        # disable the aniso_taps==1 fused-path gates below.
+        aniso_taps=max(1, min(16, args.aniso)),
         pair_sampling=args.pair_sampling,
         enable_shadows=args.shadows,
         shadow_fit_batches=(getattr(scene, "shadow_fit_batches", None)

@@ -257,6 +257,7 @@ class Session:
             "raster_tile_cap": derived.raster_tile_cap,
             "overlay_candidates": derived.overlay_candidates,
             "overlay_max_tiles": derived.overlay_max_tiles,
+            "overlay_overflow_cap": derived.overlay_overflow_cap,
             # span_cap/span_mid_cap are routing choices whose overflow is
             # separately validated (overflow list / dropped_pairs) —
             # always take the fresh derivation.

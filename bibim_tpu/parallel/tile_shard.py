@@ -472,7 +472,7 @@ class ShardedRenderer:
         frame, band, _probe = autotune_settings_sharded(
             scene, view_block, self.base_settings,
             n_bands=self.mesh.devices.size, margin=self.margin,
-            overlay=self.overlay,
+            overlay=self.overlay, materials=self.materials,
         )
         if self._band is not None:
             band = grow_caps(self._band, band)

@@ -325,7 +325,8 @@ def probe_band_caps(scene, view_block, settings, n_bands: int) -> CapProbe:
 
 
 def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
-                              margin: float = 1.25, overlay=None):
+                              margin: float = 1.25, overlay=None,
+                              materials=None):
     """Probe + derive for the band-sharded path.
 
     Frame-level autotune first (span routing, shadow caps, overlay tile
@@ -336,9 +337,17 @@ def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
     ``frame_settings`` drives the outside-shard_map passes (shadow map,
     gizmo), ``band_settings`` goes to ``render_frame_sharded``'s
     ``band_settings`` parameter."""
+    # With materials the frame-level probe also measures coverage + the
+    # escape-tile demand, so the sampling-router decision (pair routing
+    # on/off + route caps) is derived exactly like single-chip — the
+    # band pass self-clamps the frame-scale route caps to its own tile
+    # count (_sampled_hdr mins against nt). Without materials the
+    # cheaper bin-only probe is kept.
     derived, _probe = autotune_settings(scene, view_block, settings,
                                         margin=margin,
-                                        measure_coverage=False,
+                                        measure_coverage=materials
+                                        is not None,
+                                        materials=materials,
                                         overlay=overlay)
     base_band = dataclasses.replace(settings, span_cap=derived.span_cap)
     band_probe = probe_band_caps(scene, view_block, base_band, n_bands)
@@ -360,7 +369,8 @@ def autotune_settings_sharded(scene, view_block, settings, n_bands: int,
 # dense-pass grid size where None means "no dense pass" (a number wins).
 _CAPS_NONE_UNCAPPED = ("live_tile_cap", "raster_tile_cap")
 _CAPS_INT = ("max_candidates", "raster_passes", "overflow_cap",
-             "pair_budget", "overlay_candidates", "overlay_max_tiles")
+             "pair_budget", "overlay_candidates", "overlay_max_tiles",
+             "overlay_overflow_cap")
 
 
 def grow_caps(old, new):
@@ -562,8 +572,11 @@ def _bucket(x: int, floor: int = 64) -> int:
     return -(-x // g) * g
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _probe_overlay_jit(lights, overlay, view_proj, settings):
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
+)
+def _probe_overlay_jit(lights, overlay, view_proj, width, height,
+                       tile_h, tile_w):
     """Binning demands of the light-sphere overlay pass — the SAME
     binning _composite_light_spheres runs (span_cap=32), so the derived
     caps cover exactly what the pass bins. Two measured failure modes
@@ -573,17 +586,17 @@ def _probe_overlay_jit(lights, overlay, view_proj, settings):
     candidates at 960×512); and near-plane-straddling spheres (the
     headline camera sits ON the spheres' plane) depth-cull to ZERO live
     content while the bbox heuristic goes conservative-full-screen — a
-    384-step compact grid of pure padding."""
+    384-step compact grid of pure padding. (Static-keyed on the few
+    scalars it reads, not the whole settings object — a drop-watcher
+    retune that grows unrelated caps must not recompile the probe.)"""
     from bibim_tpu.pipeline.framegraph import _light_sphere_planar_soup
 
     soup = _light_sphere_planar_soup(lights, overlay, view_proj)
-    setup = triangle_setup_planar(soup.clip, settings.width,
-                                  settings.height)
+    setup = triangle_setup_planar(soup.clip, width, height)
     n_tris = setup.valid.shape[0]
-    tiles_x = -(-settings.width // settings.tile_w)
+    tiles_x = -(-width // tile_w)
     (_, _starts, counts, big_ids, n_big, _, tiles_y, _tx) = fused.bin_pairs(
-        setup, settings.width, settings.height, settings.tile_h,
-        settings.tile_w, span_cap=32,
+        setup, width, height, tile_h, tile_w, span_cap=32,
         overflow_cap=max(64, min(n_tris, 1 << 14)),
         max_candidates=1 << 22, pair_budget=None,
     )
@@ -600,40 +613,29 @@ def _probe_overlay_jit(lights, overlay, view_proj, settings):
     ]
     ov = jnp.pad(ov, ((0, 0), (0, fused.REC_CH - ov.shape[1])))
     live = (counts > 0) | fused._big_cover_mask(
-        ov, big_ids, nt, tiles_x, settings.tile_h, settings.tile_w
+        ov, big_ids, nt, tiles_x, tile_h, tile_w
     )
     return {"max_candidates": jnp.max(counts), "n_big": n_big,
             "live_tiles": jnp.sum(live.astype(jnp.int32))}
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _probe_gizmo_jit(view, proj, overlay, settings):
+@functools.partial(
+    jax.jit, static_argnames=("ext", "tile_h", "tile_w", "span_cap")
+)
+def _probe_gizmo_jit(view, proj, overlay, ext, tile_h, tile_w, span_cap):
     """Worst-tile demand of the corner-gizmo raster — it binds the SAME
     ``overlay_candidates`` window as the sphere composite
-    (framegraph._render_gizmo), so the derived cap must cover its
-    (view-rotation-dependent) concentration too."""
-    from bibim_tpu import math3d as m3
+    (framegraph._render_gizmo). The viewport camera + clip build is the
+    shared framegraph._gizmo_clip helper, so the probe can never
+    desynchronize from the pass it sizes."""
+    from bibim_tpu.pipeline.framegraph import _gizmo_clip
 
-    ext = settings.gizmo_extent
-    rot = view[:3, :3]
-    look = view[2, :3]
-    view_pos = look * -27.0
-    trans = -rot @ view_pos
-    gz_view = view.at[:3, 3].set(trans)
-    d = 1.0 / jnp.tan(0.261799)
-    gz_proj = proj.at[0, 0].set(d).at[1, 1].set(-d)
-    vp = m3.matmul(gz_proj, gz_view)
-    p4 = jnp.concatenate(
-        [overlay.gizmo_positions,
-         jnp.ones_like(overlay.gizmo_positions[..., :1])], axis=-1,
-    )
-    clip = jnp.einsum("vk,mk->vm", p4, vp,
-                      precision=jax.lax.Precision.HIGHEST)
+    clip, _gz_view = _gizmo_clip(view, proj, overlay)
     setup = triangle_setup(clip, overlay.gizmo_tris, ext, ext)
     n_tris = overlay.gizmo_tris.shape[0]
     (_, _s, counts, _b, _nb, _, _ty, _tx) = fused.bin_pairs(
-        setup, ext, ext, settings.tile_h, settings.tile_w,
-        span_cap=settings.span_cap,
+        setup, ext, ext, tile_h, tile_w,
+        span_cap=span_cap,
         overflow_cap=max(64, n_tris),
         max_candidates=1 << 22, pair_budget=None,
     )
@@ -656,13 +658,23 @@ def derive_overlay_caps(scene, view_block, settings, overlay,
     if settings.show_lights and getattr(scene, "lights", None) is not None \
             and scene.lights.num_lights > 0:
         vp = m3.matmul(view_block.proj, view_block.view)
-        p = _probe_overlay_jit(scene.lights, overlay, vp, settings)
+        p = _probe_overlay_jit(scene.lights, overlay, vp,
+                               settings.width, settings.height,
+                               settings.tile_h, settings.tile_w)
         demands.append(int(p["max_candidates"]))
         out["overlay_max_tiles"] = _bucket(
             int(int(p["live_tiles"]) * margin) + 8, floor=64)
+        # Overflow (big/straddling sphere triangles) is a demand too:
+        # a scene whose spheres overflow the list would otherwise drop
+        # pairs every frame with nothing for the re-probe to grow.
+        out["overlay_overflow_cap"] = max(
+            settings.overlay_overflow_cap,
+            _bucket(int(int(p["n_big"]) * margin) + 8, floor=64),
+        )
     if settings.show_gizmo:
         g = _probe_gizmo_jit(view_block.view, view_block.proj, overlay,
-                             settings)
+                             settings.gizmo_extent, settings.tile_h,
+                             settings.tile_w, settings.span_cap)
         demands.append(int(g["max_candidates"]))
     if demands:
         out["overlay_candidates"] = _bucket(

@@ -159,6 +159,10 @@ class RenderSettings:
     # (None = max_candidates); light-view projections concentrate the
     # scene into few tiles, so fewer+fatter windows beat many thin ones
     overlay_candidates: int = 384  # per-tile capacity for overlay passes
+    overlay_overflow_cap: int = 512  # overlay big-triangle list capacity
+    # (near-plane-straddling spheres go conservative); probe-derived by
+    # autotune.derive_overlay_caps — a validated capacity like the rest
+    # (overflow past it reports dropped_pairs)
     overlay_max_tiles: int = 512  # compact overlay grid capacity (tiles
     # the overlay geometry may touch; raise for 4K / many lights)
     overflow_cap: int = 64  # shared big-triangle list capacity
@@ -1029,7 +1033,7 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
             rec, setup, ldr3, zkey, settings.width, height,
             tile_h=settings.tile_h, tile_w=settings.tile_w,
             max_candidates=settings.overlay_candidates,
-            overflow_cap=512,  # near-plane-straddling spheres go conservative
+            overflow_cap=settings.overlay_overflow_cap,
             span_cap=32,
             max_tiles=min(settings.overlay_max_tiles,
                           settings.tiles_x * -(-height // settings.tile_h)),
@@ -1047,7 +1051,7 @@ def _composite_light_spheres(ldr3, zkey, lights: Lights,
     px, _, diag = _raster(
         rec, setup, clip, tris, settings.width, height, settings,
         cap=settings.overlay_candidates, init_zkey=zkey, skip_empty=True,
-        overflow_cap=512,  # near-plane-straddling spheres go conservative
+        overflow_cap=settings.overlay_overflow_cap,
         span_cap=32,  # matches the compact overlay kernel's binning
         viewport=(settings.height, y0) if band is not None else None,
     )
@@ -1107,14 +1111,11 @@ def _composite_hud(ldr3, hud, settings: RenderSettings):
         diag
 
 
-def _render_gizmo(view, proj, overlay: OverlayResources,
-                  settings: RenderSettings):
-    """Render the orientation gizmo into its own ``gizmo_extent``² viewport
-    with cleared depth (main.cpp:150-171), Lambert-lit in view space
-    (gizmo.vert/frag). Returns (hit (ext,ext) bool image, rgb (ext,ext)
-    image planes)."""
-    ext = settings.gizmo_extent
-    # gizmo.vert:12-27 — keep main view rotation; camera 27 back; 30° fov.
+def _gizmo_clip(view, proj, overlay: OverlayResources):
+    """Gizmo vertices → clip through the gizmo viewport camera
+    (gizmo.vert:12-27 — main-view rotation kept, camera 27 back along
+    look, 30° fov). Shared by the render pass and the autotune demand
+    probe so the two can never desynchronize."""
     rot = view[:3, :3]
     look = view[2, :3]
     view_pos = look * -27.0
@@ -1123,13 +1124,23 @@ def _render_gizmo(view, proj, overlay: OverlayResources,
     d = 1.0 / jnp.tan(0.261799)
     gz_proj = proj.at[0, 0].set(d).at[1, 1].set(-d)
     vp = m3.matmul(gz_proj, gz_view)
-
     p4 = jnp.concatenate(
         [overlay.gizmo_positions,
          jnp.ones_like(overlay.gizmo_positions[..., :1])], axis=-1,
     )
     clip = jnp.einsum("vk,mk->vm", p4, vp,
                       precision=jax.lax.Precision.HIGHEST)
+    return clip, gz_view
+
+
+def _render_gizmo(view, proj, overlay: OverlayResources,
+                  settings: RenderSettings):
+    """Render the orientation gizmo into its own ``gizmo_extent``² viewport
+    with cleared depth (main.cpp:150-171), Lambert-lit in view space
+    (gizmo.vert/frag). Returns (hit (ext,ext) bool image, rgb (ext,ext)
+    image planes)."""
+    ext = settings.gizmo_extent
+    clip, gz_view = _gizmo_clip(view, proj, overlay)
     gz_settings = RenderSettings(
         width=ext, height=ext, raster=settings.raster,
         tile_h=settings.tile_h, tile_w=settings.tile_w,
@@ -1147,7 +1158,7 @@ def _render_gizmo(view, proj, overlay: OverlayResources,
     px, _, gz_diag = _raster(rec, setup, clip, overlay.gizmo_tris, ext, ext,
                              gz_settings, cap=settings.overlay_candidates,
                              skip_empty=True)
-    gz_rgb = shade_flat_planar(px.color, px.normal, rot)
+    gz_rgb = shade_flat_planar(px.color, px.normal, gz_view[:3, :3])
     hit = px.tri_id >= 0
 
     def region(c):

@@ -144,29 +144,47 @@ class TestAnisoSampling:
                 np.asarray(got[k]), np.asarray(acc[k]) * 0.5, err_msg=k
             )
 
-    def test_taps1_is_bitexact_noop(self):
+    def test_taps1_touches_only_covered_pixels_when_enabled(self):
+        """The disabled state (taps=1, the default) is a STATIC Python
+        branch (``if settings.aniso_taps > 1`` in framegraph), so
+        "taps=1 is a no-op" holds by construction within a version and
+        is pinned cross-version by the default-path goldens
+        (shaderball_pbr golden renders at taps=1; shaderball_aniso2
+        pins the enabled path). What IS testable here: enabling the
+        feature must be additive — taps=2 may change covered pixels
+        only, never background. (A same-config image comparison, as
+        this test originally did, compares a jit cache entry with
+        itself — vacuous.)"""
         scene = _grazing_plane_scene()
         mats = _checker_materials()
-        base = RenderSettings(width=W, height=H, xla_cap=256)
-        out0 = render_frame(scene, _view(), _fp(), mats, None, base)
-        out1 = render_frame(
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              outputs="full")
+        out1 = render_frame(scene, _view(), _fp(), mats, None, base)
+        out2 = render_frame(
             scene, _view(), _fp(), mats, None,
-            dataclasses.replace(base, aniso_taps=1),
+            dataclasses.replace(base, aniso_taps=2),
         )
-        np.testing.assert_array_equal(
-            np.asarray(out0["image"]), np.asarray(out1["image"])
-        )
+        img1 = np.asarray(out1["image"]).astype(np.int32)
+        img2 = np.asarray(out2["image"]).astype(np.int32)
+        hit = np.asarray(out1["tri_id"]) >= 0
+        assert (img1[~hit] == img2[~hit]).all()
+        assert (img1[hit] != img2[hit]).any()
 
-    def test_taps1_noop_across_feature_combos_grazing(self):
+    def test_aniso_additive_across_feature_combos_grazing(self):
         """Feature-matrix version of the lossless-off invariant
-        (VERDICT r4 #7): at the grazing config — where aniso has its
-        largest effect — aniso OFF (taps=1) must stay a bit-exact no-op
-        under random combinations of the other GUI toggles, not just at
-        the plain config pinned above."""
+        (VERDICT r4 #7) at the grazing config, stated in its testable
+        form: taps=1 (OFF, the default static branch) is pinned by the
+        default-path goldens; what must hold across random combinations
+        of the other GUI toggles is that ENABLING aniso stays additive —
+        taps=2 renders finite and touches only covered pixels, whatever
+        the rest of the feature matrix does. (Comparing taps-default
+        against replace(s, aniso_taps=1) is the same frozen dataclass —
+        one jit cache entry compared with itself.)"""
         scene = _grazing_plane_scene()
         mats = _checker_materials()
         rng = np.random.default_rng(7)
-        base = RenderSettings(width=W, height=H, xla_cap=256)
+        base = RenderSettings(width=W, height=H, xla_cap=256,
+                              outputs="full")
         for trial in range(4):
             s = dataclasses.replace(
                 base,
@@ -176,15 +194,16 @@ class TestAnisoSampling:
                 pair_sampling=int(rng.integers(0, 3)),
                 quantize_fp16=bool(rng.integers(0, 2)),
             )
-            out0 = render_frame(scene, _view(), _fp(), mats, None, s)
-            out1 = render_frame(
+            out1 = render_frame(scene, _view(), _fp(), mats, None, s)
+            out2 = render_frame(
                 scene, _view(), _fp(), mats, None,
-                dataclasses.replace(s, aniso_taps=1),
+                dataclasses.replace(s, aniso_taps=2),
             )
-            np.testing.assert_array_equal(
-                np.asarray(out0["image"]), np.asarray(out1["image"]),
-                err_msg=f"combo {trial}: {s}",
-            )
+            img1 = np.asarray(out1["image"]).astype(np.int32)
+            img2 = np.asarray(out2["image"]).astype(np.int32)
+            hit = np.asarray(out1["tri_id"]) >= 0
+            assert np.isfinite(np.asarray(out2["hdr"])).all(), trial
+            assert (img1[~hit] == img2[~hit]).all(), f"combo {trial}: {s}"
 
     def test_taps4_smooths_grazing_plane(self):
         scene = _grazing_plane_scene()
