@@ -242,6 +242,16 @@ def bench_shaderball(report: dict) -> float:
     else:
         report["value_px_sampling"] = report["value_exact"]
 
+    # The supported bounded-error performance mode (README "Sampling
+    # modes"): quad-rate window-clamp sampling. Off-headline (the
+    # headline is exact), tracked per round so the mode's number is a
+    # measurement, not an r3 quotation. Bounds pinned on hardware by
+    # tests/test_tpu.py::test_pair_lossy_bounds_full_1080p.
+    report.setdefault("configs_lossy", {})["shaderball_pbr_1080p_lossy"] = (
+        round(_time_scan(lambda c: frame_body(
+            c, dataclasses.replace(settings, pair_sampling=2,
+                                   pair_lossy=True))), 2))
+
     from bibim_tpu.ops import fused
     from bibim_tpu.ops import texture_quad as tq
     from bibim_tpu.ops.geometry import assemble_scene_planar
