@@ -537,7 +537,7 @@ def dense_cap_candidates(settings, probe: CapProbe,
     does NOT appear at other cameras (40-tile view: 1× ≈ 2×) and
     INVERTS in the isolated raster stage — whole-program XLA
     layout/fusion luck, not a derivable law (tools/exp_x64r5.py,
-    /tmp ladders recorded in docs/PERFORMANCE.md round-5). Analysis
+    tools/exp_dense_ladder.py; docs/PERFORMANCE.md round-5). Analysis
     cannot pick this; measurement can. Returns the derived settings
     plus the 2× variant for :func:`pick_measured`."""
     if not settings.merged_coverage or settings.dense_tile_cap is None:
